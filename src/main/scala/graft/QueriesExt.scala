@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Engine
+import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+
+/** Extension operators beyond the reference's surface (SURVEY §7 M3):
+  * the training-data-pipeline tier — dedup (exact / Jaccard / MinHash-LSH /
+  * SimHash), embedding similarity search, text analysis, binary-column
+  * plumbing. Each is a first-class `queries()` entry with a DuckDB oracle.
+  */
+object QueriesExt {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  // ------------------------------------------------------------------ dedup
+
+  private val dExact = Q(
+    "dedup_exact",
+    "Exact dedup: hash-groupBy on payload, keep min id. One shuffle; " +
+      "at 100 TB group on a payload hash, not the payload.",
+    (s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .select("keep_id", "n_dups")
+        .orderBy("keep_id"),
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY text ORDER BY keep_id"""))
+
+  private val dJaccard = Q(
+    "dedup_jaccard_bigram",
+    "N-gram Jaccard near-dup scoring: word-bigram shingle sets compared " +
+      "across adjacent doc pairs (candidate pairs at scale come from LSH " +
+      "buckets, never a full cross join)",
+    (s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), Dedup.bigramShingles(col("text")).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        .orderBy("id_a")
+    },
+    Some("""WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh)) /
+                         len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+            ORDER BY id_a"""))
+
+  private val dMinhash = Q(
+    "dedup_minhash_lsh",
+    "MinHash (8 perms, (a·tid+b) mod 8191 over dense vocab ids) + LSH " +
+      "banding r=2: emits band-bucket occupancy — candidate generation " +
+      "stays linear, pairs enumerate only within buckets",
+    (s, d) => {
+      val pairs = Dedup.tokenPairs(t(s, d, "documents"), "doc_id", "text",
+        distinctTokens = true)
+      val vocab = Dedup.vocabIds(pairs)
+      val ptid = pairs.join(broadcast(vocab), "tok").select("doc_id", "tid")
+      val sig = Dedup.minhashSignatures(ptid, "doc_id", numHashes = 8)
+      Dedup.lshBuckets(sig, "doc_id")
+        .filter(col("n") > 1)
+        .orderBy("band_idx", "band_key")
+    },
+    Some("""WITH pairs AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents),
+            vocab AS (
+              SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+              FROM (SELECT DISTINCT tok FROM pairs)),
+            sig AS (
+              SELECT doc_id, j,
+                     min(((2*j+1)*tid + (7*j+3)) % 8191) AS h
+              FROM (SELECT doc_id, tid FROM pairs JOIN vocab USING (tok))
+              CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+              GROUP BY doc_id, j),
+            bands AS (
+              SELECT doc_id, j // 2 AS band_idx,
+                     string_agg(CAST(h AS VARCHAR), '_' ORDER BY j) AS band_key
+              FROM sig GROUP BY doc_id, j // 2)
+            SELECT band_idx, band_key, count(*) AS n
+            FROM bands GROUP BY 1, 2 HAVING count(*) > 1
+            ORDER BY band_idx, band_key"""))
+
+  private val dSimhash = Q(
+    "dedup_simhash",
+    "16-bit SimHash over the token multiset: near-dup docs land within " +
+      "small Hamming distance; linear cost, no pair space",
+    (s, d) => {
+      val pairs = Dedup.tokenPairs(t(s, d, "documents"), "doc_id", "text",
+        distinctTokens = false)
+      val cnts = pairs.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val vocab = Dedup.vocabIds(pairs)
+      Dedup.simhash16(cnts, vocab, "doc_id").orderBy("doc_id")
+    },
+    Some("""WITH tokens AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            cnts AS (
+              SELECT doc_id, tok, count(*) AS cnt FROM tokens GROUP BY 1, 2),
+            vocab AS (
+              SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+              FROM (SELECT DISTINCT tok FROM tokens)),
+            w AS (
+              SELECT doc_id, j,
+                     sum(cnt * (2 * ((h // (1 << j)) % 2) - 1)) AS wj
+              FROM (SELECT doc_id, cnt, (37*tid + 11) % 65536 AS h
+                    FROM cnts JOIN vocab USING (tok))
+              CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+              GROUP BY doc_id, j)
+            SELECT doc_id,
+                   sum(CASE WHEN wj > 0 THEN 1 << j ELSE 0 END) AS simhash
+            FROM w GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------- similarity
+
+  private val simTopK = Q(
+    "sim_cosine_topk",
+    "Brute-force cosine top-5 for 10 query vectors: broadcast query set × " +
+      "corpus, double-precision sequential dot folds, per-query window " +
+      "top-k. The baseline an IVF/LSH path is measured against.",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+      val q = emb.filter(col("id") < 10)
+        .select(col("id").as("q_id"), col("vec").as("qv"))
+      Similarity.bruteForceTopK(emb, q, 5)
+        .select("q_id", "rank", "cand", "cos")
+        .orderBy("q_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+            s AS (SELECT q_id, id AS cand,
+                         round(list_dot_product(qv, v) /
+                               (sqrt(list_dot_product(qv, qv)) *
+                                sqrt(list_dot_product(v, v))), 6) AS cos
+                  FROM e CROSS JOIN q WHERE id <> q_id),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY q_id ORDER BY cos DESC, cand) AS rank FROM s)
+            SELECT q_id, rank, cand, cos FROM r WHERE rank <= 5
+            ORDER BY q_id, rank"""))
+
+  private val simLsh = Q(
+    "sim_lsh_buckets",
+    "Random-hyperplane LSH over embeddings (12 planes): bucket occupancy " +
+      "for candidate generation — the scale path that replaces the cross " +
+      "join with a hash join on the signature",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+      Similarity.lshBucketed(emb, nPlanes = 12, dim = 64)
+        .orderBy("sig")
+    },
+    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+            sig AS (
+              SELECT id,
+                     (SELECT sum(CASE WHEN (
+                        SELECT sum(v[i+1] * CAST((p*131 + i*31 + 7) % 13 - 6 AS DOUBLE))
+                        FROM (SELECT unnest(range(0, 64)) AS i)) > 0
+                        THEN 1::BIGINT << p ELSE 0 END)
+                      FROM (SELECT unnest(range(0, 12)) AS p)) AS sig
+              FROM e)
+            SELECT sig, count(*) AS n, min(id) AS min_id
+            FROM sig GROUP BY sig ORDER BY sig"""))
+
+  // ----------------------------------------------------------- text analysis
+
+  private val textStats = Q(
+    "text_stats",
+    "Token counting + quality scoring (length credit × non-stopword " +
+      "density) — map-only, codegen'd",
+    (s, d) => {
+      val toks = TA.tokens(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          round(TA.avgTokenLen(col("text"), toks), 6).as("avg_tok_len"),
+          round(TA.stopwordRatio(toks), 6).as("stop_ratio"),
+          TA.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   round(length(replace(text, ' ', '')) / len(toks), 6) AS avg_tok_len,
+                   round(len(list_filter(toks,
+                       x -> x IN ('the','a','of','and','to'))) / len(toks), 6)
+                     AS stop_ratio,
+                   round(least(CAST(1.0 AS DOUBLE), len(toks) / 100.0) *
+                         (1.0 - len(list_filter(toks,
+                            x -> x IN ('the','a','of','and','to'))) / len(toks)), 6)
+                     AS quality
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+            ORDER BY doc_id"""))
+
+  private val textLang = Q(
+    "text_langid",
+    "Language-ID heuristic: English marker-word density vs threshold " +
+      "(swap in char-n-gram profiles per language at production)",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang").as("labeled"),
+          TA.langIdEn(col("text")).as("predicted"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang AS labeled,
+                   CASE WHEN len(list_filter(string_split(text, ' '),
+                          x -> x IN ('the','a','of','and','to'))) /
+                        len(string_split(text, ' ')) > 0.05
+                        THEN 'en' ELSE 'other' END AS predicted
+            FROM documents ORDER BY doc_id"""))
+
+  private val textFp = Q(
+    "text_fingerprint",
+    "Document fingerprints: exact content hash + order-insensitive " +
+      "token-set hash (the cheap dedup tiers before MinHash)",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TA.fingerprintExact(col("text")).as("fp_exact"),
+          TA.fingerprintTokenSet(col("text")).as("fp_tokset"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   md5(lower(trim(text))) AS fp_exact,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split(text, ' '))), ' ')) AS fp_tokset
+            FROM documents ORDER BY doc_id"""))
+
+  // -------------------------------------------------------- binary plumbing
+
+  private val mmBinary = Q(
+    "mm_binary_meta",
+    "Multimodal binary-column plumbing: byte length + content digest over " +
+      "an opaque payload (decode stubs live in operators.Multimodal)",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          md5(col("text")).as("digest"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   md5(text) AS digest
+            FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(
+    dExact, dJaccard, dMinhash, dSimhash,
+    simTopK, simLsh,
+    textStats, textLang, textFp,
+    mmBinary)
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.IntegerType
+
+/** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale posture (100 TB): never materialize the O(n²) pair space. Exact
+  * dedup is one hash-partitioned groupBy. Near-dup goes shingle → signature
+  * → band-bucket join, so candidate generation is a shuffle on band keys and
+  * only within-bucket pairs are ever enumerated. All signature math is
+  * integer column arithmetic — codegen'd, no UDFs.
+  *
+  * The MinHash here is the classic (a·x + b) mod p permutation family over
+  * token ids; token ids come from a dense rank over the corpus vocabulary
+  * (itself a distinct + window — at real scale you'd assign ids with a
+  * broadcast vocab or a stable string hash; both engines' oracle must agree,
+  * hence the rank form).
+  */
+object Dedup {
+
+  /** Exact dedup: group identical payloads, keep the smallest id.
+    * One shuffle on the (hashed) payload.
+    */
+  def exact(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.groupBy(col(payloadCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word-bigram shingle set of a text column (distinct, order-preserving
+    * input positions 1..n-1, 1-based element_at).
+    */
+  def bigramShingles(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+  }
+
+  /** Jaccard similarity of two shingle-set columns, rounded for
+    * cross-engine determinism.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    round(size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)), 6)
+
+  /** (doc_id, tok) exploded token pairs. `distinctTokens` = set semantics
+    * (MinHash); multiset (with counts) is what SimHash wants.
+    */
+  def tokenPairs(docs: DataFrame, idCol: String, textCol: String,
+                 distinctTokens: Boolean): DataFrame = {
+    val toks0 = split(col(textCol), " ")
+    val toks = if (distinctTokens) array_distinct(toks0) else toks0
+    docs.select(col(idCol), explode(toks).as("tok"))
+  }
+
+  /** Dense vocabulary ids: tok → 1..|V| by lexicographic rank. The corpus
+    * vocabulary is assumed broadcast-small (true for natural-language token
+    * sets); the single-partition window is over |V| rows, not the corpus.
+    */
+  def vocabIds(pairs: DataFrame): DataFrame =
+    pairs.select("tok").distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("tok")))
+
+  /** MinHash signatures: one row per (doc, j) with
+    * h_j = min over doc tokens of ((2j+1)·tid + (7j+3)) mod 8191.
+    */
+  def minhashSignatures(ptid: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val js = ptid.sparkSession.range(0, numHashes)
+      .select(col("id").cast(IntegerType).as("j"))
+    ptid.crossJoin(broadcast(js))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(((lit(2) * col("j") + 1) * col("tid") + (lit(7) * col("j") + 3)) % 8191)
+        .as("h"))
+  }
+
+  /** LSH banding with r=2 rows/band: band key = "h_even_h_odd". Returns
+    * bucket occupancy (band_idx, band_key, n) — the pre-pair-enumeration
+    * view that stays linear at scale. Callers enumerate pairs only within
+    * buckets below a size cap.
+    */
+  def lshBuckets(sig: DataFrame, idCol: String): DataFrame =
+    sig.groupBy(col(idCol), expr("j div 2").as("band_idx"))
+      .agg(concat_ws("_",
+        min(when(col("j") % 2 === 0, col("h"))),
+        min(when(col("j") % 2 === 1, col("h")))).as("band_key"))
+      .groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("n"))
+
+  /** 16-bit SimHash over the token multiset: weight_j = Σ cnt·(2·bit_j−1)
+    * with per-token hash (37·tid + 11) mod 2^16; signature bit j set iff
+    * weight_j > 0.
+    */
+  def simhash16(cnts: DataFrame, vocab: DataFrame, idCol: String): DataFrame = {
+    val withH = cnts.join(broadcast(vocab), "tok")
+      .select(col(idCol), col("cnt"), ((lit(37) * col("tid") + 11) % 65536).as("h"))
+    val bits = withH.sparkSession.range(0, 16)
+      .select(col("id").cast(IntegerType).as("j"))
+    withH.crossJoin(broadcast(bits))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("cnt") * (lit(2) * expr("(h div shiftleft(1, j)) % 2") - 1)).as("wj"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("wj") > 0, expr("shiftleft(1, j)")).otherwise(0)).as("simhash"))
+  }
+}

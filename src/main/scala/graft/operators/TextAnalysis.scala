@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * Everything is pure Catalyst column expressions (no UDFs): at 100 TB these
+  * run inside whole-stage codegen over a parquet scan, embarrassingly
+  * parallel, zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the docs corpus is space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Common-word markers used by the quality / language heuristics. */
+  val EnglishStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  def stopwordRatio(toks: Column): Column =
+    size(filter(toks, t => t.isin(EnglishStopwords: _*))) / size(toks)
+
+  /** Mean token length without an explicit fold: total non-space chars /
+    * token count (exact for single-space-separated text).
+    */
+  def avgTokenLen(text: Column, toks: Column): Column =
+    length(regexp_replace(text, " ", "")) / size(toks)
+
+  /** Composite [0,1] quality score: length credit × non-stopword density.
+    * Deterministic, SQL-expressible for the oracle.
+    */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    round(least(lit(1.0), size(t) / lit(100.0)) * (lit(1.0) - stopwordRatio(t)), 6)
+  }
+
+  /** Language-ID heuristic: density of English marker words. A real
+    * pipeline swaps in char-n-gram profiles per language; the operator
+    * shape (token filter ratio + threshold) is identical.
+    */
+  def langIdEn(text: Column, threshold: Double = 0.05): Column =
+    when(stopwordRatio(tokens(text)) > threshold, lit("en")).otherwise(lit("other"))
+
+  /** Exact content fingerprint: hash of the normalized text. */
+  def fingerprintExact(text: Column): Column = md5(lower(trim(text)))
+
+  /** Order-insensitive fuzzy fingerprint: hash of the sorted distinct
+    * token set — survives token reordering, the cheap tier before
+    * MinHash (see [[Dedup]]).
+    */
+  def fingerprintTokenSet(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+}
