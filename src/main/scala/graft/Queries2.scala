@@ -350,8 +350,9 @@ object Queries2 {
         .orderBy("c_custkey")
     },
     Some("""SELECT c_custkey,
-            coalesce(least(greatest(bal, CAST(0.0 AS DOUBLE)), CAST(1000.0 AS DOUBLE)),
-                     CAST(500.0 AS DOUBLE)) AS clamped
+            CASE WHEN bal IS NULL THEN CAST(500.0 AS DOUBLE)
+                 ELSE least(greatest(bal, CAST(0.0 AS DOUBLE)),
+                            CAST(1000.0 AS DOUBLE)) END AS clamped
             FROM (SELECT c_custkey,
                     CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
                   FROM customer)

@@ -93,9 +93,14 @@ object F {
   /** F11 — clamp to [lo, hi]; null/non-numeric → midpoint.
     * Reference: scripts/bootstrap_team_priors.py:8-11.
     */
-  def clampMid(c: Column, lo: Double, hi: Double): Column =
-    coalesce(least(greatest(c.try_cast(DoubleType), lit(lo)), lit(hi)),
-      lit((lo + hi) / 2.0))
+  def clampMid(c: Column, lo: Double, hi: Double): Column = {
+    // NB: Spark's greatest/least SKIP nulls (null, lo) → lo, so a bare
+    // coalesce-around-clamp would send null to `lo`, not the midpoint.
+    // Guard the null/uncastable branch explicitly.
+    val v = c.try_cast(DoubleType)
+    when(v.isNull, lit((lo + hi) / 2.0))
+      .otherwise(least(greatest(v, lit(lo)), lit(hi)))
+  }
 
   /** F12 — sign-step heuristic: base + step*sign(c), null → 0 step.
     * Reference: scripts/bootstrap_team_priors.py:27 (0.55 + 0.10*sign).

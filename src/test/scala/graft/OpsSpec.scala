@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Ops
+
+/** Relational operator module (SURVEY §2.2–2.4), incl. the pandas-delta
+  * guards: ensure_cols no-op, coalesce precedence, tolerant union,
+  * keep-first dedup determinism.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P4 ensureCols adds only missing columns") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    val out = Ops.ensureCols(df, Seq("name" -> lit("X"), "extra" -> lit(7)))
+    assert(out.columns.toSeq == Seq("id", "name", "extra"))
+    val r = out.collect()(0)
+    assert(r.getString(1) == "a") // existing value untouched
+    assert(r.getInt(2) == 7)
+  }
+
+  test("P8 firstPresent picks first existing candidate, else fallback") {
+    val df = Seq((1, 2.0, 3.0)).toDF("id", "b", "c")
+    val hit = df.select(Ops.firstPresent(df, Seq("zz", "b", "c"), lit(-1.0)).as("x"))
+    assert(hit.collect()(0).getDouble(0) == 2.0)
+    val miss = df.select(Ops.firstPresent(df, Seq("zz", "yy"), lit(-1.0)).as("x"))
+    assert(miss.collect()(0).getDouble(0) == -1.0)
+  }
+
+  test("J2 joinIfKeyed joins when key exists, defaults when absent") {
+    val dim = Seq((1, 0.9)).toDF("k", "rate")
+    val withKey = Seq((1, "x"), (2, "y")).toDF("k", "payload")
+    val joined = Ops.joinIfKeyed(withKey, dim, "k", Seq("rate" -> lit(0.3)))
+    val m = joined.collect().map(r => r.getInt(0) -> Option(r.get(2))).toMap
+    assert(m(1).contains(0.9) && m(2).isEmpty) // join path: dim value / null
+    val noKey = Seq(("x")).toDF("payload")
+    val defaulted = Ops.joinIfKeyed(noKey, dim, "k", Seq("rate" -> lit(0.3)))
+    assert(defaulted.collect()(0).getDouble(1) == 0.3)
+  }
+
+  test("J5 precedence: existing ▸ joined ▸ default") {
+    val df = Seq(
+      (Some(1.0), Some(2.0)), (None, Some(2.0)), (None: Option[Double], None: Option[Double]))
+      .toDF("existing", "joined")
+    val out = df.select(
+      Ops.precedence($"existing", $"joined", lit(9.0)).as("v"))
+      .collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(1.0, 2.0, 9.0))
+  }
+
+  test("A1 unionTolerant null-fills missing columns") {
+    val a = Seq((1, "x")).toDF("id", "extra")
+    val b = Seq(2).toDF("id")
+    val out = Ops.unionTolerant(Seq(a, b)).orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(1) == "x")
+    assert(out(1).isNullAt(1))
+  }
+
+  test("A3 dedupKeepFirst keeps the first row per key by explicit order") {
+    val df = Seq(("k", 3, "c"), ("k", 1, "a"), ("k", 2, "b"), ("j", 5, "e"))
+      .toDF("key", "ord", "payload")
+    val out = Ops.dedupKeepFirst(df, Seq("key"), Seq("ord"))
+      .orderBy("key").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("e", "a"))
+  }
+
+  test("V1 missingColumns reports exactly the absent ones") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    assert(Ops.missingColumns(df, Seq("id", "xg", "name", "ref")) == Seq("xg", "ref"))
+  }
+}
