@@ -15,7 +15,7 @@ object SparkEntry {
     * column expressions — here orders × customer with defaults.
     */
   def entry(spark: SparkSession): DataFrame =
-    Queries.byName("j1_broadcast_left_dim").fn(spark, "/root/testdata/sf0.001")
+    Queries.byName("pipe_enrich").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,232 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+import graft.engine.Ops
+import graft.functions.F
+
+/** The enrichment pipeline — the reference's core dataflow
+  * (enrich_features.py:151-179) re-expressed as ONE Spark lineage of
+  * broadcast joins + column expressions.
+  *
+  * Scale shape: every dimension is broadcast (≤ thousands of rows even at
+  * production scale), so the fact table streams through zero shuffles —
+  * map-side joins + codegen'd expressions end to end. At 100 TB this is a
+  * single embarrassingly-parallel pass.
+  *
+  * Semantics reproduced exactly (SURVEY §2 J1–J7, J9, P4, F8, F15):
+  *  - `ensure_cols` literals are applied BEFORE the merges, so a fact that
+  *    lacked a column gets the constant, and the coalesce precedence
+  *    (pre-existing ▸ joined ▸ default — reference `coalesce`,
+  *    enrich_features.py:26-34) makes that constant win over dim values.
+  *    This mirrors the reference bit-for-bit, quirks included.
+  *  - empty dims degrade to pure-default columns without failing
+  *    (reference invariant: schema-complete output from empty inputs).
+  */
+object Enrich {
+
+  import F.{Defaults => D}
+
+  /** J9 — canonical-name normalization via broadcast lookup join with
+    * identity fallback (enrich_features.py:37-43).
+    */
+  def normalizeNames(df: DataFrame, nameMap: DataFrame, cols: Seq[String]): DataFrame =
+    cols.filter(df.columns.contains).foldLeft(df) { (acc, c) =>
+      val m = nameMap.select(trim(col("raw")).as(s"__raw_$c"),
+        trim(col("canonical")).as(s"__canon_$c"))
+      acc.join(broadcast(m), trim(col(c)) === col(s"__raw_$c"), "left")
+        .withColumn(c, coalesce(col(s"__canon_$c"), trim(col(c))))
+        .drop(s"__raw_$c", s"__canon_$c")
+    }
+
+  /** The pre-merge constant defaults (enrich_features.py:160-169). */
+  val preDefaults: Seq[(String, Column)] = Seq(
+    "home_team" -> lit(""), "away_team" -> lit(""),
+    "home_odds_dec" -> lit(null).cast(DoubleType),
+    "draw_odds_dec" -> lit(null).cast(DoubleType),
+    "away_odds_dec" -> lit(null).cast(DoubleType),
+    "home_rest_days" -> lit(D.restDays), "away_rest_days" -> lit(D.restDays),
+    "home_injury_index" -> lit(D.injuryIndex), "away_injury_index" -> lit(D.injuryIndex),
+    "home_gk_rating" -> lit(D.gkRating), "away_gk_rating" -> lit(D.gkRating),
+    "home_setpiece_rating" -> lit(D.setpieceRating),
+    "away_setpiece_rating" -> lit(D.setpieceRating),
+    "ref_pen_rate" -> lit(D.refPenRate), "crowd_index" -> lit(D.crowdIndex),
+    "home_travel_km" -> lit(D.travelKmHome), "away_travel_km" -> lit(D.travelKmAway))
+
+  /** One precedence-join stage: left-join `dim` (payload pre-aliased to
+    * fresh `__j_<col>` names), then for each (base, default) resolve
+    * existing ▸ joined ▸ default and drop the helper.
+    */
+  private def precedenceJoin(fact: DataFrame, dim: DataFrame, joinCond: Column,
+                             payload: Seq[(String, Double)]): DataFrame = {
+    val joined = fact.join(broadcast(dim), joinCond, "left")
+    payload.foldLeft(joined) { case (acc, (base, default)) =>
+      acc.withColumn(base,
+          Ops.precedence(col(base), col(s"__j_$base"), lit(default)))
+        .drop(s"__j_$base")
+    }
+  }
+
+  /** J1 — team master ×2 (enrich_features.py:46-62). */
+  def mergeTeamMaster(df: DataFrame, teams: DataFrame): DataFrame = {
+    if (teams.isEmpty) {
+      Ops.ensureCols(df, Seq(
+        "home_gk_rating" -> lit(D.gkRating), "away_gk_rating" -> lit(D.gkRating),
+        "home_setpiece_rating" -> lit(D.setpieceRating),
+        "away_setpiece_rating" -> lit(D.setpieceRating),
+        "crowd_index" -> lit(D.crowdIndex)))
+    } else {
+      val out = Seq("home", "away").foldLeft(df) { (acc, side) =>
+        val dim = teams.select(col("team").as(s"__k_$side"),
+          col("gk_rating").as(s"__j_${side}_gk_rating"),
+          col("setpiece_rating").as(s"__j_${side}_setpiece_rating"),
+          col("crowd_index").as(s"__j_${side}_crowd_index"))
+        precedenceJoin(acc, dim, col(s"${side}_team") === col(s"__k_$side"),
+          Seq(s"${side}_gk_rating" -> D.gkRating,
+            s"${side}_setpiece_rating" -> D.setpieceRating))
+          .drop(s"__k_$side")
+      }
+      // crowd_index: pre-existing ▸ home-side dim value ▸ 0.7
+      out.withColumn("crowd_index",
+          Ops.precedence(col("crowd_index"), col("__j_home_crowd_index"),
+            lit(D.crowdIndex)))
+        .drop("__j_home_crowd_index", "__j_away_crowd_index")
+    }
+  }
+
+  /** J3 — injuries on (date, side_team) ×2 (enrich_features.py:73-85). */
+  def applyInjuries(df: DataFrame, inj: DataFrame): DataFrame =
+    if (inj.isEmpty)
+      Ops.ensureCols(df, Seq("home_injury_index" -> lit(D.injuryIndex),
+        "away_injury_index" -> lit(D.injuryIndex)))
+    else Seq("home", "away").foldLeft(df) { (acc, side) =>
+      val dim = inj.select(col("date").as(s"__d_$side"), col("team").as(s"__k_$side"),
+        col("injury_index").as(s"__j_${side}_injury_index"))
+      precedenceJoin(acc, dim,
+        col("date") === col(s"__d_$side") && col(s"${side}_team") === col(s"__k_$side"),
+        Seq(s"${side}_injury_index" -> D.injuryIndex))
+        .drop(s"__d_$side", s"__k_$side")
+    }
+
+  /** J4 — lineup flags on (date, side_team) ×2; null→0→int
+    * (enrich_features.py:87-103).
+    */
+  def applyLineupFlags(df: DataFrame, lu: DataFrame): DataFrame = {
+    val flags = Seq("key_att_out", "key_def_out", "keeper_changed")
+    val allFlags = for (s <- Seq("home", "away"); f <- flags) yield s"${s}_$f"
+    if (lu.isEmpty) Ops.ensureCols(df, allFlags.map(_ -> lit(0)))
+    else {
+      val joined = Seq("home", "away").foldLeft(df) { (acc, side) =>
+        val dim = lu.select(
+          col("date").as(s"__d_$side") +: col("team").as(s"__k_$side") +:
+            flags.map(f => col(f).as(s"__j_${side}_$f")): _*)
+        val j = acc.join(broadcast(dim),
+          col("date") === col(s"__d_$side") &&
+            col(s"${side}_team") === col(s"__k_$side"), "left")
+        flags.foldLeft(j) { (a, f) =>
+          val base = s"${side}_$f"
+          val existing = if (a.columns.contains(base)) col(base)
+            else lit(null).cast(IntegerType)
+          a.withColumn(base,
+            coalesce(existing, col(s"__j_$base"), lit(0)).cast(IntegerType))
+            .drop(s"__j_$base")
+        }.drop(s"__d_$side", s"__k_$side")
+      }
+      joined
+    }
+  }
+
+  /** J2 — referee rates, join only when the fact has ref_name
+    * (enrich_features.py:64-71).
+    */
+  def applyRefRates(df: DataFrame, refs: DataFrame): DataFrame =
+    if (!refs.isEmpty && df.columns.contains("ref_name")) {
+      val dim = refs.select(col("ref_name").as("__k_ref"),
+        col("ref_pen_rate").as("__j_ref_pen_rate"))
+      precedenceJoin(df, dim, col("ref_name") === col("__k_ref"),
+        Seq("ref_pen_rate" -> D.refPenRate)).drop("__k_ref")
+    } else
+      Ops.ensureCols(df, Seq("ref_pen_rate" -> lit(D.refPenRate)))
+        .withColumn("ref_pen_rate",
+          coalesce(col("ref_pen_rate"), lit(D.refPenRate)))
+
+  /** J6 + F8 — stadium coords ×2, haversine only into null away_travel_km
+    * slots, 200 km when coords missing (enrich_features.py:105-120).
+    */
+  def computeTravel(df: DataFrame, stad: DataFrame): DataFrame = {
+    val base = Ops.ensureCols(df, Seq(
+      "home_travel_km" -> lit(null).cast(DoubleType),
+      "away_travel_km" -> lit(null).cast(DoubleType)))
+    if (stad.isEmpty)
+      base.withColumn("home_travel_km", coalesce(col("home_travel_km"), lit(D.travelKmHome)))
+        .withColumn("away_travel_km", coalesce(col("away_travel_km"), lit(D.travelKmAway)))
+    else {
+      val joined = Seq("home", "away").foldLeft(base) { (acc, side) =>
+        val dim = stad.select(col("team").as(s"__k_$side"),
+          col("lat").as(s"${side}_lat"), col("lon").as(s"${side}_lon"))
+        acc.join(broadcast(dim), col(s"${side}_team") === col(s"__k_$side"), "left")
+          .drop(s"__k_$side")
+      }
+      joined
+        .withColumn("home_travel_km", coalesce(col("home_travel_km"), lit(D.travelKmHome)))
+        .withColumn("away_travel_km",
+          when(col("away_travel_km").isNotNull, col("away_travel_km"))
+            .otherwise(F.haversineKmOrDefault(
+              col("home_lat"), col("home_lon"), col("away_lat"), col("away_lon"),
+              D.travelKmAway)))
+        .drop("home_lat", "home_lon", "away_lat", "away_lon")
+    }
+  }
+
+  /** J7 — xG hybrid metrics ×2 (enrich_features.py:122-145). */
+  def mergeXgHybrid(df: DataFrame, xg: DataFrame): DataFrame = {
+    val metrics = Seq("xg" -> "xg_hybrid", "xga" -> "xga_hybrid",
+      "xgd" -> "xgd_hybrid", "xgd_per90" -> "xgd90_hybrid")
+    if (xg.isEmpty)
+      Ops.ensureCols(df, for (s <- Seq("home", "away"); (m, _) <- metrics)
+        yield s"${s}_$m" -> lit(null).cast(DoubleType))
+    else {
+      val joined = Seq("home", "away").foldLeft(df) { (acc, side) =>
+        val dim = xg.select(col("team").as(s"__k_$side") +:
+          metrics.map { case (m, src) => col(src).as(s"${side}_$m") }: _*)
+        acc.join(broadcast(dim), col(s"${side}_team") === col(s"__k_$side"), "left")
+          .drop(s"__k_$side")
+      }
+      Ops.ensureCols(joined, for (s <- Seq("home", "away"); (m, _) <- metrics)
+        yield s"${s}_$m" -> lit(null).cast(DoubleType))
+    }
+  }
+
+  /** Entry point 2 parity (enrich_features.py:151-179): the full stage
+    * order is load-bearing — each stage's precedence depends on the
+    * columns ensured before it.
+    */
+  def enrich(fact: DataFrame, teams: DataFrame, stad: DataFrame, refs: DataFrame,
+             inj: DataFrame, lu: DataFrame, xg: DataFrame, nameMap: DataFrame): DataFrame = {
+    val dated = if (fact.columns.contains("date"))
+      fact.withColumn("date", col("date").cast("timestamp")) else fact
+    val named = normalizeNames(dated, nameMap, Seq("home_team", "away_team"))
+    val ensured = Ops.ensureCols(named, preDefaults)
+    val teamsN = normalizeNames(teams, nameMap, Seq("team"))
+    val stadN = normalizeNames(stad, nameMap, Seq("team"))
+    val injN = normalizeNames(inj, nameMap, Seq("team"))
+    val luN = normalizeNames(lu, nameMap, Seq("team"))
+    val xgN = normalizeNames(xg, nameMap, Seq("team"))
+    val s1 = mergeTeamMaster(ensured, teamsN)
+    val s2 = applyInjuries(s1, injN)
+    val s3 = applyLineupFlags(s2, luN)
+    val s4 = applyRefRates(s3, refs)
+    val s5 = computeTravel(s4, stadN)
+    mergeXgHybrid(s5, xgN)
+  }
+
+  /** P1 + A2 — final projection to the canonical column order and global
+    * date sort (build_hist_and_upcoming.py:8-30).
+    */
+  def buildFinal(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val complete = Ops.ensureCols(df, columns.map(_ -> lit(null)))
+    complete.select(columns.map(col): _*).orderBy("date")
+  }
+}
