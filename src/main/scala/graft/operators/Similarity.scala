@@ -48,14 +48,19 @@ object Similarity {
     * weight = ((p·131 + i·31 + 7) mod 13) − 6). Vectors in the same bucket
     * are near-duplicates candidates; join buckets instead of crossing the
     * corpus.
+    *
+    * The plane matrix ships as ONE `typedlit` literal and the signature is
+    * a single nested fold — N separate 64-literal arrays would blow the
+    * expression tree up ~100× and stall codegen (observed: 56 s → sub-s
+    * on 2 k rows at sf0.1).
     */
   def hyperplaneSig(vec: Column, nPlanes: Int, dim: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val d = dot(vec, array((0 until dim).map(i =>
-        lit(((p * 131 + i * 31 + 7) % 13 - 6).toDouble)): _*))
-      when(d > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val planes: Seq[Seq[Double]] = (0 until nPlanes).map(p =>
+      (0 until dim).map(i => ((p * 131 + i * 31 + 7) % 13 - 6).toDouble))
+    val pl = typedlit(planes)
+    aggregate(sequence(lit(0), lit(nPlanes - 1)), lit(0L), (acc, p) =>
+      acc + when(dot(vec, element_at(pl, p + 1)) > 0,
+        pow(lit(2.0), p).cast("long")).otherwise(lit(0L)))
   }
 
   /** Bucketed near-dup candidates: corpus self-join on the hyperplane

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §7): the `events` table is the
+  * stream-shaped fixture (event-time `ts`), and these are the streaming
+  * twins of the batch operators — same transforms, `readStream` in place
+  * of `read`.
+  *
+  * Scale posture: watermarks bound state; windowed aggregation state is
+  * partitioned by group key; sessionization state lives in the state
+  * store keyed by user, evicted on timeout. Nothing here is
+  * driver-resident.
+  */
+object Streaming {
+
+  /** Tumbling-window count/sum with a watermark bounding late data and
+    * state retention — the streaming twin of query a7_window_hourly.
+    */
+  def hourlyWindowAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class Session(user_id: Long, n_events: Long, total_value: Double,
+                     started: Timestamp, ended: Timestamp, closed: Boolean)
+
+  /** Session accumulator state. */
+  case class SessionState(n: Long, total: Double, started: Long, last: Long)
+
+  /** Custom stateful sessionization via mapGroupsWithState: events within
+    * `gapMs` of the previous one extend the session; a larger gap starts a
+    * fresh one. Emits the current-session snapshot per microbatch (Update
+    * mode). In production add an event-time timeout + watermark to flush
+    * and evict closed sessions; a processing-time timeout would make
+    * drain-everything tests non-terminating.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+                (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, Session](GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          val evs = it.toSeq.sortBy(_.ts.getTime)
+          val merged = evs.foldLeft(state.getOption) {
+            case (None, e) =>
+              Some(SessionState(1, e.value, e.ts.getTime, e.ts.getTime))
+            case (Some(s), e) if e.ts.getTime - s.last <= gapMs =>
+              Some(SessionState(s.n + 1, s.total + e.value, s.started, e.ts.getTime))
+            case (Some(_), e) => // gap exceeded: start a fresh session
+              Some(SessionState(1, e.value, e.ts.getTime, e.ts.getTime))
+          }
+          merged.foreach(state.update)
+          val s = merged.get
+          Session(uid, s.n, s.total, new Timestamp(s.started), new Timestamp(s.last),
+            closed = false)
+      }
+  }
+
+  /** File-source streaming read of an events directory with the batch
+    * schema — the deployment shape (`readStream` → transform →
+    * `writeStream` with checkpointing).
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    spark.readStream.schema(schema).parquet(dir)
+  }
+}
