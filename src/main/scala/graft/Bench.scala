@@ -37,7 +37,15 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     run(names.head) // warm-up: JIT + codegen + parquet footer caches
-    val results = names.map(n => n -> run(n))
+    // best-of-2 across two INTERLEAVED full passes: the host shows multi-
+    // second stalls (GC / noisy neighbors) that would hit back-to-back
+    // runs of one query together; separated passes make the min robust
+    val pass1 = names.map(n => n -> run(n)).toMap
+    val pass2 = names.map(n => n -> run(n)).toMap
+    val results = names.map { n =>
+      val (t1, t2) = (pass1(n), pass2(n))
+      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -36,12 +36,16 @@ object QueriesExt {
       "buckets, never a full cross join)",
     (s, d) => {
       val sh = t(s, d, "documents")
-        .select(col("doc_id"), Dedup.bigramShingles(col("text")).as("sh"))
-      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), Dedup.bigramShinglesFromToks(col("toks")).as("sh"))
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
       a.join(b, col("id_b") === col("id_a") + 1)
         .select(col("id_a"), col("id_b"),
-          Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+          Dedup.jaccardPrecomputed(
+            size(array_intersect(col("sh_a"), col("sh_b"))),
+            col("n_a"), col("n_b")).as("jac"))
         .orderBy("id_a")
     },
     Some("""WITH sh AS (

@@ -28,15 +28,21 @@ object Dedup {
     df.groupBy(col(payloadCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Word-bigram shingle set of a text column (distinct, order-preserving
-    * input positions 1..n-1, 1-based element_at).
+  /** Word-bigram shingle set over an ALREADY-MATERIALIZED token-array
+    * column. The token array must be a projected column, not an inline
+    * `split(...)` expression: lambda bodies get no common-subexpression
+    * elimination, so an inlined split re-parses the text for every shingle
+    * element — measured 10× slower at sf0.1 (4.3 s vs 0.48 s on 5 k docs).
     */
-  def bigramShingles(text: Column): Column = {
-    val toks = split(text, " ")
+  def bigramShinglesFromToks(toks: Column): Column =
     array_distinct(transform(
       sequence(lit(1), size(toks) - 1),
       i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-  }
+
+  /** Convenience form for small/test inputs; production paths should
+    * project `split(text, " ")` first and use [[bigramShinglesFromToks]].
+    */
+  def bigramShingles(text: Column): Column = bigramShinglesFromToks(split(text, " "))
 
   /** Jaccard similarity of two shingle-set columns, rounded for
     * cross-engine determinism.
@@ -44,6 +50,14 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     round(size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)), 6)
+
+  /** Jaccard via |A∪B| = |A|+|B|−|A∩B| with pre-computed set sizes: one
+    * array_intersect evaluation per pair instead of intersect + union —
+    * matters when the expression sits above a join and each reference to
+    * the shingle columns costs a re-evaluation.
+    */
+  def jaccardPrecomputed(inter: Column, na: Column, nb: Column): Column =
+    round(inter.cast("double") / (na + nb - inter), 6)
 
   /** (doc_id, tok) exploded token pairs. `distinctTokens` = set semantics
     * (MinHash); multiset (with counts) is what SimHash wants.
