@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+
+/** Physical-plan assertions for the 100 TB posture: filters reach the
+  * parquet scan, projections prune the read schema, dimension joins
+  * broadcast, and hot paths stay inside whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    Queries.byName(name).fn(spark, sf).queryExecution.executedPlan.toString
+
+  test("s2: filter pushed to parquet scan, read schema pruned") {
+    val plan = planOf("s2_scan_project")
+    assert(plan.contains("PushedFilters:") && !plan.contains("PushedFilters: []"),
+      "no pushed filters on the scan")
+    // only the 4 projected columns are read, not all 16
+    assert(plan.contains("l_orderkey") && !plan.contains("l_comment"))
+    assert(plan.contains("ReadSchema") &&
+      !plan.split("ReadSchema")(1).split("\n")(0).contains("l_shipdate"),
+      "scan reads columns the query never uses")
+  }
+
+  test("j1: dimension join is broadcast, not shuffle") {
+    val plan = planOf("j1_broadcast_left_dim")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("pipe_enrich: all 11+ dimension joins broadcast; no SortMergeJoin") {
+    val plan = planOf("pipe_enrich")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "an enrichment dim join fell back to shuffle")
+  }
+
+  test("scan-heavy queries run inside whole-stage codegen") {
+    for (q <- Seq("f8_haversine", "f7_fractional_odds", "text_stats")) {
+      val df = Queries.byName(q).fn(spark, sf)
+      df.collect() // AQE only finalizes (and shows codegen spans) on execution
+      val plan = df.queryExecution.executedPlan.toString
+      // codegen'd spans render as "*(n) Operator" in the tree string
+      assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+        s"$q dropped out of codegen")
+    }
+  }
+
+  test("a5 aggregation does map-side partial aggregation") {
+    val plan = planOf("a5_count_groups")
+    // two HashAggregate nodes: partial (before exchange) + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "no partial aggregation before the shuffle")
+  }
+
+  test("events reader rebuilds µs timestamps from nanos") {
+    val df = Engine.table(spark, sf, "events")
+    assert(df.schema("ts").dataType.typeName == "timestamp")
+    assert(df.select(min(col("ts"))).collect()(0).getTimestamp(0) != null)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.functions.F
+import graft.engine.{Ops, Validate}
+import graft.pipeline.Schemas
+
+/** Property-based guards (SURVEY §5): odds strings, haversine vs a direct
+  * Scala reimplementation, coalesce-precedence truth table, name-map
+  * idempotence, V3 repair, F17 key pick.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("F7 property: fractional odds match direct computation on a/b grids") {
+    val cases = for (a <- 1 to 20; b <- 1 to 8) yield (s"$a/$b", 1.0 + a.toDouble / b)
+    val out = cases.map(_._1).toDF("s")
+      .select(F.fractionalToDecimal($"s").as("d")).collect().map(_.getDouble(0))
+    out.zip(cases.map(_._2)).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-12) }
+  }
+
+  test("F8 property: column haversine equals direct Scala implementation") {
+    def ref(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val (p1, p2) = (math.toRadians(lat1), math.toRadians(lat2))
+      val (dp, dl) = (math.toRadians(lat2 - lat1), math.toRadians(lon2 - lon1))
+      val a = math.pow(math.sin(dp / 2), 2) +
+        math.cos(p1) * math.cos(p2) * math.pow(math.sin(dl / 2), 2)
+      2 * 6371.0 * math.asin(math.sqrt(math.min(1.0, a)))
+    }
+    val coords = Gen.listOfN(40, for {
+      lat1 <- Gen.choose(-90.0, 90.0); lon1 <- Gen.choose(-180.0, 180.0)
+      lat2 <- Gen.choose(-90.0, 90.0); lon2 <- Gen.choose(-180.0, 180.0)
+    } yield (lat1, lon1, lat2, lon2)).sample.get
+    val out = coords.toDF("a", "b", "c", "d")
+      .select(F.haversineKm($"a", $"b", $"c", $"d").as("km"))
+      .collect().map(_.getDouble(0))
+    out.zip(coords).foreach { case (got, (a, b, c, d)) =>
+      assert(math.abs(got - ref(a, b, c, d)) < 1e-6, s"($a,$b,$c,$d)") }
+  }
+
+  test("J5 property: precedence truth table over all null patterns") {
+    val patterns = for {
+      e <- Seq(Some(1.0), None); j <- Seq(Some(2.0), None)
+    } yield (e, j)
+    val out = patterns.toDF("e", "j")
+      .select(Ops.precedence($"e", $"j", lit(9.0)).as("v"))
+      .collect().map(_.getDouble(0))
+    val expected = patterns.map {
+      case (Some(e), _) => e
+      case (None, Some(j)) => j
+      case _ => 9.0
+    }
+    assert(out.toSeq == expected)
+  }
+
+  test("J9 property: name normalization is idempotent") {
+    val nameMap = Seq(("Raw A", "Canon A"), ("Raw B", "Canon B")).toDF("raw", "canonical")
+    val facts = Seq("Raw A", " Raw B ", "Canon A", "Unmapped").toDF("team")
+    import graft.pipeline.Enrich
+    val once = Enrich.normalizeNames(facts, nameMap, Seq("team"))
+    val twice = Enrich.normalizeNames(once, nameMap, Seq("team"))
+    assert(once.orderBy("team").collect().map(_.getString(0)).toSeq ==
+      twice.orderBy("team").collect().map(_.getString(0)).toSeq)
+    assert(once.collect().map(_.getString(0)).toSet ==
+      Set("Canon A", "Canon B", "Unmapped"))
+  }
+
+  test("V3 repairs missing/invalid files, leaves valid ones alone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_v3_").toString
+    val p = s"$dir/teams.csv"
+    assert(Validate.ensureMinCsv(p, Schemas.teamsMaster)) // missing → repaired
+    assert(!Validate.ensureMinCsv(p, Schemas.teamsMaster)) // now valid → untouched
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p), "bogus,header\n")
+    assert(Validate.ensureMinCsv(p, Schemas.teamsMaster)) // wrong header → repaired
+  }
+
+  test("F17 picks uefa/champ soccer keys first, then fallbacks") {
+    assert(Validate.pickSportKey(Seq("basketball_nba", "soccer_uefa_champs_league",
+      "soccer_epl")).contains("soccer_uefa_champs_league"))
+    assert(Validate.pickSportKey(Seq("soccer_epl", "soccer_brazil"))
+      .contains("soccer_epl"))
+    assert(Validate.pickSportKey(Seq("soccer_brazil")).contains("soccer_brazil"))
+    assert(Validate.pickSportKey(Seq("hockey_nhl")).isEmpty)
+  }
+
+  test("V1+V2 report counts rows and missing columns") {
+    val df = Seq((1, "x")).toDF("id", "name")
+    val r = Validate.report("t", df, Seq("id", "name", "zz"))
+    assert(!r.ok && r.missing == Seq("zz") && r.rows == 1)
+  }
+}
