@@ -23,8 +23,16 @@ object Similarity {
 
   def toDoubleVec(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
-  def dot(a: Column, b: Column): Column =
+  /** Composed-builtins dot product — the no-custom-code fallback. */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Native codegen'd dot product (graft.plans.ArrayDotProduct): same
+    * left-to-right double accumulation as the composed form (bit-identical
+    * results), without the intermediate zip array or per-element lambda
+    * dispatch.
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.ArrayDotProduct(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
