@@ -174,6 +174,62 @@ object QueriesExt {
             SELECT sig, count(*) AS n, min(id) AS min_id
             FROM sig GROUP BY sig ORDER BY sig"""))
 
+  private val simNearDup = Q(
+    "sim_neardup_rerank",
+    "Embedding near-dup, the full scale pipeline: hyperplane-LSH buckets " +
+      "(8 planes) → within-bucket pair enumeration only → exact cosine " +
+      "rerank → global top-20. The cross join never happens; pair count " +
+      "stays ~n²/2^planes.",
+    (s, d) => {
+      // each side gets an independent lineage: a self-join of one derived
+      // frame with typedlit-bearing lambdas trips attribute dedup
+      // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) in Spark 4.1
+      def sigs(idName: String, vecName: String) =
+        t(s, d, "embeddings")
+          .select(col("vec_id").as(idName),
+            Similarity.toDoubleVec(col("embedding")).as(vecName))
+          .withColumn("sig",
+            Similarity.hyperplaneSig(col(vecName), nPlanes = 8, dim = 64))
+      val a = sigs("id_a", "va")
+      val b = sigs("id_b", "vb")
+      // composed-builtins cosine here, NOT the native array_dot node:
+      // with native dot above a self-join whose key is itself a derived
+      // expression, Spark 4.1's constraint inference pushes a filter whose
+      // a-side expansion (va#...) leaks into the b-side scan →
+      // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. Same accumulation order, so
+      // results are bit-identical either way.
+      def cosC(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        Similarity.dotComposed(x, y) /
+          (sqrt(Similarity.dotComposed(x, x)) * sqrt(Similarity.dotComposed(y, y)))
+      val pairs = a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosC(col("va"), col("vb")), 6).as("cos"))
+      pairs.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("cos"), col("id_a"), col("id_b"))))
+        .filter(col("rank") <= 20)
+        .select("rank", "id_a", "id_b", "cos")
+        .orderBy("rank")
+    },
+    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+            sig AS (
+              SELECT id, v,
+                     (SELECT sum(CASE WHEN (
+                        SELECT sum(v[i+1] * CAST((p*131 + i*31 + 7) % 13 - 6 AS DOUBLE))
+                        FROM (SELECT unnest(range(0, 64)) AS i)) > 0
+                        THEN 1::BIGINT << p ELSE 0 END)
+                      FROM (SELECT unnest(range(0, 8)) AS p)) AS sig
+              FROM e),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     round(list_dot_product(a.v, b.v) /
+                           (sqrt(list_dot_product(a.v, a.v)) *
+                            sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+              FROM sig a JOIN sig b ON a.sig = b.sig AND a.id < b.id)
+            SELECT row_number() OVER (ORDER BY cos DESC, id_a, id_b) AS rank,
+                   id_a, id_b, cos
+            FROM pairs ORDER BY cos DESC, id_a, id_b LIMIT 20"""))
+
   // ----------------------------------------------------------- text analysis
 
   private val textStats = Q(
@@ -235,6 +291,50 @@ object QueriesExt {
                        string_split(text, ' '))), ' ')) AS fp_tokset
             FROM documents ORDER BY doc_id"""))
 
+  private val textTfidf = Q(
+    "text_tfidf_top",
+    "TF-IDF top term per document: token explode → per-doc tf, corpus df " +
+      "→ tf·ln(N/df) rerank. Two shuffles (doc-term agg, df agg) at any " +
+      "scale; df table broadcasts back.",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.count() // corpus size: driver scalar, one cheap job
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("len", sum("cnt").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      val df_ = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df_), "tok")
+        .withColumn("tfidf",
+          round((col("cnt") / col("len")) * log(lit(n.toDouble) / col("df")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("tfidf"), col("tok"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select("doc_id", "tok", "tfidf")
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS cnt,
+                     sum(count(*)) OVER (PARTITION BY doc_id) AS len
+              FROM toks GROUP BY doc_id, tok),
+            df AS (
+              SELECT tok, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+            scored AS (
+              SELECT doc_id, tok,
+                     round((cnt / CAST(len AS DOUBLE)) *
+                           ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)), 6)
+                       AS tfidf
+              FROM tf JOIN df USING (tok))
+            SELECT doc_id, tok, tfidf
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+                  FROM scored) x
+            WHERE rk = 1 ORDER BY doc_id"""))
+
   // -------------------------------------------------------- binary plumbing
 
   private val mmBinary = Q(
@@ -253,7 +353,7 @@ object QueriesExt {
 
   val all: Seq[Q] = Seq(
     dExact, dJaccard, dMinhash, dSimhash,
-    simTopK, simLsh,
-    textStats, textLang, textFp,
+    simTopK, simLsh, simNearDup,
+    textStats, textLang, textFp, textTfidf,
     mmBinary)
 }

@@ -66,8 +66,12 @@ object Similarity {
     val planes: Seq[Seq[Double]] = (0 until nPlanes).map(p =>
       (0 until dim).map(i => ((p * 131 + i * 31 + 7) % 13 - 6).toDouble))
     val pl = typedlit(planes)
+    // dotComposed, not the native array_dot node: when this signature
+    // feeds a self-join key, Spark 4.1's constraint inference mis-pushes a
+    // filter containing the other side's attributes if a custom expression
+    // sits inside the nested lambda (see QueriesExt.sim_neardup_rerank)
     aggregate(sequence(lit(0), lit(nPlanes - 1)), lit(0L), (acc, p) =>
-      acc + when(dot(vec, element_at(pl, p + 1)) > 0,
+      acc + when(dotComposed(vec, element_at(pl, p + 1)) > 0,
         pow(lit(2.0), p).cast("long")).otherwise(lit(0L)))
   }
 
