@@ -1,0 +1,43 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities for the 100 TB posture: skew-salted joins and
+  * bucketed co-located joins.
+  *
+  * AQE's skew-join split handles moderate skew at runtime; explicit
+  * salting is the tool when one key dominates so badly that even split
+  * partitions overwhelm an executor — the classic hot-key join.
+  */
+object Scale {
+
+  /** Skew-salted equi-join: fact side gets a random-ish salt in
+    * [0, buckets) derived deterministically from a row fingerprint; the
+    * dim side is exploded `buckets`-fold so every (key, salt) pair
+    * matches. Turns one hot-key partition into `buckets` even ones at
+    * the cost of a `buckets`× dim replication (dims are small by
+    * definition here).
+    *
+    * @param fingerprint deterministic per-row column used to derive the
+    *                    salt (e.g. a unique id) — keeps results stable
+    *                    run to run, unlike rand()
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 fingerprint: Column, buckets: Int,
+                 joinType: String = "left"): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(hash(fingerprint), lit(buckets)))
+    val explodedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(explodedDim, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Bucketed write: co-locates both tables on the join key so later
+    * joins are exchange-free (bucket-local). The saveAsTable form is
+    * required — bucket metadata lives in the catalog.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Scale
+
+/** Skew + bucketing utilities: result correctness AND the plan property
+  * each exists to provide.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join: same results as plain join, fact spread over salts") {
+    val fact = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))
+      .toDF("key", "v") // 90% of rows share one key
+    val dim = Seq(("hot", "H"), ("k950", "X")).toDF("key", "label")
+    val plain = fact.join(dim, Seq("key"), "left")
+      .select("key", "v", "label").orderBy("v").collect()
+    val salted = Scale.saltedJoin(fact, dim, "key", col("v"), buckets = 8)
+      .select("key", "v", "label").orderBy("v").collect()
+    assert(salted.toSeq == plain.toSeq)
+    // the hot key really is spread across salt buckets
+    val spread = fact.withColumn("s", pmod(hash(col("v")), lit(8)))
+      .filter($"key" === "hot").select("s").distinct().count()
+    assert(spread > 4)
+  }
+
+  test("bucketed tables join without an exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val orders = Engine2.ordersLike(spark)
+      Scale.writeBucketed(orders, "b_orders", "custkey", 4)
+      Scale.writeBucketed(orders.groupBy("custkey")
+        .agg(sum("amount").as("total")), "b_totals", "custkey", 4)
+      val joined = spark.table("b_orders").join(spark.table("b_totals"), "custkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        "bucketed join still shuffled:\n" + plan.take(800))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_totals")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
+
+/** Tiny deterministic orders-like frame for bucketing tests. */
+object Engine2 {
+  def ordersLike(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    (1 to 200).map(i => (i.toLong % 20, i.toLong, (i * 1.5)))
+      .toDF("custkey", "orderkey", "amount")
+  }
+}
