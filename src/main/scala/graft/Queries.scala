@@ -344,7 +344,8 @@ object Queries {
     s2, p1, p2, p3, p4, p5, p6, p7, p8, p9,
     j1, j3, j8,
     a3, a5,
-    f7, f8) ++ Queries2.all ++ QueriesExt.all ++ QueriesPipe.all ++ QueriesWin.all
+    f7, f8) ++ Queries2.all ++ QueriesExt.all ++ QueriesPipe.all ++
+    QueriesWin.all ++ QueriesMore.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
