@@ -149,5 +149,20 @@ object QueriesMore {
                 ON e.k = o.k AND o.odate <= e.day)
             WHERE rn = 1 ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(a8, a9, a10, j10, j11, j12)
+  private val a11 = Q(
+    "a11_percentiles",
+    "Exact interpolated percentiles per group (the approx_percentile " +
+      "variant swaps in a KLL/GK sketch buffer with the same plan shape)",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.9)").as("q90"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS q50,
+                   quantile_cont(l_quantity, 0.9) AS q90
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(a8, a9, a10, a11, j10, j11, j12)
 }
