@@ -116,9 +116,12 @@ object QueriesMore {
   private val j12 = Q(
     "j12_asof_join",
     "As-of join: each event matched to the latest order of the same key " +
-      "at-or-before its day — composed as range join + per-event window " +
-      "top-1 (Spark lacks a native ASOF; this is the scalable shape: " +
-      "equi-key shuffle + bounded window, no cross product)",
+      "at-or-before its day. Spark lacks a native ASOF; the scalable " +
+      "shape is bounded-condition join + ARGMAX VIA max(struct(...)) — " +
+      "partial-aggregatable, so the fat join output combines map-side " +
+      "instead of shuffling through a per-event window (a window top-1 " +
+      "here moved the full pair space through one shuffle and died at " +
+      "sf0.1)",
     (s, d) => {
       val ev = t(s, d, "events")
         .select(col("event_id"), (col("user_id") % 100).as("k"),
@@ -126,15 +129,17 @@ object QueriesMore {
       val ord = t(s, d, "orders")
         .select((col("o_custkey") % 100).as("k2"),
           col("o_orderdate").as("odate"), col("o_orderkey"))
-      val w = Window.partitionBy("event_id").orderBy(desc("odate"), desc("o_orderkey"))
       // the ≤-day bound lives IN the join condition: an event whose key
       // only has LATER orders must keep its null row (left-join), not be
-      // filtered away afterwards
-      ev.join(ord, col("k") === col("k2") && col("odate") <= col("day"), "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("k"), col("odate").as("asof_date"),
-          col("o_orderkey").as("asof_order"))
+      // filtered away afterwards. max(struct) orders lexicographically =
+      // ORDER BY odate DESC, o_orderkey DESC LIMIT 1; null-struct rows
+      // sort below real ones, so the null row survives only when alone.
+      ev.join(broadcast(ord), col("k") === col("k2") && col("odate") <= col("day"),
+          "left")
+        .groupBy("event_id", "k")
+        .agg(max(struct(col("odate"), col("o_orderkey"))).as("m"))
+        .select(col("event_id"), col("k"), col("m.odate").as("asof_date"),
+          col("m.o_orderkey").as("asof_order"))
         .orderBy("event_id")
     },
     Some("""SELECT event_id, k, odate AS asof_date, o_orderkey AS asof_order
