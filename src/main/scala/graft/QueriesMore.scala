@@ -117,42 +117,49 @@ object QueriesMore {
     "j12_asof_join",
     "As-of join: each event matched to the latest order of the same key " +
       "at-or-before its day. Spark lacks a native ASOF; the scalable " +
-      "shape is bounded-condition join + ARGMAX VIA max(struct(...)) — " +
-      "partial-aggregatable, so the fat join output combines map-side " +
-      "instead of shuffling through a per-event window (a window top-1 " +
-      "here moved the full pair space through one shuffle and died at " +
-      "sf0.1)",
+      "shape is the UNION-MERGE: union both streams, one window per key, " +
+      "last(..., ignoreNulls) carries the most recent order forward. " +
+      "Shuffle cost is O(|events|+|orders|), never the pair space — a " +
+      "range-join + top-1 (window or argmax) enumerates |events|x|orders " +
+      "per key| and took 34s+ at sf0.1 vs ~1s for this shape.",
     (s, d) => {
       val ev = t(s, d, "events")
         .select(col("event_id"), (col("user_id") % 100).as("k"),
-          date_trunc("day", col("ts")).as("day"))
+          date_trunc("day", col("ts")).as("t"),
+          lit(1).as("is_event"),
+          lit(null).cast("timestamp").as("odate"),
+          lit(null).cast("long").as("okey"))
       val ord = t(s, d, "orders")
-        .select((col("o_custkey") % 100).as("k2"),
-          col("o_orderdate").as("odate"), col("o_orderkey"))
-      // the ≤-day bound lives IN the join condition: an event whose key
-      // only has LATER orders must keep its null row (left-join), not be
-      // filtered away afterwards. max(struct) orders lexicographically =
-      // ORDER BY odate DESC, o_orderkey DESC LIMIT 1; null-struct rows
-      // sort below real ones, so the null row survives only when alone.
-      ev.join(broadcast(ord), col("k") === col("k2") && col("odate") <= col("day"),
-          "left")
-        .groupBy("event_id", "k")
-        .agg(max(struct(col("odate"), col("o_orderkey"))).as("m"))
-        .select(col("event_id"), col("k"), col("m.odate").as("asof_date"),
-          col("m.o_orderkey").as("asof_order"))
+        .select(lit(null).cast("long").as("event_id"),
+          (col("o_custkey") % 100).as("k"),
+          col("o_orderdate").as("t"),
+          lit(0).as("is_event"),
+          col("o_orderdate").as("odate"),
+          col("o_orderkey").as("okey"))
+      // orders sort before events at the same timestamp (is_event asc), so
+      // an order ON the event's day is matched (≤ bound); okey asc makes
+      // last() pick the max orderkey among same-date orders
+      val w = Window.partitionBy("k")
+        .orderBy(col("t"), col("is_event"), col("okey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(ord)
+        .withColumn("asof_date", last(col("odate"), ignoreNulls = true).over(w))
+        .withColumn("asof_order", last(col("okey"), ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1)
+        .select("event_id", "k", "asof_date", "asof_order")
         .orderBy("event_id")
     },
-    Some("""SELECT event_id, k, odate AS asof_date, o_orderkey AS asof_order
+    Some("""SELECT event_id, k, m.odate AS asof_date, m.okey AS asof_order
             FROM (
-              SELECT e.event_id, e.k, o.odate, o.o_orderkey,
-                     row_number() OVER (PARTITION BY e.event_id
-                                        ORDER BY o.odate DESC, o.o_orderkey DESC) AS rn
+              SELECT e.event_id, e.k,
+                     max(struct_pack(odate := o.odate, okey := o.o_orderkey)) AS m
               FROM (SELECT event_id, user_id % 100 AS k,
                            date_trunc('day', ts) AS day FROM events) e
               LEFT JOIN (SELECT o_custkey % 100 AS k, o_orderdate AS odate,
                                 o_orderkey FROM orders) o
-                ON e.k = o.k AND o.odate <= e.day)
-            WHERE rn = 1 ORDER BY event_id"""))
+                ON e.k = o.k AND o.odate <= e.day
+              GROUP BY e.event_id, e.k)
+            ORDER BY event_id"""))
 
   private val a11 = Q(
     "a11_percentiles",
