@@ -176,5 +176,19 @@ object QueriesMore {
                    quantile_cont(l_quantity, 0.9) AS q90
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  val all: Seq[Q] = Seq(a8, a9, a10, a11, j10, j11, j12)
+  private val a12 = Q(
+    "a12_sketch_aggs",
+    "Sketch aggregations: HyperLogLog++ distinct + approx percentile per " +
+      "group. No DuckDB oracle — the sketches differ across engines by " +
+      "design (driver records the rows-only check); exact twins are " +
+      "a9_distinct_count / a11_percentiles.",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_quantity, 0.5)").as("approx_q50"))
+        .orderBy("l_returnflag"),
+    None)
+
+  val all: Seq[Q] = Seq(a8, a9, a10, a11, a12, j10, j11, j12)
 }
