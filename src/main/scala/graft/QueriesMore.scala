@@ -190,5 +190,43 @@ object QueriesMore {
         .orderBy("l_returnflag"),
     None)
 
-  val all: Seq[Q] = Seq(a8, a9, a10, a11, a12, j10, j11, j12)
+  private val a13 = Q(
+    "a13_cube",
+    "CUBE aggregation: all grouping-set combinations over (status, " +
+      "priority)",
+    (s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS FIRST,
+                     o_orderpriority ASC NULLS FIRST"""))
+
+  private val j13 = Q(
+    "j13_salted_join",
+    "Skew-salted join (engine.Scale.saltedJoin): hot keys spread across " +
+      "deterministic salt buckets, dim exploded to match — result equals " +
+      "the plain join, so the oracle is the unsalted SQL",
+    (s, d) => {
+      // events.user_id % 4 makes 4 hot keys over the whole fact
+      val fact = t(s, d, "events")
+        .select(col("event_id"), (col("user_id") % 4).as("hot_key"))
+      val dim = t(s, d, "region")
+        .select((col("r_regionkey") % 4).as("hot_key"), col("r_name"))
+        .groupBy("hot_key").agg(min("r_name").as("label"))
+      graft.engine.Scale.saltedJoin(fact, dim, "hot_key", col("event_id"), 8)
+        .select("event_id", "hot_key", "label")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id % 4 AS hot_key, label
+            FROM events LEFT JOIN (
+              SELECT r_regionkey % 4 AS hk, min(r_name) AS label
+              FROM region GROUP BY 1) d
+            ON user_id % 4 = d.hk
+            ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(a8, a9, a10, a11, a12, a13, j10, j11, j12, j13)
 }
