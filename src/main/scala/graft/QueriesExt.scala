@@ -20,14 +20,15 @@ object QueriesExt {
 
   private val dExact = Q(
     "dedup_exact",
-    "Exact dedup: hash-groupBy on payload, keep min id. One shuffle; " +
-      "at 100 TB group on a payload hash, not the payload.",
+    "Exact dedup: groupBy on (xxhash64(payload), payload) — 8-byte hash " +
+      "leads the group comparison, payload equality only on hash-equal " +
+      "rows; result identical to grouping on payload alone. One shuffle.",
     (s, d) =>
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")
         .select("keep_id", "n_dups")
         .orderBy("keep_id"),
     Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_dups
-            FROM documents GROUP BY text ORDER BY keep_id"""))
+            FROM documents GROUP BY md5(text), text ORDER BY keep_id"""))
 
   private val dJaccard = Q(
     "dedup_jaccard_bigram",
@@ -60,14 +61,14 @@ object QueriesExt {
 
   private val dMinhash = Q(
     "dedup_minhash_lsh",
-    "MinHash (8 perms, (a·tid+b) mod 8191 over dense vocab ids) + LSH " +
-      "banding r=2: emits band-bucket occupancy — candidate generation " +
-      "stays linear, pairs enumerate only within buckets",
+    "MinHash (8 perms, (a·tid+b) mod 8191 over stable md5-derived token " +
+      "ids — map-side, no vocab materialization) + LSH banding r=2: emits " +
+      "band-bucket occupancy — candidate generation stays linear, pairs " +
+      "enumerate only within buckets",
     (s, d) => {
       val pairs = Dedup.tokenPairs(t(s, d, "documents"), "doc_id", "text",
         distinctTokens = true)
-      val vocab = Dedup.vocabIds(pairs)
-      val ptid = pairs.join(broadcast(vocab), "tok").select("doc_id", "tid")
+      val ptid = pairs.select(col("doc_id"), Dedup.tokenId(col("tok")).as("tid"))
       val sig = Dedup.minhashSignatures(ptid, "doc_id", numHashes = 8)
       Dedup.lshBuckets(sig, "doc_id")
         .filter(col("n") > 1)
@@ -76,13 +77,12 @@ object QueriesExt {
     Some("""WITH pairs AS (
               SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
               FROM documents),
-            vocab AS (
-              SELECT tok, row_number() OVER (ORDER BY tok) AS tid
-              FROM (SELECT DISTINCT tok FROM pairs)),
             sig AS (
               SELECT doc_id, j,
                      min(((2*j+1)*tid + (7*j+3)) % 8191) AS h
-              FROM (SELECT doc_id, tid FROM pairs JOIN vocab USING (tok))
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(tok), 1, 8))::BIGINT AS tid
+                    FROM pairs)
               CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
               GROUP BY doc_id, j),
             bands AS (
@@ -102,25 +102,23 @@ object QueriesExt {
         distinctTokens = false)
       val cnts = pairs.groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
-      val vocab = Dedup.vocabIds(pairs)
-      Dedup.simhash16(cnts, vocab, "doc_id").orderBy("doc_id")
+      Dedup.simhash16(cnts, "doc_id").orderBy("doc_id")
     },
     Some("""WITH tokens AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
             cnts AS (
               SELECT doc_id, tok, count(*) AS cnt FROM tokens GROUP BY 1, 2),
-            vocab AS (
-              SELECT tok, row_number() OVER (ORDER BY tok) AS tid
-              FROM (SELECT DISTINCT tok FROM tokens)),
             w AS (
               SELECT doc_id, j,
                      sum(cnt * (2 * ((h // (1 << j)) % 2) - 1)) AS wj
-              FROM (SELECT doc_id, cnt, (37*tid + 11) % 65536 AS h
-                    FROM cnts JOIN vocab USING (tok))
+              FROM (SELECT doc_id, cnt,
+                           (37 * ('0x' || substr(md5(tok), 1, 8))::BIGINT + 11)
+                             % 65536 AS h
+                    FROM cnts)
               CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
               GROUP BY doc_id, j)
             SELECT doc_id,
-                   sum(CASE WHEN wj > 0 THEN 1 << j ELSE 0 END) AS simhash
+                   CAST(sum(CASE WHEN wj > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
             FROM w GROUP BY doc_id ORDER BY doc_id"""))
 
   // ------------------------------------------------------------- similarity
@@ -165,11 +163,11 @@ object QueriesExt {
     Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
             sig AS (
               SELECT id,
-                     (SELECT sum(CASE WHEN (
+                     CAST((SELECT sum(CASE WHEN (
                         SELECT sum(v[i+1] * CAST((p*131 + i*31 + 7) % 13 - 6 AS DOUBLE))
                         FROM (SELECT unnest(range(0, 64)) AS i)) > 0
                         THEN 1::BIGINT << p ELSE 0 END)
-                      FROM (SELECT unnest(range(0, 12)) AS p)) AS sig
+                      FROM (SELECT unnest(range(0, 12)) AS p)) AS BIGINT) AS sig
               FROM e)
             SELECT sig, count(*) AS n, min(id) AS min_id
             FROM sig GROUP BY sig ORDER BY sig"""))

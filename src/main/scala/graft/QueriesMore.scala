@@ -179,16 +179,32 @@ object QueriesMore {
   private val a12 = Q(
     "a12_sketch_aggs",
     "Sketch aggregations: HyperLogLog++ distinct + approx percentile per " +
-      "group. No DuckDB oracle — the sketches differ across engines by " +
-      "design (driver records the rows-only check); exact twins are " +
+      "group. Raw sketch values differ across engines by design, so the " +
+      "graded output is the deterministic invariant instead: each engine " +
+      "checks ITS approx against ITS exact within ±10% and emits the " +
+      "boolean — identical `true` rows on both sides. Exact twins are " +
       "a9_distinct_count / a11_percentiles.",
     (s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_quantity, 0.5)").as("approx_q50"))
+        .agg(approx_count_distinct(col("l_partkey")).as("ad"),
+          countDistinct(col("l_partkey")).as("ed"),
+          expr("approx_percentile(l_quantity, 0.5)").as("aq"),
+          expr("percentile(l_quantity, 0.5)").as("eq"))
+        .select(col("l_returnflag"),
+          (col("ad") >= col("ed") * 0.9 && col("ad") <= col("ed") * 1.1)
+            .as("hll_within_10pct"),
+          (col("aq") >= col("eq") * 0.9 && col("aq") <= col("eq") * 1.1)
+            .as("q50_within_10pct"))
         .orderBy("l_returnflag"),
-    None)
+    Some("""SELECT l_returnflag,
+                   approx_count_distinct(l_partkey)
+                     BETWEEN 0.9 * count(DISTINCT l_partkey)
+                         AND 1.1 * count(DISTINCT l_partkey) AS hll_within_10pct,
+                   approx_quantile(l_quantity, 0.5)
+                     BETWEEN 0.9 * quantile_cont(l_quantity, 0.5)
+                         AND 1.1 * quantile_cont(l_quantity, 0.5) AS q50_within_10pct
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   private val a13 = Q(
     "a13_cube",

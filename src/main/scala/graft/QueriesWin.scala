@@ -45,9 +45,9 @@ object QueriesWin {
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             sess AS (
-              SELECT *, sum(boundary) OVER
+              SELECT *, CAST(sum(boundary) OVER
                 (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS session_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM marked)
             SELECT user_id, session_id, count(*) AS n_events,
                    sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS total_value,

@@ -2,8 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
   *
@@ -14,18 +13,31 @@ import org.apache.spark.sql.types.IntegerType
   * integer column arithmetic — codegen'd, no UDFs.
   *
   * The MinHash here is the classic (a·x + b) mod p permutation family over
-  * token ids; token ids come from a dense rank over the corpus vocabulary
-  * (itself a distinct + window — at real scale you'd assign ids with a
-  * broadcast vocab or a stable string hash; both engines' oracle must agree,
-  * hence the rank form).
+  * token ids; token ids are a stable content hash ([[tokenId]]) — a pure
+  * map-side expression, so id assignment needs no vocabulary
+  * materialization, no global rank, and zero shuffles at any corpus size.
   */
 object Dedup {
 
+  /** Stable 32-bit token id: the first 8 hex chars of md5, read as an
+    * integer in [0, 2^32). Engine-portable (any SQL engine with `md5`
+    * computes the identical id — DuckDB: `('0x'||substr(md5(t),1,8))::BIGINT`)
+    * and embarrassingly parallel: replaces the former dense-rank-over-vocab
+    * id scheme whose `Window.orderBy` was a single-partition bottleneck on
+    * web-scale vocabularies.
+    */
+  def tokenId(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast(LongType)
+
   /** Exact dedup: group identical payloads, keep the smallest id.
-    * One shuffle on the (hashed) payload.
+    * Grouping key leads with the 64-bit payload hash so group comparison
+    * (sort/probe) touches 8 bytes first and the full payload only on
+    * hash-equal rows; the hash is a function of the payload, so the result
+    * is identical to grouping on the payload alone — collisions included.
+    * One shuffle either way.
     */
   def exact(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
-    df.groupBy(col(payloadCol))
+    df.groupBy(xxhash64(col(payloadCol)).as("payload_hash"), col(payloadCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Word-bigram shingle set over an ALREADY-MATERIALIZED token-array
@@ -33,11 +45,19 @@ object Dedup {
     * `split(...)` expression: lambda bodies get no common-subexpression
     * elimination, so an inlined split re-parses the text for every shingle
     * element — measured 10× slower at sf0.1 (4.3 s vs 0.48 s on 5 k docs).
+    *
+    * Sub-2-token docs get an empty shingle set: without the guard,
+    * `sequence(1, size-1)` with size < 2 counts DOWN (Spark defaults step
+    * to -1 when start > stop), yielding [1, 0], and `element_at(toks, 0)`
+    * throws under Spark 4's ANSI mode. DuckDB's `range(1, len)` is empty
+    * in that case, so the guard is also what keeps both engines aligned.
     */
   def bigramShinglesFromToks(toks: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), size(toks) - 1),
-      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    when(size(toks) >= 2,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Convenience form for small/test inputs; production paths should
     * project `split(text, " ")` first and use [[bigramShinglesFromToks]].
@@ -69,14 +89,6 @@ object Dedup {
     docs.select(col(idCol), explode(toks).as("tok"))
   }
 
-  /** Dense vocabulary ids: tok → 1..|V| by lexicographic rank. The corpus
-    * vocabulary is assumed broadcast-small (true for natural-language token
-    * sets); the single-partition window is over |V| rows, not the corpus.
-    */
-  def vocabIds(pairs: DataFrame): DataFrame =
-    pairs.select("tok").distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("tok")))
-
   /** MinHash signatures: one row per (doc, j) with
     * h_j = min over doc tokens of ((2j+1)·tid + (7j+3)) mod 8191.
     */
@@ -103,12 +115,14 @@ object Dedup {
       .agg(count(lit(1)).as("n"))
 
   /** 16-bit SimHash over the token multiset: weight_j = Σ cnt·(2·bit_j−1)
-    * with per-token hash (37·tid + 11) mod 2^16; signature bit j set iff
-    * weight_j > 0.
+    * with per-token hash (37·tid + 11) mod 2^16 over the stable [[tokenId]];
+    * signature bit j set iff weight_j > 0. Entirely map-side until the
+    * per-doc aggregation — no vocabulary join.
     */
-  def simhash16(cnts: DataFrame, vocab: DataFrame, idCol: String): DataFrame = {
-    val withH = cnts.join(broadcast(vocab), "tok")
-      .select(col(idCol), col("cnt"), ((lit(37) * col("tid") + 11) % 65536).as("h"))
+  def simhash16(cnts: DataFrame, idCol: String): DataFrame = {
+    val withH = cnts
+      .select(col(idCol), col("cnt"),
+        ((lit(37) * tokenId(col("tok")) + 11) % 65536).as("h"))
     val bits = withH.sparkSession.range(0, 16)
       .select(col("id").cast(IntegerType).as("j"))
     withH.crossJoin(broadcast(bits))

@@ -34,10 +34,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(pairs((1L, 4L)) == 0.0)
   }
 
+  test("tokenId matches the engine-portable md5-prefix contract") {
+    // DuckDB twin: ('0x' || substr(md5(t), 1, 8))::BIGINT
+    // md5('hello') = 5d41402a... → 0x5d41402a = 1564557354
+    val out = Seq("hello").toDF("t")
+      .select(Dedup.tokenId($"t").as("tid")).head().getLong(0)
+    assert(out == 1564557354L)
+  }
+
+  test("bigram shingles: sub-2-token docs yield empty set, no ANSI throw") {
+    val sh = Seq((1L, "solo"), (2L, ""), (3L, "two words"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.bigramShingles($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).isEmpty && sh(2L).isEmpty)
+    assert(sh(3L) == Seq("two words"))
+  }
+
   test("minhash: identical docs share full signature; LSH buckets them") {
     val pairs = Dedup.tokenPairs(docs, "doc_id", "text", distinctTokens = true)
-    val vocab = Dedup.vocabIds(pairs)
-    val ptid = pairs.join(broadcast(vocab), "tok").select("doc_id", "tid")
+    val ptid = pairs.select($"doc_id", Dedup.tokenId($"tok").as("tid"))
     val sig = Dedup.minhashSignatures(ptid, "doc_id", 8)
     val sigs = sig.groupBy("doc_id")
       .agg(sort_array(collect_list(struct($"j", $"h"))).as("s"))
@@ -51,8 +67,7 @@ class ExtOpsSpec extends SparkSpec {
   test("simhash: identical docs equal; unrelated docs differ") {
     val pairs = Dedup.tokenPairs(docs, "doc_id", "text", distinctTokens = false)
     val cnts = pairs.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
-    val vocab = Dedup.vocabIds(pairs)
-    val out = Dedup.simhash16(cnts, vocab, "doc_id")
+    val out = Dedup.simhash16(cnts, "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out(1L) == out(2L))
     assert(out(1L) != out(4L))
