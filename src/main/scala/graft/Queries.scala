@@ -156,13 +156,13 @@ object Queries {
             FROM lineitem ORDER BY 1, 2"""))
 
   /** P8 first-present column fallback (fetch_football_data.py:33-43):
-    * resolved against the actual schema, not at runtime per row.
+    * resolved against the actual schema, not at runtime per row. The first
+    * EXISTING candidate is taken wholesale — null rows in it stay null
+    * (reference `next(...)` picks one column, never back-fills).
     */
-  def firstPresent(df: DataFrame, candidates: Seq[String]): Column = {
-    val present = candidates.filter(df.columns.contains)
-    if (present.isEmpty) lit(null).cast(DoubleType)
-    else coalesce(present.map(col): _*)
-  }
+  def firstPresent(df: DataFrame, candidates: Seq[String]): Column =
+    candidates.find(df.columns.contains).map(col)
+      .getOrElse(lit(null).cast(DoubleType))
 
   private val p8 = Q(
     "p8_first_present",

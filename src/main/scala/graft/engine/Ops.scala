@@ -28,12 +28,14 @@ object Ops {
     }
 
   /** P8 — first-present column fallback, resolved against the schema
-    * (reference fetch_football_data.py:33-43).
+    * (reference fetch_football_data.py:33-43). The reference picks the
+    * FIRST candidate that exists WHOLESALE (`next(c for c in ... if c in
+    * df.columns)`) — rows that are null in that column STAY null, they do
+    * not back-fill from later candidates. `otherwise` applies only when no
+    * candidate column exists at all.
     */
-  def firstPresent(df: DataFrame, candidates: Seq[String], otherwise: Column): Column = {
-    val present = candidates.filter(df.columns.contains)
-    if (present.isEmpty) otherwise else coalesce(present.map(col) :+ otherwise: _*)
-  }
+  def firstPresent(df: DataFrame, candidates: Seq[String], otherwise: Column): Column =
+    candidates.find(df.columns.contains).map(col).getOrElse(otherwise)
 
   /** J2 — join only when the fact actually carries the key column; else
     * supply constant defaults (reference enrich_features.py:64-71).

@@ -35,14 +35,19 @@ object XgHybrid {
   }
 
   /** Team priors (bootstrap_team_priors.py:24-35): derived ratings via the
-    * F11–F13 heuristics, then keep-first dedup on team.
+    * F11–F13 heuristics, then keep-first dedup on team. Clamp bounds match
+    * the reference exactly: gk ∈ [0.55, 0.90], setpiece ∈ [0.50, 0.85]
+    * (bootstrap_team_priors.py:31-32). The reference's drop_duplicates
+    * keeps first-in-file order; league_id is the deterministic stand-in for
+    * that ordinal here (a team appearing in several leagues resolves to the
+    * lowest league_id, every run).
     */
   def teamPriors(xg: DataFrame): DataFrame = {
     val rated = xg.select(
-      col("team"),
-      F.clampMid(F.floorRate(col("xga_hybrid")), 0.50, 0.80).as("gk_rating"),
-      F.clampMid(F.signStep(col("xgd90_hybrid")), 0.45, 0.65).as("setpiece_rating"),
+      col("team"), col("league_id"),
+      F.clampMid(F.floorRate(col("xga_hybrid")), 0.55, 0.90).as("gk_rating"),
+      F.clampMid(F.signStep(col("xgd90_hybrid")), 0.50, 0.85).as("setpiece_rating"),
       lit(F.Defaults.crowdIndex).as("crowd_index"))
-    Ops.dedupKeepFirst(rated, Seq("team"), Seq("team"))
+    Ops.dedupKeepFirst(rated, Seq("team"), Seq("league_id")).drop("league_id")
   }
 }

@@ -52,7 +52,10 @@ class IngestSinksSpec extends SparkSpec {
       XgHybrid.blend(cur, last).unionByName(XgHybrid.blend(cur, last)))
     assert(priors.count() == 3) // dedup on team
     val p = priors.orderBy("team").collect()(0)
-    assert(p.getAs[Double]("gk_rating") >= 0.50 && p.getAs[Double]("gk_rating") <= 0.80)
+    // reference clamp bounds: gk ∈ [0.55, 0.90] (bootstrap_team_priors.py:31)
+    assert(p.getAs[Double]("gk_rating") >= 0.55 && p.getAs[Double]("gk_rating") <= 0.90)
+    assert(p.getAs[Double]("setpiece_rating") >= 0.50 &&
+      p.getAs[Double]("setpiece_rating") <= 0.85)
   }
 
   test("S2 tolerant read: missing path → empty frame with schema") {

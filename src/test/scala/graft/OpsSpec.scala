@@ -27,6 +27,18 @@ class OpsSpec extends SparkSpec {
     assert(miss.collect()(0).getDouble(0) == -1.0)
   }
 
+  test("P8 firstPresent is wholesale: nulls in the chosen column stay null") {
+    // reference next(...) picks ONE column; a row that is NaN there does
+    // NOT back-fill from a later candidate (fetch_football_data.py:33-35)
+    val df = Seq((1, Option.empty[Double], Some(9.0)), (2, Some(2.5), Some(9.0)))
+      .toDF("id", "b365h", "psh")
+    val out = df.select(col("id"),
+        Ops.firstPresent(df, Seq("b365h", "psh"), lit(null).cast("double")).as("x"))
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(1))          // NOT 9.0
+    assert(out(1).getDouble(1) == 2.5)
+  }
+
   test("J2 joinIfKeyed joins when key exists, defaults when absent") {
     val dim = Seq((1, 0.9)).toDF("k", "rate")
     val withKey = Seq((1, "x"), (2, "y")).toDF("k", "payload")
