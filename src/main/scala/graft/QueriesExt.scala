@@ -293,7 +293,9 @@ object QueriesExt {
     "text_tfidf_top",
     "TF-IDF top term per document: token explode → per-doc tf, corpus df " +
       "→ tf·ln(N/df) rerank. Two shuffles (doc-term agg, df agg) at any " +
-      "scale; df table broadcasts back.",
+      "scale. The df table is an UNBOUNDED aggregate (corpus vocabulary), " +
+      "so it is NOT hint-broadcast: the join stays a plain shuffle join " +
+      "and AQE may still broadcast it at runtime when stats say it fits.",
     (s, d) => {
       val docs = t(s, d, "documents")
       val n = docs.count() // corpus size: driver scalar, one cheap job
@@ -303,7 +305,7 @@ object QueriesExt {
           org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       val df_ = toks.select("doc_id", "tok").distinct()
         .groupBy("tok").agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(df_), "tok")
+      val scored = tf.join(df_, "tok")
         .withColumn("tfidf",
           round((col("cnt") / col("len")) * log(lit(n.toDouble) / col("df")), 6))
       val w = org.apache.spark.sql.expressions.Window

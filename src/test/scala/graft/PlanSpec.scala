@@ -49,6 +49,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tfidf: no forced broadcast of the unbounded df aggregate") {
+    // the vocabulary document-frequency table grows with the corpus — a
+    // broadcast HINT would ship it to every executor at any size. The plan
+    // must carry no hint; AQE may still pick broadcast from runtime stats.
+    val analyzed = Queries.byName("text_tfidf_top").fn(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      "df join carries a broadcast hint")
+  }
+
   test("a5 aggregation does map-side partial aggregation") {
     val plan = planOf("a5_count_groups")
     // two HashAggregate nodes: partial (before exchange) + final

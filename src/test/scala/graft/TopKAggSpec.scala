@@ -25,6 +25,22 @@ class TopKAggSpec extends SparkSpec {
     assert(out("g0").toSeq == expected)
   }
 
+  test("top-k reduce: fast-reject path dominates, stays allocation-light") {
+    // driver-side micro-bench of the reduce loop shape the executors run:
+    // 1M rows into k=10 — after warm-up almost every row takes the O(1)
+    // reject branch. Informational timing printed; asserts correctness.
+    val agg = TopKAggregator.topK(10)
+    val rnd = new scala.util.Random(42)
+    val rows = Array.fill(1000000)((rnd.nextLong(), rnd.nextDouble()))
+    val t0 = System.nanoTime()
+    val buf = rows.foldLeft(agg.zero)(agg.reduce)
+    val ms = (System.nanoTime() - t0) / 1e6
+    info(f"1M-row reduce into k=10: $ms%.0f ms (${1e3 * rows.length / ms}%.0f rows/s)")
+    val top = agg.finish(buf)
+    assert(top.length == 10)
+    assert(top.map(_._2).toSeq == rows.map(_._2).sorted.reverse.take(10).toSeq)
+  }
+
   test("sketch aggregations: HLL distinct and approx percentile plan + sane values") {
     val df = Engine2.ordersLike(spark)
     val r = df.groupBy((col("custkey") % 2).as("g"))
