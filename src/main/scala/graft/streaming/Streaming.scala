@@ -37,12 +37,15 @@ object Streaming {
   /** Session accumulator state. */
   case class SessionState(n: Long, total: Double, started: Long, last: Long)
 
-  /** Custom stateful sessionization via mapGroupsWithState: events within
-    * `gapMs` of the previous one extend the session; a larger gap starts a
-    * fresh one. Emits the current-session snapshot per microbatch (Update
-    * mode). In production add an event-time timeout + watermark to flush
-    * and evict closed sessions; a processing-time timeout would make
-    * drain-everything tests non-terminating.
+  /** Snapshot sessionization via mapGroupsWithState (Update mode): events
+    * within `gapMs` of the previous one extend the session; a larger gap
+    * starts a fresh one, and the batch emits only the CURRENT session's
+    * snapshot — a session closed by an in-batch gap is not re-emitted, and
+    * `NoTimeout` means state is never evicted. This is the
+    * drain-everything TEST shape (a processing-time timeout would make
+    * `processAllAvailable` non-terminating); production is
+    * [[sessionizeEventTime]], which emits every closed session exactly
+    * once and evicts its state.
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
                 (implicit spark: SparkSession): Dataset[Session] = {
@@ -63,6 +66,56 @@ object Streaming {
           val s = merged.get
           Session(uid, s.n, s.total, new Timestamp(s.started), new Timestamp(s.last),
             closed = false)
+      }
+  }
+
+  /** Production sessionization: flatMapGroupsWithState in Append mode with
+    * an EVENT-TIME timeout under a watermark. Each closed session is
+    * emitted exactly once, either when a later event of the same user
+    * exceeds the gap (in-stream close) or when the watermark passes
+    * last-event-time + gap with no further activity (timeout close, state
+    * REMOVED — bounded state at any cardinality of users). Open sessions
+    * are never emitted, so downstream sees a clean append-only log of
+    * completed sessions.
+    */
+  def sessionizeEventTime(events: Dataset[Event],
+                          gapMs: Long = 30 * 60 * 1000L,
+                          watermarkDelay: String = "10 minutes")
+                         (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          def close(s: SessionState) =
+            Session(uid, s.n, s.total, new Timestamp(s.started),
+              new Timestamp(s.last), closed = true)
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: flush and EVICT
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            val closedSessions = Seq.newBuilder[Session]
+            var cur = state.getOption
+            evs.foreach { e =>
+              cur = cur match {
+                case Some(s) if e.ts.getTime - s.last <= gapMs =>
+                  Some(SessionState(s.n + 1, s.total + e.value, s.started, e.ts.getTime))
+                case other =>
+                  other.foreach(s => closedSessions += close(s)) // in-stream close
+                  Some(SessionState(1, e.value, e.ts.getTime, e.ts.getTime))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closedSessions.result().iterator
+          }
       }
   }
 

@@ -54,6 +54,39 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(u2.exists(s => s.n_events == 1 && s.total_value == 7.0))
   }
 
+  test("event-time sessionization: closed sessions emitted once, state evicted") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionizeEventTime(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_et")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 builds a 2-event session; user 2 a 1-event session
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(0), 2, "view", 7.0))
+      q.processAllAvailable()
+      // batch 2: user 2 returns 3 h later → in-stream close of their first
+      // session; also advances the watermark to ts(180) − 10 min
+      mem.addData(Event(4, ts(180), 2, "view", 9.0))
+      q.processAllAvailable()
+      // batch 3: unrelated user triggers timeout evaluation — user 1's
+      // (last=ts(5)) + 30 min gap is far below the watermark → flush+evict
+      mem.addData(Event(5, ts(185), 3, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sessions_et").as[Session].collect()
+    assert(out.forall(_.closed), "append log must contain only closed sessions")
+    val u1 = out.filter(_.user_id == 1)
+    assert(u1.length == 1, s"idle user's session closed exactly once: ${u1.toSeq}")
+    assert(u1.head.n_events == 2 && u1.head.total_value == 3.0)
+    val u2 = out.filter(_.user_id == 2)
+    assert(u2.length == 1 && u2.head.n_events == 1 && u2.head.total_value == 7.0)
+    // user 2's second session and user 3's are still open → not emitted
+    assert(!out.exists(_.user_id == 3))
+  }
+
   test("multimodal: deterministic fake decode, checksum, batch shape") {
     implicit val s = spark
     val rows = Seq(
