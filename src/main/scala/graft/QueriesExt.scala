@@ -175,9 +175,11 @@ object QueriesExt {
   private val simNearDup = Q(
     "sim_neardup_rerank",
     "Embedding near-dup, the full scale pipeline: hyperplane-LSH buckets " +
-      "(8 planes) → within-bucket pair enumeration only → exact cosine " +
-      "rerank → global top-20. The cross join never happens; pair count " +
-      "stays ~n²/2^planes.",
+      "(8 planes) with a per-bucket occupancy CAP (12) — oversized " +
+      "buckets are deterministically split by 8 refinement planes before " +
+      "pair enumeration, so the within-bucket pair space stops growing " +
+      "n² on hot buckets — → exact cosine rerank → global top-20. The " +
+      "cross join never happens.",
     (s, d) => {
       // each side gets an independent lineage: a self-join of one derived
       // frame with typedlit-bearing lambdas trips attribute dedup
@@ -188,8 +190,20 @@ object QueriesExt {
             Similarity.toDoubleVec(col("embedding")).as(vecName))
           .withColumn("sig",
             Similarity.hyperplaneSig(col(vecName), nPlanes = 8, dim = 64))
-      val a = sigs("id_a", "va")
-      val b = sigs("id_b", "vb")
+          .withColumn("ext",
+            Similarity.hyperplaneSigFrom(col(vecName), from = 8, nPlanes = 8, dim = 64))
+      // occupancy per base bucket: ≤ 2^8 rows by construction → broadcast
+      // is size-bounded no matter the corpus
+      val occ = t(s, d, "embeddings")
+        .select(Similarity.hyperplaneSig(
+          Similarity.toDoubleVec(col("embedding")), nPlanes = 8, dim = 64).as("sig"))
+        .groupBy("sig").agg(count(lit(1)).as("occ_n"))
+      def keyed(idName: String, vecName: String) =
+        sigs(idName, vecName).join(broadcast(occ), "sig")
+          .withColumn("bkey", Similarity.cappedBucketKey(
+            col("sig"), col("ext"), col("occ_n"), nPlanes = 8, cap = 12))
+      val a = keyed("id_a", "va")
+      val b = keyed("id_b", "vb")
       // composed-builtins cosine here, NOT the native array_dot node:
       // with native dot above a self-join whose key is itself a derived
       // expression, Spark 4.1's constraint inference pushes a filter whose
@@ -199,7 +213,7 @@ object QueriesExt {
       def cosC(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
         Similarity.dotComposed(x, y) /
           (sqrt(Similarity.dotComposed(x, x)) * sqrt(Similarity.dotComposed(y, y)))
-      val pairs = a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
+      val pairs = a.join(b, Seq("bkey")).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           round(cosC(col("va"), col("vb")), 6).as("cos"))
       pairs.withColumn("rank", row_number().over(
@@ -216,14 +230,25 @@ object QueriesExt {
                         SELECT sum(v[i+1] * CAST((p*131 + i*31 + 7) % 13 - 6 AS DOUBLE))
                         FROM (SELECT unnest(range(0, 64)) AS i)) > 0
                         THEN 1::BIGINT << p ELSE 0 END)
-                      FROM (SELECT unnest(range(0, 8)) AS p)) AS sig
+                      FROM (SELECT unnest(range(0, 8)) AS p)) AS sig,
+                     (SELECT sum(CASE WHEN (
+                        SELECT sum(v[i+1] * CAST((p*131 + i*31 + 7) % 13 - 6 AS DOUBLE))
+                        FROM (SELECT unnest(range(0, 64)) AS i)) > 0
+                        THEN 1::BIGINT << (p - 8) ELSE 0 END)
+                      FROM (SELECT unnest(range(8, 16)) AS p)) AS ext
               FROM e),
+            occ AS (SELECT sig, count(*) AS occ_n FROM sig GROUP BY sig),
+            keyed AS (
+              SELECT s.id, s.v,
+                     CASE WHEN o.occ_n <= 12 THEN s.sig
+                          ELSE 256 * (s.ext + 1) + s.sig END AS bkey
+              FROM sig s JOIN occ o USING (sig)),
             pairs AS (
               SELECT a.id AS id_a, b.id AS id_b,
                      round(list_dot_product(a.v, b.v) /
                            (sqrt(list_dot_product(a.v, a.v)) *
                             sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-              FROM sig a JOIN sig b ON a.sig = b.sig AND a.id < b.id)
+              FROM keyed a JOIN keyed b ON a.bkey = b.bkey AND a.id < b.id)
             SELECT row_number() OVER (ORDER BY cos DESC, id_a, id_b) AS rank,
                    id_a, id_b, cos
             FROM pairs ORDER BY cos DESC, id_a, id_b LIMIT 20"""))

@@ -62,8 +62,15 @@ object Similarity {
     * expression tree up ~100× and stall codegen (observed: 56 s → sub-s
     * on 2 k rows at sf0.1).
     */
-  def hyperplaneSig(vec: Column, nPlanes: Int, dim: Int): Column = {
-    val planes: Seq[Seq[Double]] = (0 until nPlanes).map(p =>
+  def hyperplaneSig(vec: Column, nPlanes: Int, dim: Int): Column =
+    hyperplaneSigFrom(vec, 0, nPlanes, dim)
+
+  /** Signature over the plane range [from, from+nPlanes) — `from = 0` is
+    * the base signature; a nonzero `from` yields INDEPENDENT refinement
+    * bits for two-level bucketing ([[cappedBucketKey]]).
+    */
+  def hyperplaneSigFrom(vec: Column, from: Int, nPlanes: Int, dim: Int): Column = {
+    val planes: Seq[Seq[Double]] = (from until from + nPlanes).map(p =>
       (0 until dim).map(i => ((p * 131 + i * 31 + 7) % 13 - 6).toDouble))
     val pl = typedlit(planes)
     // dotComposed, not the native array_dot node: when this signature
@@ -74,6 +81,21 @@ object Similarity {
       acc + when(dotComposed(vec, element_at(pl, p + 1)) > 0,
         pow(lit(2.0), p).cast("long")).otherwise(lit(0L)))
   }
+
+  /** Two-level capped bucket key: buckets whose occupancy `n` is within
+    * `cap` keep the base signature; oversized buckets are split by
+    * `ext` — refinement sign bits from ADDITIONAL hyperplanes — so the
+    * within-bucket pair space stops growing as n², without losing
+    * determinism (the key is still a pure function of the vector plus the
+    * corpus occupancy). Refined keys live above 2^nPlanes so they can
+    * never collide with an uncapped base key. Truly indivisible buckets
+    * (identical vectors) survive refinement by design: those pairs ARE
+    * near-dups and must be enumerated.
+    */
+  def cappedBucketKey(sig: Column, ext: Column, n: Column,
+                      nPlanes: Int, cap: Int): Column =
+    when(n <= cap, sig)
+      .otherwise(lit(1L << nPlanes) * (ext + 1) + sig)
 
   /** Bucketed near-dup candidates: corpus self-join on the hyperplane
     * signature, emitting bucket occupancy (linear) rather than pairs.

@@ -96,6 +96,34 @@ class ExtOpsSpec extends SparkSpec {
     assert(sigs(0L) == sigs(1L))
   }
 
+  test("capped bucketing: oversized buckets split by refinement planes") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 120L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    // 2 base planes → ≤4 buckets over 120 vectors: all far over cap=10
+    val sigs = vecs.select($"id",
+      Similarity.hyperplaneSig($"vec", 2, 8).as("sig"),
+      Similarity.hyperplaneSigFrom($"vec", 2, 6, 8).as("ext"))
+    val occ = sigs.groupBy("sig").agg(count(lit(1)).as("occ_n"))
+    val keyed = sigs.join(broadcast(occ), "sig")
+      .withColumn("bkey", Similarity.cappedBucketKey(
+        $"sig", $"ext", $"occ_n", nPlanes = 2, cap = 10))
+    def pairSpace(df: org.apache.spark.sql.DataFrame, key: String): (Long, Long) = {
+      val ns = df.groupBy(key).agg(count(lit(1)).as("n"))
+        .collect().map(_.getAs[Long]("n"))
+      (ns.max, ns.map(n => n * (n - 1) / 2).sum)
+    }
+    val (maxBase, pairsBase) = pairSpace(keyed, "sig")
+    val (maxCapped, pairsCapped) = pairSpace(keyed, "bkey")
+    assert(maxBase > 10, "fixture must actually overflow the cap")
+    assert(maxCapped < maxBase, s"refinement must split: $maxCapped vs $maxBase")
+    assert(pairsCapped < pairsBase / 4,
+      s"pair space must shrink hard: $pairsCapped vs $pairsBase")
+    // under-cap buckets keep the base key (refined keys live above 2^n)
+    val keptRows = keyed.filter($"occ_n" <= 10)
+    assert(keptRows.filter($"bkey" =!= $"sig").count() == 0)
+  }
+
   test("text stats: quality in [0,1]; fingerprint reorder-insensitive tier") {
     val q = docs.select(TA.qualityScore($"text").as("q"))
       .collect().map(_.getDouble(0))
