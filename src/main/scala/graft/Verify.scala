@@ -19,6 +19,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // shared one-scan-per-table cache pays off across the full inventory;
+    // filtered dev runs skip it
+    if (only.isEmpty) graft.engine.Engine.persistTables(spark, sfDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
