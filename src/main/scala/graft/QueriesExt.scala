@@ -360,6 +360,26 @@ object QueriesExt {
                   FROM scored) x
             WHERE rk = 1 ORDER BY doc_id"""))
 
+  private val textTokCount = Q(
+    "text_token_count",
+    "Token counting, both tiers: whitespace tokens and BPE-ish " +
+      "pre-tokenization (letter/digit runs + single marks) — the " +
+      "length-accounting pass every training-data pipeline runs before " +
+      "packing. Map-only, codegen'd regex.",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(TA.tokens(col("text"))).as("n_ws_tokens"),
+          size(TA.tokensBpeIsh(col("text"))).as("n_bpe_tokens"),
+          length(col("text")).as("n_chars"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+                   CAST(length(text) AS INT) AS n_chars
+            FROM documents ORDER BY doc_id"""))
+
   // -------------------------------------------------------- binary plumbing
 
   private val mmBinary = Q(
@@ -379,6 +399,6 @@ object QueriesExt {
   val all: Seq[Q] = Seq(
     dExact, dJaccard, dMinhash, dSimhash,
     simTopK, simLsh, simNearDup,
-    textStats, textLang, textFp, textTfidf,
+    textStats, textLang, textFp, textTfidf, textTokCount,
     mmBinary)
 }

@@ -15,6 +15,17 @@ object TextAnalysis {
   /** Whitespace tokenizer (the docs corpus is space-separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single
+    * non-alphanumeric marks — the GPT-2-style pre-tokenization shape
+    * (without the learned merge table, which is a model artifact, not an
+    * engine operator). The regex is portable across Java regex and RE2 so
+    * the DuckDB oracle computes the identical token stream.
+    */
+  val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokensBpeIsh(text: Column): Column =
+    regexp_extract_all(text, lit(BpeIshPattern), lit(0))
+
   /** Common-word markers used by the quality / language heuristics. */
   val EnglishStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 

@@ -119,6 +119,41 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup with BOUNDED state: duplicates of a key are
+    * dropped while the key can still legally reappear (inside the
+    * watermark), and the key's state is evicted once the watermark passes
+    * it — the streaming twin of `dedup_exact`, and the shape a streaming
+    * training-data ingest runs in front of every sink. (A plain
+    * `dropDuplicates` on a stream keeps ALL keys forever — unbounded
+    * state; `WithinWatermark` is what survives at ingest scale.)
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream inner join with a bounded time range: each click joins
+    * views of the same user within [view.ts, view.ts + windowMs]. Both
+    * sides carry watermarks, and the range condition lets Spark evict
+    * buffered rows once the watermark passes their join window — state
+    * stays bounded on both sides, the non-negotiable at always-on scale.
+    */
+  def clickAfterViewJoin(views: DataFrame, clicks: DataFrame,
+                         windowMs: Long = 10 * 60 * 1000L,
+                         watermarkDelay: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    v.join(c,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL ${windowMs / 1000} SECOND"))
+  }
+
   /** File-source streaming read of an events directory with the batch
     * schema — the deployment shape (`readStream` → transform →
     * `writeStream` with checkpointing).

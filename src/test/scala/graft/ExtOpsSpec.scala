@@ -135,6 +135,13 @@ class ExtOpsSpec extends SparkSpec {
     assert(fp(0).getString(1) == fp(1).getString(1)) // token-set agrees
   }
 
+  test("BPE-ish pre-tokenizer: letter runs, digit runs, single marks") {
+    val out = Seq("don't stop, it's 42km!").toDF("text")
+      .select(TA.tokensBpeIsh($"text").as("t"))
+      .head().getSeq[String](0)
+    assert(out == Seq("don", "'", "t", "stop", ",", "it", "'", "s", "42", "km", "!"))
+  }
+
   test("langId flags english-marker-dense text") {
     val out = Seq(("the cat and the dog of the house"), ("xyzzy qwerty plugh"))
       .toDF("text").select(TA.langIdEn($"text").as("l"))

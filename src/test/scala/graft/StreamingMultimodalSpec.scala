@@ -87,6 +87,46 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(!out.exists(_.user_id == 3))
   }
 
+  test("streaming dedup within watermark: dups dropped, output append-only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.dedupStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // dup key in-batch
+        Event(2, ts(2), 2, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(3), 2, "view", 2.0)) // dup key across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("stream-stream join: clicks match views of same user within window") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = Streaming.clickAfterViewJoin(views.toDF(), clicks.toDF(),
+        windowMs = 5 * 60 * 1000L)
+      .writeStream.format("memory").queryName("vc_join")
+      .outputMode("append").start()
+    try {
+      views.addData(Event(10, ts(0), 1, "view", 0.0), Event(11, ts(0), 2, "view", 0.0))
+      clicks.addData(
+        Event(20, ts(3), 1, "click", 1.0),   // within 5 min of view 10
+        Event(21, ts(30), 2, "click", 1.0))  // 30 min later: outside window
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("vc_join")
+      .select("view_id", "click_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((10L, 20L)))
+  }
+
   test("multimodal: deterministic fake decode, checksum, batch shape") {
     implicit val s = spark
     val rows = Seq(
