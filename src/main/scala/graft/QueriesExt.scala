@@ -253,6 +253,76 @@ object QueriesExt {
                    id_a, id_b, cos
             FROM pairs ORDER BY cos DESC, id_a, id_b LIMIT 20"""))
 
+  private val simIvf = Q(
+    "sim_ivf_topk",
+    "IVF-style ANN: 8 coarse centroids (deterministic seed set — " +
+      "production swaps in k-means-trained centroids, the plan shape is " +
+      "identical), one broadcast argmin pass assigns every vector to its " +
+      "cell, queries probe ONLY their own cell (nprobe=1) and rerank by " +
+      "exact cosine. Per-query work drops from |corpus| to |cell|; the " +
+      "full corpus is scanned once for assignment, never per query.",
+    (s, d) => {
+      def emb() = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+      def cents() = t(s, d, "embeddings").filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), Similarity.toDoubleVec(col("embedding")).as("cv"))
+      def dotC(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        Similarity.dotComposed(x, y)
+      // d2 = |v|² − 2·v·c + |c|²: compositional form is bit-identical to
+      // the oracle's sequential list_dot_product folds, so the argmin
+      // (and hence the cell assignment) agrees exactly across engines
+      def cells() = emb().crossJoin(broadcast(cents()))
+        .select(col("id"), struct(
+          (dotC(col("vec"), col("vec")) - lit(2) * dotC(col("vec"), col("cv")) +
+            dotC(col("cv"), col("cv"))).as("d2"), col("cid")).as("dc"))
+        .groupBy("id").agg(min(col("dc")).as("m"))
+        .select(col("id"), col("m.cid").as("cell"))
+      // independent lineages per side (Spark 4.1 attribute-dedup dodge)
+      val cand = emb().join(cells(), "id")
+        .select(col("id").as("cand"), col("vec").as("cv2"), col("cell"))
+      val q = emb().join(cells(), "id")
+        .filter(col("id") >= 100 && col("id") < 110)
+        .select(col("id").as("q_id"), col("vec").as("qv"), col("cell"))
+      def cosC(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        dotC(x, y) / (sqrt(dotC(x, x)) * sqrt(dotC(y, y)))
+      val scored = cand.join(broadcast(q), "cell")
+        .filter(col("cand") =!= col("q_id"))
+        .select(col("q_id"), col("cand"),
+          round(cosC(col("qv"), col("cv2")), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("cos"), col("cand"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "rank", "cand", "cos")
+        .orderBy("q_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+            c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id < 8),
+            cells AS (
+              SELECT id, m.cid AS cell FROM (
+                SELECT e.id,
+                       min(struct_pack(
+                         d2 := list_dot_product(e.v, e.v)
+                               - 2 * list_dot_product(e.v, c.cv)
+                               + list_dot_product(c.cv, c.cv),
+                         cid := c.cid)) AS m
+                FROM e CROSS JOIN c GROUP BY e.id)),
+            cand AS (SELECT e.id AS cand, e.v AS cv2, cells.cell
+                     FROM e JOIN cells ON e.id = cells.id),
+            q AS (SELECT e.id AS q_id, e.v AS qv, cells.cell
+                  FROM e JOIN cells ON e.id = cells.id
+                  WHERE e.id >= 100 AND e.id < 110),
+            s AS (SELECT q_id, cand,
+                         round(list_dot_product(qv, cv2) /
+                               (sqrt(list_dot_product(qv, qv)) *
+                                sqrt(list_dot_product(cv2, cv2))), 6) AS cos
+                  FROM cand JOIN q USING (cell) WHERE cand <> q_id),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY q_id ORDER BY cos DESC, cand) AS rank FROM s)
+            SELECT q_id, rank, cand, cos FROM r WHERE rank <= 5
+            ORDER BY q_id, rank"""))
+
   // ----------------------------------------------------------- text analysis
 
   private val textStats = Q(
@@ -398,7 +468,7 @@ object QueriesExt {
 
   val all: Seq[Q] = Seq(
     dExact, dJaccard, dMinhash, dSimhash,
-    simTopK, simLsh, simNearDup,
+    simTopK, simLsh, simNearDup, simIvf,
     textStats, textLang, textFp, textTfidf, textTokCount,
     mmBinary)
 }

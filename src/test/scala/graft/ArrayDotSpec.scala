@@ -45,6 +45,27 @@ class ArrayDotSpec extends SparkSpec {
     assert(r.getDouble(0) == 32.0)
   }
 
+  test("FuseArrayDot: composed idiom fuses to native node, nested lambdas don't") {
+    spark.experimental.extraOptimizations = Seq(graft.plans.FuseArrayDot)
+    try {
+      val df = spark.range(10)
+        .select(array($"id".cast("double"), lit(2.0)).as("a"),
+          array(lit(3.0), $"id".cast("double")).as("b"))
+        .select(Similarity.dotComposed($"a", $"b").as("d"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("array_dot"),
+        "composed dot idiom not fused")
+      assert(df.orderBy(desc("d")).head().getDouble(0) == 9 * 3.0 + 2.0 * 9)
+      // the per-plane dot inside hyperplaneSig references the outer fold
+      // variable → must NOT fuse (Spark 4.1 constraint-inference guard)
+      val sig = spark.range(3)
+        .select(array($"id".cast("double"), lit(1.0), lit(-1.0)).as("v"))
+        .select(Similarity.hyperplaneSig($"v", 4, 3).as("s"))
+      assert(!sig.queryExecution.optimizedPlan.toString.contains("array_dot"),
+        "nested-lambda dot must stay composed")
+      sig.collect() // and still executes fine
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("expression participates in whole-stage codegen") {
     // literal Seq.toDF plans as LocalTableScan (no codegen stage); use a
     // range scan so a WholeStageCodegen span exists to assert on
