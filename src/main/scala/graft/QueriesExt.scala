@@ -450,6 +450,83 @@ object QueriesExt {
                    CAST(length(text) AS INT) AS n_chars
             FROM documents ORDER BY doc_id"""))
 
+  // --------------------------------------------------------- curation tier
+
+  private val curSample = Q(
+    "curate_hash_sample",
+    "Deterministic 10% sample by content-stable hash (md5-prefix mod 100) " +
+      "— reproducible across runs, engines, and partitionings, unlike " +
+      "rand(); the sampling every training-data pipeline wants for " +
+      "holdouts and ablations. Map-only, filter pushes to the scan.",
+    (s, d) =>
+      t(s, d, "orders")
+        .filter(Dedup.tokenId(col("o_orderkey").cast("string")) % 100 < 10)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                  % 100 < 10
+            ORDER BY o_orderkey"""))
+
+  private val curFilter = Q(
+    "curate_quality_filter",
+    "Quality filtering: the keep/drop decision + audit reason per " +
+      "document (length-credit × stopword-density score, language gate) " +
+      "— the curation pass in front of every training corpus. Map-only.",
+    (s, d) => {
+      val quality = TA.qualityScore(col("text"))
+      val lang = TA.langIdEn(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), quality.as("quality"), lang.as("predicted"),
+          when(quality < 0.3, lit("low_quality"))
+            .when(lang =!= "en", lit("wrong_lang"))
+            .otherwise(lit("ok")).as("reason"))
+        .withColumn("keep", col("reason") === "ok")
+        .orderBy("doc_id")
+    },
+    Some("""WITH scored AS (
+              SELECT doc_id,
+                     round(least(CAST(1.0 AS DOUBLE), len(toks) / 100.0) *
+                           (1.0 - len(list_filter(toks,
+                              x -> x IN ('the','a','of','and','to'))) / len(toks)), 6)
+                       AS quality,
+                     CASE WHEN len(list_filter(toks,
+                            x -> x IN ('the','a','of','and','to'))) /
+                          len(toks) > 0.05
+                          THEN 'en' ELSE 'other' END AS predicted
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+            SELECT doc_id, quality, predicted,
+                   CASE WHEN quality < 0.3 THEN 'low_quality'
+                        WHEN predicted <> 'en' THEN 'wrong_lang'
+                        ELSE 'ok' END AS reason,
+                   (CASE WHEN quality < 0.3 THEN 'low_quality'
+                         WHEN predicted <> 'en' THEN 'wrong_lang'
+                         ELSE 'ok' END) = 'ok' AS keep
+            FROM scored ORDER BY doc_id"""))
+
+  private val curShards = Q(
+    "curate_pack_shards",
+    "Shard packing accounting: stable-hash shard assignment (8 shards) + " +
+      "per-shard doc/token totals — the pre-write pass that sizes " +
+      "training shards. One shuffle on the shard key, full map-side " +
+      "combine; at 100 TB this IS the write partitioning.",
+    (s, d) =>
+      t(s, d, "documents")
+        .select((Dedup.tokenId(col("doc_id").cast("string")) % 8).as("shard"),
+          size(TA.tokens(col("text"))).as("n_toks"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks").cast("long")).as("total_tokens"),
+          max("n_toks").as("max_doc_tokens"))
+        .orderBy("shard"),
+    Some("""SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 8 AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                   CAST(max(len(string_split(text, ' '))) AS INT) AS max_doc_tokens
+            FROM documents GROUP BY 1 ORDER BY shard"""))
+
   // -------------------------------------------------------- binary plumbing
 
   private val mmBinary = Q(
@@ -470,5 +547,6 @@ object QueriesExt {
     dExact, dJaccard, dMinhash, dSimhash,
     simTopK, simLsh, simNearDup, simIvf,
     textStats, textLang, textFp, textTfidf, textTokCount,
+    curSample, curFilter, curShards,
     mmBinary)
 }
