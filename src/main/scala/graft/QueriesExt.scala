@@ -457,7 +457,9 @@ object QueriesExt {
     "Deterministic 10% sample by content-stable hash (md5-prefix mod 100) " +
       "— reproducible across runs, engines, and partitionings, unlike " +
       "rand(); the sampling every training-data pipeline wants for " +
-      "holdouts and ablations. Map-only, filter pushes to the scan.",
+      "holdouts and ablations. Map-only, zero shuffles (the hash " +
+      "predicate evaluates in the scan stage, though as an expression it " +
+      "cannot push into parquet row-group stats).",
     (s, d) =>
       t(s, d, "orders")
         .filter(Dedup.tokenId(col("o_orderkey").cast("string")) % 100 < 10)

@@ -65,4 +65,24 @@ object Sinks {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(target)
   }
+
+  /** Training-shard writer: directory-partitioned by the stable shard key
+    * (each shard is its own `shard=N` directory — shard contents are a
+    * pure function of the key, no cross-run drift from task scheduling),
+    * shuffled so one task owns each shard's rows (no tiny files from many
+    * writers per shard), sorted within for locality, file sizes bounded
+    * by maxRecordsPerFile. See the `curate_pack_shards` query for the
+    * accounting pass that sizes `numShards`.
+    */
+  def trainingShards(df: DataFrame, target: String, shardCol: String,
+                     numShards: Int, sortCol: String,
+                     maxRecordsPerFile: Long = 1000000L): Unit = {
+    val c = org.apache.spark.sql.functions.col _
+    df.repartition(numShards, c(shardCol))
+      .sortWithinPartitions(c(shardCol), c(sortCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(shardCol)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(target)
+  }
 }

@@ -78,6 +78,23 @@ class IngestSinksSpec extends SparkSpec {
     assert(lines2.size == 3 && lines2.get(1).endsWith("0"))
   }
 
+  test("training-shard writer: one directory+file per shard, all rows kept") {
+    val dir = Files.createTempDirectory("graft_shards_").toString
+    val docs = (1L to 100L).map(i => (i % 4, i, s"doc$i")).toDF("shard", "doc_id", "text")
+    Sinks.trainingShards(docs, s"$dir/out", "shard", 4, "doc_id",
+      maxRecordsPerFile = 50L)
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 100)
+    assert(back.select("shard").distinct().count() == 4)
+    // directory-partitioned: shard=N dirs, each written by ONE task → one
+    // part file per shard at this size
+    (0 to 3).foreach { sh =>
+      val files = Files.list(Paths.get(s"$dir/out/shard=$sh"))
+        .filter(_.getFileName.toString.startsWith("part-")).count()
+      assert(files == 1L, s"shard $sh has $files part files")
+    }
+  }
+
   test("S6 empty-valid csv writes header only; S7 override precedence") {
     val dir = Files.createTempDirectory("graft_sink_").toString
     val t = s"$dir/empty.csv"
