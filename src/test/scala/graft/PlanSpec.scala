@@ -59,6 +59,20 @@ class PlanSpec extends SparkSpec {
       "df join carries a broadcast hint")
   }
 
+  test("ivf: centroid pass and query probe are broadcast, never shuffled") {
+    val plan = planOf("sim_ivf_topk")
+    // 8 centroids → BroadcastNestedLoopJoin for assignment; 10 queries →
+    // broadcast probe join. The corpus-side cell join may shuffle (it is
+    // O(corpus) rows on both sides — the correct plan at scale).
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
+
+  test("curate_pack_shards aggregates map-side before the shuffle") {
+    val plan = planOf("curate_pack_shards")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "no partial aggregation before the shuffle")
+  }
+
   test("a5 aggregation does map-side partial aggregation") {
     val plan = planOf("a5_count_groups")
     // two HashAggregate nodes: partial (before exchange) + final

@@ -13,6 +13,34 @@ import graft.pipeline.Schemas
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("tokenId property: matches direct MD5-prefix computation, in [0, 2^32)") {
+    val words = Gen.listOfN(60,
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)).sample.get.distinct
+    def ref(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val out = words.toDF("w")
+      .select($"w", graft.operators.Dedup.tokenId($"w").as("tid"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      assert(out(w) == ref(w), s"tokenId($w)")
+      assert(out(w) >= 0L && out(w) < (1L << 32))
+    }
+  }
+
+  test("hash-sample property: selection invariant under repartitioning") {
+    val ids = (1L to 2000L).toDF("id")
+    def sampled(df: org.apache.spark.sql.DataFrame) =
+      df.filter(graft.operators.Dedup.tokenId($"id".cast("string")) % 100 < 10)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    val base = sampled(ids)
+    assert(base.nonEmpty && base.size < 400) // ~10%
+    assert(sampled(ids.repartition(17)) == base)
+    assert(sampled(ids.orderBy(desc("id"))) == base)
+  }
+
   test("F7 property: fractional odds match direct computation on a/b grids") {
     val cases = for (a <- 1 to 20; b <- 1 to 8) yield (s"$a/$b", 1.0 + a.toDouble / b)
     val out = cases.map(_._1).toDF("s")
