@@ -2,8 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
-
 import graft.engine.Engine
 
 /** Operator breadth beyond the reference (SURVEY §2.4 note: "the engine
@@ -116,8 +114,8 @@ object QueriesMore {
   private val j12 = Q(
     "j12_asof_join",
     "As-of join: each event matched to the latest order of the same key " +
-      "at-or-before its day. Spark lacks a native ASOF; the scalable " +
-      "shape is the UNION-MERGE: union both streams, one window per key, " +
+      "at-or-before its day, via operators.AsofJoin.backward — the " +
+      "UNION-MERGE shape: union both streams, one window per key, " +
       "last(..., ignoreNulls) carries the most recent order forward. " +
       "Shuffle cost is O(|events|+|orders|), never the pair space — a " +
       "range-join + top-1 (window or argmax) enumerates |events|x|orders " +
@@ -125,28 +123,18 @@ object QueriesMore {
     (s, d) => {
       val ev = t(s, d, "events")
         .select(col("event_id"), (col("user_id") % 100).as("k"),
-          date_trunc("day", col("ts")).as("t"),
-          lit(1).as("is_event"),
-          lit(null).cast("timestamp").as("odate"),
-          lit(null).cast("long").as("okey"))
+          date_trunc("day", col("ts")).as("day"))
       val ord = t(s, d, "orders")
-        .select(lit(null).cast("long").as("event_id"),
-          (col("o_custkey") % 100).as("k"),
-          col("o_orderdate").as("t"),
-          lit(0).as("is_event"),
+        .select((col("o_custkey") % 100).as("k"),
           col("o_orderdate").as("odate"),
           col("o_orderkey").as("okey"))
-      // orders sort before events at the same timestamp (is_event asc), so
-      // an order ON the event's day is matched (≤ bound); okey asc makes
-      // last() pick the max orderkey among same-date orders
-      val w = Window.partitionBy("k")
-        .orderBy(col("t"), col("is_event"), col("okey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.unionByName(ord)
-        .withColumn("asof_date", last(col("odate"), ignoreNulls = true).over(w))
-        .withColumn("asof_order", last(col("okey"), ignoreNulls = true).over(w))
-        .filter(col("is_event") === 1)
-        .select("event_id", "k", "asof_date", "asof_order")
+      // inclusive ≤ bound: an order ON the event's day matches; okey in
+      // rightOrder makes the max orderkey win among same-date orders
+      graft.operators.AsofJoin.backward(ev, ord,
+          keyCols = Seq("k"), leftTime = "day", rightTime = "odate",
+          carryCols = Seq("odate", "okey"), rightOrder = Seq("okey"))
+        .select(col("event_id"), col("k"),
+          col("asof_odate").as("asof_date"), col("asof_okey").as("asof_order"))
         .orderBy("event_id")
     },
     Some("""SELECT event_id, k, m.odate AS asof_date, m.okey AS asof_order

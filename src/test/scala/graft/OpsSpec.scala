@@ -39,6 +39,22 @@ class OpsSpec extends SparkSpec {
     assert(out(1).getDouble(1) == 2.5)
   }
 
+  test("as-of join: backward inclusive, null before first right, tie by order") {
+    import graft.operators.AsofJoin
+    val left = Seq((1L, 1, "L0"), (5L, 1, "L1"), (10L, 2, "L2"))
+      .toDF("t", "k", "tag")
+    val right = Seq((2L, 1, "a", 1L), (5L, 1, "b", 2L), (5L, 1, "b2", 3L), (7L, 1, "c", 4L))
+      .toDF("rt", "k", "v", "rid")
+    val out = AsofJoin.backward(left, right,
+        keyCols = Seq("k"), leftTime = "t", rightTime = "rt",
+        carryCols = Seq("v", "rid"), rightOrder = Seq("rid"))
+      .select("tag", "asof_v", "asof_rid")
+      .collect().map(r => r.getString(0) -> (Option(r.getString(1)), Option(r.get(2)))).toMap
+    assert(out("L0") == (None, None))          // before any right row
+    assert(out("L1") == (Some("b2"), Some(3L))) // inclusive ≤, max rid wins tie
+    assert(out("L2") == (None, None))          // key with no right rows
+  }
+
   test("J2 joinIfKeyed joins when key exists, defaults when absent") {
     val dim = Seq((1, 0.9)).toDF("k", "rate")
     val withKey = Seq((1, "x"), (2, "y")).toDF("k", "payload")
