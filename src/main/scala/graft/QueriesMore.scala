@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.engine.Engine
 
 /** Operator breadth beyond the reference (SURVEY §2.4 note: "the engine
@@ -239,5 +240,122 @@ object QueriesMore {
             ON user_id % 4 = d.hk
             ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(a8, a9, a10, a11, a12, a13, j10, j11, j12, j13)
+  private val a14 = Q(
+    "a14_pivot",
+    "PIVOT: order counts per priority × status — wide-format reporting " +
+      "shape. Spark plans pivot as one groupBy with a conditional agg " +
+      "per pivoted value (values enumerated explicitly, so the plan is " +
+      "static and map-side combinable); the oracle spells out the same " +
+      "conditional aggregation.",
+    (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+                   CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+                   CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+                   CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  private val w4 = Q(
+    "w4_ntile_percent_rank",
+    "Quantile bucketing + relative rank per group: ntile(4) and " +
+      "percent_rank over order price within status — one shuffle on the " +
+      "partition key, rank state never leaves the executors",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderkey"""))
+
+  private val j14 = Q(
+    "j14_levenshtein_match",
+    "Fuzzy name matching by edit distance — the scale shape of the " +
+      "reference's team-name normalization when no exact map entry " +
+      "exists: broadcast the (small) canonical name list, keep the " +
+      "closest candidate within a threshold via min(struct(dist, name)).",
+    (s, d) => {
+      val canon = t(s, d, "nation")
+        .select(lower(col("n_name")).as("canon"))
+      // deterministic "typo'd" probes: canonical names with the last two
+      // chars chopped — the no-exact-map-entry case J9 falls through to
+      val probes = t(s, d, "nation")
+        .select(col("n_nationkey").as("probe_id"),
+          expr("substring(lower(n_name), 1, length(n_name) - 2)").as("probe"))
+      probes.crossJoin(broadcast(canon))
+        .select(col("probe_id"), col("probe"),
+          struct(levenshtein(col("probe"), col("canon")).as("d"),
+            col("canon")).as("dc"))
+        .groupBy("probe_id", "probe")
+        .agg(min(col("dc")).as("m"))
+        .filter(col("m.d") <= 3)
+        .select(col("probe_id"), col("probe"), col("m.canon").as("best"),
+          col("m.d").as("dist"))
+        .orderBy("probe_id")
+    },
+    Some("""WITH canon AS (SELECT lower(n_name) AS canon FROM nation),
+            probes AS (
+              SELECT n_nationkey AS probe_id,
+                     substr(lower(n_name), 1, length(n_name) - 2) AS probe
+              FROM nation),
+            best AS (
+              SELECT probe_id, probe,
+                     min(struct_pack(d := levenshtein(probe, canon),
+                                     canon := canon)) AS m
+              FROM probes CROSS JOIN canon
+              GROUP BY probe_id, probe)
+            SELECT probe_id, probe, m.canon AS best, CAST(m.d AS INT) AS dist
+            FROM best WHERE m.d <= 3 ORDER BY probe_id"""))
+
+  private val j15 = Q(
+    "j15_null_safe_join",
+    "Null-safe equality join (<=>): null keys MATCH null keys — pandas " +
+      "merge drops null keys, SQL = never matches them; the null-safe " +
+      "operator is the third semantics and Spark plans it as a normal " +
+      "hash join on a null-tolerant key",
+    (s, d) => {
+      val a = t(s, d, "customer")
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, lit(null)).otherwise(col("c_mktsegment"))
+            .as("seg_a"))
+      val b = t(s, d, "region")
+        .select(when(col("r_regionkey") === 0, lit(null))
+            .otherwise(concat(lit("SEG"), col("r_regionkey"))).as("seg_b"),
+          col("r_regionkey").as("rk"))
+        .withColumn("seg_b",
+          when(col("rk") === 1, lit("BUILDING")).otherwise(col("seg_b")))
+      a.join(broadcast(b), col("seg_a") <=> col("seg_b"), "left")
+        .select(col("c_custkey"), col("seg_a"), col("rk"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, seg_a, rk FROM (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 10 = 0 THEN NULL
+                          ELSE c_mktsegment END AS seg_a
+              FROM customer) a
+            LEFT JOIN (
+              SELECT CASE WHEN r_regionkey = 1 THEN 'BUILDING'
+                          WHEN r_regionkey = 0 THEN NULL
+                          ELSE 'SEG' || CAST(r_regionkey AS VARCHAR) END AS seg_b,
+                     r_regionkey AS rk
+              FROM region) b
+            ON a.seg_a IS NOT DISTINCT FROM b.seg_b
+            ORDER BY c_custkey"""))
+
+  val all: Seq[Q] = Seq(a8, a9, a10, a11, a12, a13, a14,
+    j10, j11, j12, j13, j14, j15, w4)
 }
