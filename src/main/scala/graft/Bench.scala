@@ -36,8 +36,8 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // one shared scan per table for the whole 65-query inventory (plan
-    // memoization + in-memory persist); populated before timing starts
+    // one shared scan per table for the whole query inventory (schema
+    // cache + in-memory persist); populated before timing starts
     graft.engine.Engine.persistTables(spark, sfDir)
     run(names.head) // warm-up: JIT + codegen + parquet footer caches
     // best-of-2 across two INTERLEAVED full passes: the host shows multi-

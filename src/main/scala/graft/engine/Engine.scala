@@ -40,7 +40,7 @@ object Engine {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Load one testdata table. The parquet SCHEMA is cached per
-    * (dir, table) — across a 65-query inventory run that removes ~130
+    * (dir, table) — across a full inventory run that removes ~150
     * redundant driver-side footer reads — but every call returns a FRESH
     * lineage: callers that self-join two derivations of one table (e.g.
     * sim_neardup_rerank) rely on independent attribute ids to dodge a
@@ -67,7 +67,7 @@ object Engine {
     scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.types.StructType]
 
   /** Persist + materialize every testdata table once, so an inventory run
-    * (Verify / Bench: 65 queries over 10 tables) amortizes one scan per
+    * (Verify / Bench: the full inventory over 10 tables) amortizes one scan per
     * table instead of re-reading parquet per query. This is a SMALL-SF
     * harness amortization, not the 100 TB posture — at scale you keep the
     * parquet scans (pushdown + pruning beat caching a table that doesn't

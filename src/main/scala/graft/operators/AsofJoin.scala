@@ -28,22 +28,31 @@ object AsofJoin {
                carryCols: Seq[String],
                rightOrder: Seq[String] = Nil): DataFrame = {
     require(carryCols.nonEmpty, "asof join needs at least one carry column")
+    require(rightOrder.forall(carryCols.contains),
+      s"rightOrder columns must be carried: ${rightOrder.filterNot(carryCols.contains)}")
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__is_left", lit(1))
+    // carry cols travel as ONE struct: last(_, ignoreNulls) then picks the
+    // whole latest right ROW atomically — per-column carries would stitch
+    // values from different rows whenever a carry field is null on the
+    // most recent one. The struct itself is non-null on every right row
+    // (even with all fields null) and null-filled on left rows by the
+    // tolerant union, which is exactly what ignoreNulls needs.
     val r0 = right.select(
-      (keyCols.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__is_left")) ++
-        carryCols.map(c => col(c).as(s"__carry_$c")): _*)
+      keyCols.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__is_left") :+
+        struct(carryCols.map(col): _*).as("__carry"): _*)
     val merged = l.unionByName(r0, allowMissingColumns = true)
     val order: Seq[Column] =
-      col("__t") +: col("__is_left") +: rightOrder.map(c => col(s"__carry_$c"))
+      col("__t") +: col("__is_left") +: rightOrder.map(c => col("__carry").getField(c))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    carryCols.foldLeft(merged) { (df, c) =>
-        df.withColumn(s"asof_$c", last(col(s"__carry_$c"), ignoreNulls = true).over(w))
+    val carried = merged.withColumn("__asof", last(col("__carry"), ignoreNulls = true).over(w))
+    carryCols.foldLeft(carried) { (df, c) =>
+        df.withColumn(s"asof_$c", col("__asof").getField(c))
       }
       .filter(col("__is_left") === 1)
-      .drop("__t" +: "__is_left" +: carryCols.map(c => s"__carry_$c"): _*)
+      .drop("__t", "__is_left", "__carry", "__asof")
   }
 }

@@ -104,7 +104,12 @@ object Streaming {
             evs.foreach { e =>
               cur = cur match {
                 case Some(s) if e.ts.getTime - s.last <= gapMs =>
-                  Some(SessionState(s.n + 1, s.total + e.value, s.started, e.ts.getTime))
+                  // min/max guards: events are sorted only WITHIN a batch —
+                  // a late (within-watermark) event from a later batch must
+                  // not move the session end backwards (it would fire the
+                  // timeout early and split one real session in two)
+                  Some(SessionState(s.n + 1, s.total + e.value,
+                    math.min(s.started, e.ts.getTime), math.max(s.last, e.ts.getTime)))
                 case other =>
                   other.foreach(s => closedSessions += close(s)) // in-stream close
                   Some(SessionState(1, e.value, e.ts.getTime, e.ts.getTime))
@@ -151,7 +156,9 @@ object Streaming {
     v.join(c,
       col("v_user") === col("c_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL ${windowMs / 1000} SECOND"))
+        // millisecond-precision interval: a seconds-truncated bound would
+        // silently shrink sub-second windows to zero
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMs MILLISECOND"))
   }
 
   /** File-source streaming read of an events directory with the batch

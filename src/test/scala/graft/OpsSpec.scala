@@ -55,6 +55,19 @@ class OpsSpec extends SparkSpec {
     assert(out("L2") == (None, None))          // key with no right rows
   }
 
+  test("as-of join carries the latest right row ATOMICALLY (nullable fields)") {
+    import graft.operators.AsofJoin
+    val left = Seq((3L, 1)).toDF("t", "k")
+    val right = Seq((1L, 1, Some(10.0), Some(5L)), (2L, 1, Some(20.0), None))
+      .toDF("rt", "k", "price", "qty")
+    val r = AsofJoin.backward(left, right,
+        keyCols = Seq("k"), leftTime = "t", rightTime = "rt",
+        carryCols = Seq("price", "qty")).select("asof_price", "asof_qty").head()
+    // latest row is (20.0, null) — a per-column carry would resurrect
+    // qty=5 from the older row, fabricating a record that never existed
+    assert(r.getDouble(0) == 20.0 && r.isNullAt(1))
+  }
+
   test("J2 joinIfKeyed joins when key exists, defaults when absent") {
     val dim = Seq((1, 0.9)).toDF("k", "rate")
     val withKey = Seq((1, "x"), (2, "y")).toDF("k", "payload")
