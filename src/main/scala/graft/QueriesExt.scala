@@ -450,6 +450,79 @@ object QueriesExt {
                    CAST(length(text) AS INT) AS n_chars
             FROM documents ORDER BY doc_id"""))
 
+  private val textHeavy = Q(
+    "text_heavy_hitters",
+    "Vocabulary heavy hitters: tokens above an absolute document-" +
+      "frequency threshold — explode → distinct (doc, tok) → one " +
+      "hash-partitioned count with map-side combine. The exact two-job " +
+      "twin of a count-min/SpaceSaving sketch pass; at 100 TB the " +
+      "threshold prunes the long tail before anything is collected.",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 100)
+        .orderBy(desc("df"), col("tok")),
+    Some("""SELECT tok, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, tok
+                  FROM (SELECT doc_id,
+                               unnest(list_distinct(string_split(text, ' '))) AS tok
+                        FROM documents))
+            GROUP BY tok HAVING count(*) >= 100
+            ORDER BY df DESC, tok"""))
+
+  private val textPmi = Q(
+    "text_bigram_pmi",
+    "Bigram collocation scoring (PMI): unigram + bigram corpus counts → " +
+      "log(N·c(xy) / (c(x)·c(y))) for bigrams above a support floor. Two " +
+      "aggregations and one join — the phrase-mining pass of a corpus " +
+      "pipeline. PMI rounded for cross-engine float determinism.",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val uni = docs.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val totalToks = docs.select(sum(size(col("toks"))).cast("double").as("n"))
+      // raw (non-deduped) bigram occurrences — PMI wants corpus counts,
+      // not the per-doc-distinct shingle sets the dedup tier uses
+      val bigrams = when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val bi = docs
+        .select(explode(bigrams).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= 20)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      bi.join(uni.select(col("tok").as("w1"), col("c1").as("cx")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("c1").as("cy")), "w2")
+        .crossJoin(totalToks)
+        .select(col("bg"), col("c2"),
+          round(log(col("n") * col("c2") / (col("cx") * col("cy"))), 6).as("pmi"))
+        .orderBy(desc("pmi"), col("bg"))
+    },
+    Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            uni AS (
+              SELECT tok, count(*) AS c1
+              FROM (SELECT unnest(toks) AS tok FROM docs) GROUP BY tok),
+            total AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS n FROM docs),
+            bi AS (
+              SELECT bg, count(*) AS c2
+              FROM (SELECT unnest(list_transform(
+                             range(1, len(toks)),
+                             i -> toks[i] || ' ' || toks[i+1])) AS bg
+                    FROM docs)
+              GROUP BY bg HAVING count(*) >= 20)
+            SELECT bg, c2,
+                   round(ln(n * c2 / (ux.c1 * uy.c1)), 6) AS pmi
+            FROM bi
+            JOIN uni ux ON ux.tok = string_split(bg, ' ')[1]
+            JOIN uni uy ON uy.tok = string_split(bg, ' ')[2]
+            CROSS JOIN total
+            ORDER BY pmi DESC, bg"""))
+
   // --------------------------------------------------------- curation tier
 
   private val curSample = Q(
@@ -549,6 +622,7 @@ object QueriesExt {
     dExact, dJaccard, dMinhash, dSimhash,
     simTopK, simLsh, simNearDup, simIvf,
     textStats, textLang, textFp, textTfidf, textTokCount,
+    textHeavy, textPmi,
     curSample, curFilter, curShards,
     mmBinary)
 }
