@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 
-import graft.engine.Engine
+import graft.engine.{Engine, Ops}
 import graft.functions.F
 
 /** The graded query inventory: every SURVEY §2 operator expressed as a
@@ -83,18 +83,12 @@ object Queries {
     Some("""SELECT n_nationkey AS dim_n_nationkey, n_name AS dim_n_name,
             n_regionkey AS dim_n_regionkey FROM nation ORDER BY dim_n_nationkey"""))
 
-  /** P4 ensure_cols: schema-driven add-if-absent (enrich_features.py:20-24). */
-  def ensureCols(df: DataFrame, defaults: Seq[(String, Column)]): DataFrame =
-    defaults.foldLeft(df) { case (acc, (c, v)) =>
-      if (acc.columns.contains(c)) acc else acc.withColumn(c, v)
-    }
-
   private val p4 = Q(
     "p4_ensure_cols",
     "P4 add-missing-columns-with-defaults; schema-driven, no-op when present",
     (s, d) => {
       val base = t(s, d, "customer").select("c_custkey", "c_name")
-      ensureCols(base, Seq(
+      Ops.ensureCols(base, Seq(
         "rest_days" -> lit(4),
         "injury_index" -> lit(0.3),
         "crowd_index" -> lit(0.7),
@@ -155,22 +149,15 @@ object Queries {
             l_quantity AS "L_QUANTITY"
             FROM lineitem ORDER BY 1, 2"""))
 
-  /** P8 first-present column fallback (fetch_football_data.py:33-43):
-    * resolved against the actual schema, not at runtime per row. The first
-    * EXISTING candidate is taken wholesale — null rows in it stay null
-    * (reference `next(...)` picks one column, never back-fills).
-    */
-  def firstPresent(df: DataFrame, candidates: Seq[String]): Column =
-    candidates.find(df.columns.contains).map(col)
-      .getOrElse(lit(null).cast(DoubleType))
-
   private val p8 = Q(
     "p8_first_present",
-    "P8 first-available odds column fallback, schema-driven",
+    "P8 first-available odds column fallback, schema-driven (wholesale " +
+      "pick of the first EXISTING candidate — Ops.firstPresent)",
     (s, d) => {
       val df = t(s, d, "orders")
       df.select(col("o_orderkey"),
-          firstPresent(df, Seq("b365_h", "ps_h", "o_totalprice", "iw_h")).as("odds_dec"))
+          Ops.firstPresent(df, Seq("b365_h", "ps_h", "o_totalprice", "iw_h"),
+            lit(null).cast(DoubleType)).as("odds_dec"))
         .orderBy("o_orderkey")
     },
     Some("SELECT o_orderkey, o_totalprice AS odds_dec FROM orders ORDER BY o_orderkey"))

@@ -16,10 +16,14 @@ object Engine {
 
   def session(appName: String = "graft",
               master: String = s"local[${Runtime.getRuntime.availableProcessors()}]"): SparkSession = {
+    // shuffle parallelism derives from the SAME core count as the default
+    // master, so the "pinned to core count" invariant holds on any host
+    // (a hard-coded literal silently over/under-partitions elsewhere)
+    val cores = Runtime.getRuntime.availableProcessors()
     val b = SparkSession.builder()
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -57,8 +57,11 @@ object Ops {
   /** A1 — tolerant union-all of N frames
     * (reference fetch_football_data.py:56-69 `pd.concat`).
     */
-  def unionTolerant(frames: Seq[DataFrame]): DataFrame =
+  def unionTolerant(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty,
+      "unionTolerant needs at least one frame (use Sources.emptyWithSchema for the zero-source case)")
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** A3 — keep-FIRST dedup (pandas drop_duplicates semantics), made
     * deterministic with an explicit order (reference

@@ -26,6 +26,11 @@ object Scale {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  fingerprint: Column, buckets: Int,
                  joinType: String = "left"): DataFrame = {
+    // only fact-preserving joins are sound: the dim side is exploded
+    // `buckets`-fold, so right/full-outer would emit each unmatched dim
+    // row once PER SALT COPY instead of once
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val salted = fact.withColumn("__salt", pmod(hash(fingerprint), lit(buckets)))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))

@@ -31,10 +31,13 @@ object Validate {
     */
   def ensureMinCsv(path: String, schema: StructType): Boolean = {
     val p = Paths.get(path)
+    // only the header line is needed — readAllLines would materialize an
+    // arbitrarily large (or corrupt) file on the driver just to check it
     val valid = Files.exists(p) && {
-      val lines = Files.readAllLines(p)
-      lines.size() > 0 && {
-        val header = lines.get(0).split(",").map(_.trim).toSet
+      val reader = Files.newBufferedReader(p)
+      val first = try reader.readLine() finally reader.close()
+      first != null && {
+        val header = first.split(",").map(_.trim).toSet
         schema.fieldNames.forall(header.contains)
       }
     }

@@ -26,9 +26,13 @@ object TopKAggregator {
     */
   final case class TopKBuffer(items: Seq[Scored])
 
-  def topK(k: Int): Aggregator[Scored, TopKBuffer, Seq[Scored]] =
+  def topK(k: Int): Aggregator[Scored, TopKBuffer, Seq[Scored]] = {
+    require(k >= 1, s"topK needs k >= 1, got $k")
     new Aggregator[Scored, TopKBuffer, Seq[Scored]] {
-      private def ord: Ordering[Scored] = Ordering.by { case (id, s) => (s, -id) }
+      // val, not def: the ordering is pure and sits on the per-row hot
+      // path (fast-reject + every binary-search probe) — a def would
+      // allocate a fresh Ordering per call
+      private val ord: Ordering[Scored] = Ordering.by { case (id, s) => (s, -id) }
 
       override def zero: TopKBuffer = TopKBuffer(Seq.empty)
 
@@ -63,4 +67,5 @@ object TopKAggregator {
       override def outputEncoder: Encoder[Seq[Scored]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     }
+  }
 }

@@ -30,12 +30,19 @@ object Enrich {
   import F.{Defaults => D}
 
   /** J9 — canonical-name normalization via broadcast lookup join with
-    * identity fallback (enrich_features.py:37-43).
+    * identity fallback (enrich_features.py:37-43). The reference builds a
+    * DICT from the map file, so duplicate `raw` keys collapse to one
+    * entry — the join must dedup likewise or duplicate raws would
+    * DUPLICATE fact rows (a left join multiplies on duplicate keys, a
+    * dict lookup never can). File order doesn't survive a distributed
+    * read, so ties resolve deterministically by canonical ordering.
     */
   def normalizeNames(df: DataFrame, nameMap: DataFrame, cols: Seq[String]): DataFrame =
     cols.filter(df.columns.contains).foldLeft(df) { (acc, c) =>
-      val m = nameMap.select(trim(col("raw")).as(s"__raw_$c"),
-        trim(col("canonical")).as(s"__canon_$c"))
+      val m = graft.engine.Ops.dedupKeepFirst(
+        nameMap.select(trim(col("raw")).as(s"__raw_$c"),
+          trim(col("canonical")).as(s"__canon_$c")),
+        Seq(s"__raw_$c"), Seq(s"__canon_$c"))
       acc.join(broadcast(m), trim(col(c)) === col(s"__raw_$c"), "left")
         .withColumn(c, coalesce(col(s"__canon_$c"), trim(col(c))))
         .drop(s"__raw_$c", s"__canon_$c")

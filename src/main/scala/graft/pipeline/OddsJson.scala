@@ -66,8 +66,10 @@ object OddsJson {
         priceFor(bm, lit("Draw")).isNotNull || priceFor(bm, lit("Tie")).isNotNull
     val chosen = try_element_at(filter(g.getField("bookmakers"), anyOdds _), lit(1))
     df.select(
-      try_to_timestamp(regexp_replace(g.getField("commence_time"), "Z$", ""),
-        lit("yyyy-MM-dd'T'HH:mm:ss")).as("date"),
+      // F.parseIso (formatless try_to_timestamp under the UTC session)
+      // accepts every ISO variant the API may emit — 'Z', '+00:00',
+      // fractional seconds — where a fixed pattern would null them all
+      graft.functions.F.parseIso(g.getField("commence_time")).as("date"),
       home.as("home_team"),
       away.as("away_team"),
       priceFor(chosen, home).as("home_odds_dec"),

@@ -31,7 +31,6 @@ object XgHybrid {
         coalesce(col("league_id"), col("__l")).as("league_id") +:
         metrics.map(m => F.weightedBlend(col(s"${m}_cur"), col(s"${m}_last"))
           .as(s"${m}_hybrid")): _*)
-      .withColumnRenamed("xgd90_hybrid", "xgd90_hybrid")
   }
 
   /** Team priors (bootstrap_team_priors.py:24-35): derived ratings via the

@@ -18,8 +18,11 @@ import org.apache.spark.sql.types.StructType
 object Sinks {
 
   private def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    if (Files.exists(p)) {
+      val s = Files.walk(p) // must-close resource: leaks a directory fd
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
 
   /** S5 — single-file CSV with header; null ↔ empty-string pinned for
     * byte-stable goldens (SURVEY §4 delta (e)).
@@ -30,10 +33,13 @@ object Sinks {
       df.coalesce(1).write.mode(SaveMode.Overwrite)
         .option("header", "true").option("nullValue", "").option("emptyValue", "")
         .csv(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".csv"))
-        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+      val listing = Files.list(Paths.get(tmp)) // must-close resource
+      val part =
+        try listing
+          .filter(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".csv"))
+          .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+        finally listing.close()
       val dst = Paths.get(target)
       if (dst.getParent != null) Files.createDirectories(dst.getParent)
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
