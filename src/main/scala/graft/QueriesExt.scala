@@ -121,6 +121,64 @@ object QueriesExt {
                    CAST(sum(CASE WHEN wj > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
             FROM w GROUP BY doc_id ORDER BY doc_id"""))
 
+  private val dComponents = Q(
+    "dedup_components",
+    "Corpus-level dedup clustering: MinHash-LSH band buckets induce " +
+      "candidate edges (doc ↔ bucket representative — star-shaped, so " +
+      "component diameters stay near-constant), then connected components " +
+      "via iterative min-label propagation glue overlapping buckets into " +
+      "dedup groups with a deterministic canonical representative. The " +
+      "driver reads one convergence scalar per round; everything else is " +
+      "distributed. Oracle reaches the same fixpoint by recursive CTE.",
+    (s, d) => {
+      val pairs = Dedup.tokenPairs(t(s, d, "documents"), "doc_id", "text",
+        distinctTokens = true)
+      val ptid = pairs.select(col("doc_id"), Dedup.tokenId(col("tok")).as("tid"))
+      val sig = Dedup.minhashSignatures(ptid, "doc_id", numHashes = 8)
+      val bands = sig.groupBy(col("doc_id"), expr("j div 2").as("band_idx"))
+        .agg(concat_ws("_",
+          min(when(col("j") % 2 === 0, col("h"))),
+          min(when(col("j") % 2 === 1, col("h")))).as("band_key"))
+      val bmin = bands.groupBy("band_idx", "band_key")
+        .agg(min("doc_id").as("rep"))
+      val edges = bands.join(bmin, Seq("band_idx", "band_key"))
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("doc_id").as("a"), col("rep").as("b"))
+      val nodes = t(s, d, "documents").select("doc_id")
+      Dedup.connectedComponents(nodes, edges)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE pairs AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents),
+            sig AS (
+              SELECT doc_id, j,
+                     min(((2*j+1)*tid + (7*j+3)) % 8191) AS h
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(tok), 1, 8))::BIGINT AS tid
+                    FROM pairs)
+              CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+              GROUP BY doc_id, j),
+            bands AS (
+              SELECT doc_id, j // 2 AS band_idx,
+                     string_agg(CAST(h AS VARCHAR), '_' ORDER BY j) AS band_key
+              FROM sig GROUP BY doc_id, j // 2),
+            bmin AS (
+              SELECT band_idx, band_key, min(doc_id) AS rep
+              FROM bands GROUP BY 1, 2),
+            e0 AS (
+              SELECT b.doc_id AS a, m.rep AS b
+              FROM bands b JOIN bmin m USING (band_idx, band_key)
+              WHERE b.doc_id <> m.rep),
+            edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+            reach(a, b) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+            SELECT a AS doc_id, min(b) AS component
+            FROM reach GROUP BY a ORDER BY doc_id"""))
+
   // ------------------------------------------------------------- similarity
 
   private val simTopK = Q(
@@ -619,7 +677,7 @@ object QueriesExt {
             FROM documents ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(
-    dExact, dJaccard, dMinhash, dSimhash,
+    dExact, dJaccard, dMinhash, dSimhash, dComponents,
     simTopK, simLsh, simNearDup, simIvf,
     textStats, textLang, textFp, textTfidf, textTokCount,
     textHeavy, textPmi,

@@ -114,6 +114,50 @@ object Dedup {
       .groupBy("band_idx", "band_key")
       .agg(count(lit(1)).as("n"))
 
+  /** Connected components over a candidate-pair graph by iterative
+    * min-label propagation — the Pregel/GraphX shape, driver-coordinated:
+    * each round every node takes the min of its own label and its
+    * neighbors' labels (two shuffles: edge join + per-node min); the
+    * driver reads ONE scalar per round (the label-sum, which decreases
+    * monotonically) to detect the fixpoint. Labels and edges stay fully
+    * distributed. Rounds needed = O(component diameter) — star-shaped
+    * edge sets (doc ↔ bucket representative, as [[lshBuckets]] induces)
+    * keep diameters near-constant, so this converges in a handful of
+    * rounds at any corpus size.
+    *
+    * This is the cluster step of corpus-level dedup: LSH emits candidate
+    * pairs, components glue overlapping pairs into dedup groups, and the
+    * min label is the deterministic canonical representative.
+    *
+    * @param nodes  single-column frame of node ids (long)
+    * @param edges  two-column frame (a, b); symmetrized internally
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIters: Int = 25): DataFrame = {
+    val n = nodes.toDF("id")
+    val e0 = edges.toDF("a", "b")
+    val e = e0.union(e0.select(col("b"), col("a"))).distinct().cache()
+    var labels = n.select(col("id"), col("id").as("label")).cache()
+    var checksum = labels.agg(sum("label")).head().getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val prop = e.join(labels, e("b") === labels("id"))
+        .select(col("a").as("id"), col("label"))
+      val next = labels.select("id", "label").union(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .cache()
+      val nextSum = next.agg(sum("label")).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == checksum // labels only decrease: equal sum = fixpoint
+      checksum = nextSum
+      it += 1
+    }
+    e.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
   /** 16-bit SimHash over the token multiset: weight_j = Σ cnt·(2·bit_j−1)
     * with per-token hash (37·tid + 11) mod 2^16 over the stable [[tokenId]];
     * signature bit j set iff weight_j > 0.

@@ -96,6 +96,18 @@ class ExtOpsSpec extends SparkSpec {
     assert(sigs(0L) == sigs(1L))
   }
 
+  test("connected components: chains merge over rounds, singletons stay") {
+    val nodes = (0L to 9L).toDF("id")
+    // chain 0-1-2-3 (diameter 3 → needs multiple propagation rounds),
+    // pair 5-6, self-loop 8, isolated 4/7/9
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L), (8L, 8L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(out(_) == 0L))
+    assert(out(5L) == 5L && out(6L) == 5L)
+    assert(Seq(4L, 7L, 8L, 9L).forall(i => out(i) == i))
+  }
+
   test("capped bucketing: oversized buckets split by refinement planes") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 120L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
