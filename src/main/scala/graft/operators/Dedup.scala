@@ -134,19 +134,50 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIters: Int = 25): DataFrame = {
+    // Constraint propagation OFF for the loop: checkpointed labels keep
+    // their attribute ids across rounds, so each round's union + pointer-
+    // jumping self-join re-exposes one id on multiple plan branches and
+    // Spark 4.1's Union constraint rewrite crashes (AttributeMap key not
+    // found). Constraints would only add inferred IsNotNull filters here —
+    // ids/labels are never null by construction — so nothing is lost.
+    val spark = nodes.sparkSession
+    val ccKey = "spark.sql.constraintPropagation.enabled"
+    val ccPrev = spark.conf.getOption(ccKey)
+    spark.conf.set(ccKey, "false")
+    try {
     val n = nodes.toDF("id")
     val e0 = edges.toDF("a", "b")
     val e = e0.union(e0.select(col("b"), col("a"))).distinct().cache()
-    var labels = n.select(col("id"), col("id").as("label")).cache()
+    // localCheckpoint (not cache): each round's plan would otherwise carry
+    // the ENTIRE prior lineage — re-analyzed by the optimizer every round,
+    // so planning cost grows superlinearly with rounds (measured 105 s at
+    // 5 k docs before truncation)
+    var labels = n.select(col("id"), col("id").as("label")).localCheckpoint(true)
     var checksum = labels.agg(sum("label")).head().getLong(0)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      // both output columns aliased: aliases mint fresh attribute ids, so
+      // the union below never sees one id on both children (the Spark 4.1
+      // Union constraint-rewrite crash needs duplicated ids to trigger)
       val prop = e.join(labels, e("b") === labels("id"))
-        .select(col("a").as("id"), col("label"))
-      val next = labels.select("id", "label").union(prop)
+        .select(col("a").as("id"), col("label").as("label"))
+      // checkpoint before the self-join below: Spark 4.1's Union constraint
+      // rewrite crashes (INTERNAL_ERROR AttributeMap) when a union-derived
+      // plan is self-joined; a leaf (checkpointed) plan sidesteps it, and
+      // the grouped result is about to be read twice anyway
+      val stepped = labels.select("id", "label").union(prop)
         .groupBy("id").agg(min("label").as("label"))
-        .cache()
+        .localCheckpoint(true)
+      // pointer jumping: label ← label's label. Halves every label-chain
+      // per round, so rounds = O(log diameter) instead of O(diameter) —
+      // labels are node ids, so they are themselves lookup keys.
+      val next = stepped.as("x")
+        .join(stepped.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
+          col("x.label") === col("y.lid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("llabel"), col("x.label")).as("label"))
+        .localCheckpoint(true)
       val nextSum = next.agg(sum("label")).head().getLong(0)
       labels.unpersist()
       labels = next
@@ -156,6 +187,12 @@ object Dedup {
     }
     e.unpersist()
     labels.withColumnRenamed("label", "component")
+    } finally {
+      ccPrev match {
+        case Some(v) => spark.conf.set(ccKey, v)
+        case None    => spark.conf.unset(ccKey)
+      }
+    }
   }
 
   /** 16-bit SimHash over the token multiset: weight_j = Σ cnt·(2·bit_j−1)
