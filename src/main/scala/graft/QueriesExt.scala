@@ -274,10 +274,14 @@ object QueriesExt {
       val pairs = a.join(b, Seq("bkey")).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           round(cosC(col("va"), col("vb")), 6).as("cos"))
-      pairs.withColumn("rank", row_number().over(
+      // global top-20 via orderBy+limit (TakeOrdered: per-partition heaps,
+      // driver merges 20-row tops — no single-partition global window over
+      // the full candidate set), then rank the 20 survivors; the unpartitioned
+      // window below only ever sees 20 rows.
+      pairs.orderBy(desc("cos"), col("id_a"), col("id_b")).limit(20)
+        .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(desc("cos"), col("id_a"), col("id_b"))))
-        .filter(col("rank") <= 20)
         .select("rank", "id_a", "id_b", "cos")
         .orderBy("rank")
     },
