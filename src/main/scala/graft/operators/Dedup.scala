@@ -162,21 +162,23 @@ object Dedup {
       // Union constraint-rewrite crash needs duplicated ids to trigger)
       val prop = e.join(labels, e("b") === labels("id"))
         .select(col("a").as("id"), col("label").as("label"))
-      // checkpoint before the self-join below: Spark 4.1's Union constraint
-      // rewrite crashes (INTERNAL_ERROR AttributeMap) when a union-derived
-      // plan is self-joined; a leaf (checkpointed) plan sidesteps it, and
-      // the grouped result is about to be read twice anyway
       val stepped = labels.select("id", "label").union(prop)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      // pointer jumping: label ← label's label. Halves every label-chain
-      // per round, so rounds = O(log diameter) instead of O(diameter) —
-      // labels are node ids, so they are themselves lookup keys.
-      val next = stepped.as("x")
-        .join(stepped.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
-          col("x.label") === col("y.lid"), "left")
-        .select(col("x.id").as("id"),
-          coalesce(col("llabel"), col("x.label")).as("label"))
+      // pointer jumping: label ← labels(label). Chasing the PREVIOUS
+      // round's (checkpointed) labels instead of `stepped` itself keeps
+      // this a plain two-frame join — no self-join (the Spark 4.1 crash
+      // shape) and no extra materialization job per round — while still
+      // compressing label chains, so rounds stay O(log diameter). Labels
+      // are node ids, so they are themselves lookup keys; composing with
+      // a one-step-older pointer table is still monotone (labels only
+      // ever decrease toward the component min) and has the same
+      // fixpoint: sum-stable ⇒ no label changed ⇒ every node's label
+      // already ≤ all neighbors' labels ⇒ component minima everywhere.
+      val next = stepped
+        .join(labels.select(col("id").as("lid"), col("label").as("llabel")),
+          stepped("label") === col("lid"), "left")
+        .select(stepped("id"),
+          coalesce(col("llabel"), stepped("label")).as("label"))
         .localCheckpoint(true)
       val nextSum = next.agg(sum("label")).head().getLong(0)
       labels.unpersist()
