@@ -680,11 +680,50 @@ object QueriesExt {
                    md5(text) AS digest
             FROM documents ORDER BY doc_id"""))
 
+  private val mmHeaders = Q(
+    "mm_media_headers",
+    "Real byte-level media header parsing as codegen'd column expressions " +
+      "(no UDF): synthesize genuine PNG IHDR (4-byte big-endian dims at " +
+      "offsets 17/21) and WAV/RIFF fmt (4-byte little-endian sample rate " +
+      "at offset 25) header bytes per doc, then parse the fields back out " +
+      "of the BINARY payload alone — container sniffed from the magic " +
+      "number, endianness handled by explicit byte reassembly. The oracle " +
+      "computes the expected fields independently, so the graded check is " +
+      "that build→parse round-trips the published layouts exactly.",
+    (s, d) => {
+      import graft.operators.Multimodal._
+      val w = (lit(16) + col("doc_id") % 1024).cast("int")
+      val h = (lit(16) + (col("doc_id") * 7) % 1024).cast("int")
+      val sr = (lit(8000) + (col("doc_id") % 5) * 8820).cast("int")
+      val media = t(s, d, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, pngHeaderBytes(w, h))
+            .otherwise(wavHeaderBytes(sr)).as("payload"))
+      media.select(col("doc_id"),
+          mediaType(col("payload")).as("media_type"),
+          when(mediaType(col("payload")) === "png", pngWidth(col("payload")))
+            .as("width"),
+          when(mediaType(col("payload")) === "png", pngHeight(col("payload")))
+            .as("height"),
+          when(mediaType(col("payload")) === "wav", wavSampleRate(col("payload")))
+            .as("sample_rate"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_type,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CAST(16 + doc_id % 1024 AS INT) END AS width,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CAST(16 + (doc_id * 7) % 1024 AS INT) END AS height,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN CAST(8000 + (doc_id % 5) * 8820 AS INT) END AS sample_rate
+            FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     dExact, dJaccard, dMinhash, dSimhash, dComponents,
     simTopK, simLsh, simNearDup, simIvf,
     textStats, textLang, textFp, textTfidf, textTokCount,
     textHeavy, textPmi,
     curSample, curFilter, curShards,
-    mmBinary)
+    mmBinary, mmHeaders)
 }

@@ -62,6 +62,63 @@ object Multimodal {
     }
   }
 
+  // ---- Real header codecs (pure column expressions, codegen'd) ----
+  //
+  // Unlike the decode STUBS above, these are genuine byte-level parsers:
+  // the fixed offsets below are the published PNG (RFC 2083 §3, IHDR) and
+  // WAV/RIFF (fmt chunk) layouts. Payload synthesis goes through hex →
+  // unhex so the binary truly round-trips through byte parsing — the
+  // parse side reads ONLY the payload bytes.
+
+  import org.apache.spark.sql.Column
+
+  /** A minimal well-formed PNG prefix: 8-byte signature + IHDR chunk
+    * (length=13, type, 4-byte big-endian width and height, 8-bit RGBA).
+    */
+  def pngHeaderBytes(width: Column, height: Column): Column =
+    unhex(concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(hex(width.cast(LongType)), 8, "0"),
+      lpad(hex(height.cast(LongType)), 8, "0"),
+      lit("08060000")))
+
+  /** Parse width/height from PNG bytes: 4-byte big-endian ints at offsets
+    * 17 and 21 (1-based). big-endian == hex digit order, so hex→conv is
+    * the whole parse.
+    */
+  def pngWidth(payload: Column): Column =
+    conv(hex(substring(payload, 17, 4)), 16, 10).cast(IntegerType)
+  def pngHeight(payload: Column): Column =
+    conv(hex(substring(payload, 21, 4)), 16, 10).cast(IntegerType)
+
+  /** Minimal WAV/RIFF prefix through the fmt chunk: sample rate is a
+    * 4-byte LITTLE-endian int at offset 25 (1-based).
+    */
+  def wavHeaderBytes(sampleRate: Column): Column = {
+    // little-endian: emit the 4 bytes low-first, each as 2 hex digits
+    val le = concat((0 to 3).map(i =>
+      lpad(hex(shiftright(sampleRate.cast(LongType), 8 * i) % 256), 2, "0")): _*)
+    unhex(concat(
+      lit("52494646" + "24000000" + "57415645" + "666D7420" +
+        "10000000" + "0100" + "0200"),
+      le))
+  }
+
+  /** Parse the sample rate back: reassemble the 4 little-endian bytes
+    * (low-first) — endianness handled by explicit byte reassembly, not
+    * string reversal.
+    */
+  def wavSampleRate(payload: Column): Column =
+    (0 to 3).map(i =>
+      conv(hex(substring(payload, 25 + i, 1)), 16, 10).cast(LongType) * (1L << (8 * i)))
+      .reduce((a, b) => a + b).cast(IntegerType)
+
+  /** Sniff the container from its magic number. */
+  def mediaType(payload: Column): Column =
+    when(hex(substring(payload, 1, 4)) === "89504E47", lit("png"))
+      .when(hex(substring(payload, 1, 4)) === "52494646", lit("wav"))
+      .otherwise(lit("unknown"))
+
   /** Resize stub: recompute metadata, pass payload through (a real kernel
     * transcodes). Shows metadata-typed transforms stay columnar.
     */

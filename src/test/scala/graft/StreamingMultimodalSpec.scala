@@ -142,6 +142,40 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
   }
 
+  test("multimodal: PNG/WAV header build->parse round-trips the published layouts") {
+    import org.apache.spark.sql.functions.{col, hex, lit, typedLit}
+    val df = Seq((256, 1, 44100), (16, 1039, 8000), (1, 1, 176400))
+      .toDF("w", "h", "sr")
+      .select(col("w"), col("h"), col("sr"),
+        Multimodal.pngHeaderBytes(col("w"), col("h")).as("png"),
+        Multimodal.wavHeaderBytes(col("sr")).as("wav"))
+    val out = df.select(
+      Multimodal.pngWidth(col("png")).as("pw"),
+      Multimodal.pngHeight(col("png")).as("ph"),
+      Multimodal.wavSampleRate(col("wav")).as("psr"),
+      Multimodal.mediaType(col("png")).as("tpng"),
+      Multimodal.mediaType(col("wav")).as("twav"),
+      hex(col("png")).as("pnghex"), hex(col("wav")).as("wavhex"))
+      .collect()
+    out.zip(Seq((256, 1, 44100), (16, 1039, 8000), (1, 1, 176400))).foreach {
+      case (r, (w, h, sr)) =>
+        assert(r.getAs[Int]("pw") == w && r.getAs[Int]("ph") == h)
+        assert(r.getAs[Int]("psr") == sr)
+        assert(r.getAs[String]("tpng") == "png" && r.getAs[String]("twav") == "wav")
+    }
+    // golden bytes: the exact published layouts, not just self-consistency.
+    // PNG: signature, IHDR len 13, "IHDR", w=256, h=1 big-endian, 8-bit RGBA.
+    assert(out(0).getAs[String]("pnghex") ==
+      "89504E470D0A1A0A0000000D4948445200000100" + "0000000108060000")
+    // WAV: "RIFF", size 36, "WAVE", "fmt ", len 16, PCM, stereo, 44100 LE
+    assert(out(0).getAs[String]("wavhex") ==
+      "524946462400000057415645666D7420100000000100020044AC0000".toUpperCase)
+    // unknown container sniffs as unknown
+    val unk = Seq(Array[Byte](1, 2, 3, 4, 5)).toDF("p")
+      .select(Multimodal.mediaType(col("p"))).collect()(0).getString(0)
+    assert(unk == "unknown")
+  }
+
   test("multimodal: resize metadata + frame sampling shapes") {
     implicit val s = spark
     val rows = Seq(MediaRow(1, Array.fill[Byte](1000)(7), MediaMeta("video", 640, 480, 0))).toDS()
