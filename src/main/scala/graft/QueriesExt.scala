@@ -664,6 +664,46 @@ object QueriesExt {
                    CAST(max(len(string_split(text, ' '))) AS INT) AS max_doc_tokens
             FROM documents GROUP BY 1 ORDER BY shard"""))
 
+  private val curStratified = Q(
+    "curate_stratified_sample",
+    "Stratified sampling (class rebalancing): per-stratum keep rates from " +
+      "a broadcast rate table + the content-stable hash predicate — " +
+      "map-only after one broadcast join — then an EXACT per-stratum cap " +
+      "(500) by hash-ranked window, partitioned on the stratum so the " +
+      "rank never globalizes. Downsampling head classes while keeping " +
+      "tail classes whole is the rebalance every training mix needs; " +
+      "the hash makes any subsample reproducible across engines and runs.",
+    (s, d) => {
+      import s.implicits._
+      val rates = Seq(("O", 50), ("F", 200), ("P", 1000))
+        .toDF("o_orderstatus", "keep_per_mille")
+      val h = Dedup.tokenId(col("o_orderkey").cast("string"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy(col("hv"), col("o_orderkey"))
+      t(s, d, "orders")
+        .join(broadcast(rates), "o_orderstatus")
+        .withColumn("hv", h)
+        .filter(col("hv") % 1000 < col("keep_per_mille"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 500)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH r(o_orderstatus, keep_per_mille) AS
+                 (VALUES ('O', 50), ('F', 200), ('P', 1000)),
+            h AS (SELECT o_orderkey, o_orderstatus,
+                         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                           AS hv
+                  FROM orders)
+            SELECT o_orderkey, o_orderstatus FROM (
+              SELECT h.o_orderkey, h.o_orderstatus,
+                     row_number() OVER (PARTITION BY h.o_orderstatus
+                                        ORDER BY hv, o_orderkey) AS rk
+              FROM h JOIN r USING (o_orderstatus)
+              WHERE hv % 1000 < keep_per_mille)
+            WHERE rk <= 500
+            ORDER BY o_orderkey"""))
+
   // -------------------------------------------------------- binary plumbing
 
   private val mmBinary = Q(
@@ -724,6 +764,6 @@ object QueriesExt {
     simTopK, simLsh, simNearDup, simIvf,
     textStats, textLang, textFp, textTfidf, textTokCount,
     textHeavy, textPmi,
-    curSample, curFilter, curShards,
+    curSample, curFilter, curShards, curStratified,
     mmBinary, mmHeaders)
 }
