@@ -385,6 +385,98 @@ object QueriesExt {
             SELECT q_id, rank, cand, cos FROM r WHERE rank <= 5
             ORDER BY q_id, rank"""))
 
+  private val simQuantize = Q(
+    "sim_quantize_int8",
+    "Symmetric int8 embedding quantization: per-vector scale = max|x|/127, " +
+      "q_i = floor(x_i/scale + 0.5) — explicit floor(+0.5) half-up so both " +
+      "engines round identically — plus reconstruction error. Map-only " +
+      "HOFs over the vector column, zero shuffles at any corpus size; " +
+      "the integer q_sum is an EXACT cross-engine check (no FP haze).",
+    (s, d) => {
+      val v = Similarity.toDoubleVec(col("embedding"))
+      t(s, d, "embeddings")
+        .select(col("vec_id"), v.as("v"))
+        .withColumn("maxabs",
+          aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+        .withColumn("sc",
+          when(col("maxabs") === 0, lit(1.0)).otherwise(col("maxabs") / 127))
+        .withColumn("q",
+          transform(col("v"), x => floor(x / col("sc") + 0.5)))
+        .select(col("vec_id"),
+          round(col("sc"), 6).as("scale"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long"))
+            .as("q_sum"),
+          round(sqrt(aggregate(
+            zip_with(col("v"), col("q"), (x, q) =>
+              (x - q * col("sc")) * (x - q * col("sc"))),
+            lit(0.0), (acc, x) => acc + x)), 6).as("recon_err"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            m AS (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) AS maxabs
+                  FROM e),
+            s AS (SELECT vec_id, v,
+                         CASE WHEN maxabs = 0 THEN CAST(1.0 AS DOUBLE)
+                              ELSE maxabs / 127 END AS sc
+                  FROM m)
+            SELECT vec_id, round(sc, 6) AS scale,
+                   CAST(list_sum(list_transform(v,
+                        x -> CAST(floor(x / sc + 0.5) AS BIGINT))) AS BIGINT)
+                     AS q_sum,
+                   round(sqrt(list_sum(list_transform(v,
+                        x -> (x - floor(x / sc + 0.5) * sc)
+                           * (x - floor(x / sc + 0.5) * sc)))), 6) AS recon_err
+            FROM s ORDER BY vec_id"""))
+
+  private val simKmeans = Q(
+    "sim_kmeans_update",
+    "One k-means (Lloyd) iteration over embeddings: broadcast-argmin " +
+      "assignment to 8 coarse centroids (same compositional d2 as IVF, so " +
+      "assignment agrees bit-exactly across engines), then the centroid " +
+      "UPDATE — per-dimension means via posexplode + groupBy(cell, pos). " +
+      "The dim-fold row expansion is map-side only: partial aggregation " +
+      "collapses it to k x dim rows before the shuffle, so the exchange " +
+      "is 512 rows at any corpus size. Iterating this to convergence is " +
+      "the production centroid trainer for the IVF index.",
+    (s, d) => {
+      def emb() = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+      def cents() = t(s, d, "embeddings").filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), Similarity.toDoubleVec(col("embedding")).as("cv"))
+      def dotC(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        Similarity.dotComposed(x, y)
+      val cells = emb().crossJoin(broadcast(cents()))
+        .select(col("id"), col("vec"), struct(
+          (dotC(col("vec"), col("vec")) - lit(2) * dotC(col("vec"), col("cv")) +
+            dotC(col("cv"), col("cv"))).as("d2"), col("cid")).as("dc"))
+        .groupBy("id").agg(min(col("dc")).as("m"), first(col("vec")).as("vec"))
+        .select(col("id"), col("m.cid").as("cell"), col("vec"))
+      cells.select(col("cell"), posexplode(col("vec")).as(Seq("pos", "val")))
+        .groupBy("cell", "pos")
+        .agg(round(avg("val"), 6).as("c_new"), count(lit(1)).as("n_members"))
+        .orderBy("cell", "pos")
+    },
+    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+            c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id < 8),
+            cells AS (
+              SELECT id, m.cid AS cell FROM (
+                SELECT e.id,
+                       min(struct_pack(
+                         d2 := list_dot_product(e.v, e.v)
+                               - 2 * list_dot_product(e.v, c.cv)
+                               + list_dot_product(c.cv, c.cv),
+                         cid := c.cid)) AS m
+                FROM e CROSS JOIN c GROUP BY e.id)),
+            pts AS (SELECT cells.cell, p.pos, e.v[p.pos + 1] AS val
+                    FROM e JOIN cells ON e.id = cells.id
+                    CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p)
+            SELECT cell, CAST(pos AS INT) AS pos,
+                   round(avg(val), 6) AS c_new,
+                   count(*) AS n_members
+            FROM pts GROUP BY cell, pos ORDER BY cell, pos"""))
+
   // ----------------------------------------------------------- text analysis
 
   private val textStats = Q(
@@ -764,6 +856,6 @@ object QueriesExt {
     simTopK, simLsh, simNearDup, simIvf,
     textStats, textLang, textFp, textTfidf, textTokCount,
     textHeavy, textPmi,
-    curSample, curFilter, curShards, curStratified,
+    curSample, curFilter, curShards, curStratified, simQuantize, simKmeans,
     mmBinary, mmHeaders)
 }
