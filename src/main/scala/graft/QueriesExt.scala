@@ -796,6 +796,40 @@ object QueriesExt {
             WHERE rk <= 500
             ORDER BY o_orderkey"""))
 
+  private val curRedact = Q(
+    "curate_redact",
+    "PII-style scrub pass: email-shaped tokens → <EMAIL>, then digit runs " +
+      "→ <NUM>, with per-doc redaction counts and a digest of the scrubbed " +
+      "text (exact cross-engine check without shipping the text). Pure " +
+      "regex column ops — map-only, codegen'd, zero shuffles; the scrub " +
+      "order (emails before numbers) is part of the contract. DuckDB " +
+      "needs the explicit 'g' flag where Spark replaces globally.",
+    (s, d) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+      val noEmail = regexp_replace(col("text"), emailPat, "<EMAIL>")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(emailPat)).as("n_emails"),
+          regexp_count(noEmail, lit("\\d+")).as("n_nums"),
+          md5(regexp_replace(noEmail, "\\d+", "<NUM>")).as("scrub_digest"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH s AS (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g')
+                       AS no_email
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(no_email, '\d+')) AS BIGINT)
+                     AS n_nums,
+                   md5(regexp_replace(no_email, '\d+', '<NUM>', 'g'))
+                     AS scrub_digest
+            FROM s ORDER BY doc_id"""))
+
   // -------------------------------------------------------- binary plumbing
 
   private val mmBinary = Q(
@@ -856,6 +890,6 @@ object QueriesExt {
     simTopK, simLsh, simNearDup, simIvf,
     textStats, textLang, textFp, textTfidf, textTokCount,
     textHeavy, textPmi,
-    curSample, curFilter, curShards, curStratified, simQuantize, simKmeans,
+    curSample, curFilter, curShards, curStratified, curRedact, simQuantize, simKmeans,
     mmBinary, mmHeaders)
 }
