@@ -805,26 +805,47 @@ object QueriesExt {
       "order (emails before numbers) is part of the contract. DuckDB " +
       "needs the explicit 'g' flag where Spark replaces globally.",
     (s, d) => {
+      // the read-only synthetic corpus contains no email-shaped tokens or
+      // digit runs, so the query plants deterministic PII per doc (as
+      // mm_media_headers synthesizes payloads) — otherwise the oracle
+      // check would be vacuous and any scrub regression invisible
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@mail.example")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" ref "), col("doc_id") * 7)).otherwise(lit("")))
       val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
-      val noEmail = regexp_replace(col("text"), emailPat, "<EMAIL>")
       t(s, d, "documents")
+        .select(col("doc_id"), planted.as("t"))
+        .withColumn("no_email", regexp_replace(col("t"), emailPat, "<EMAIL>"))
         .select(col("doc_id"),
-          regexp_count(col("text"), lit(emailPat)).as("n_emails"),
-          regexp_count(noEmail, lit("\\d+")).as("n_nums"),
-          md5(regexp_replace(noEmail, "\\d+", "<NUM>")).as("scrub_digest"))
+          regexp_count(col("t"), lit(emailPat)).as("n_emails"),
+          regexp_count(col("no_email"), lit("\\d+")).as("n_nums"),
+          md5(regexp_replace(col("no_email"), "\\d+", "<NUM>")).as("scrub_digest"))
         .orderBy("doc_id")
     },
-    Some("""WITH s AS (
-              SELECT doc_id, text,
-                     regexp_replace(text,
+    Some("""WITH p AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@mail.example' ELSE '' END ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN ' ref ' || CAST(doc_id * 7 AS VARCHAR)
+                          ELSE '' END AS t
+              FROM documents),
+            s AS (
+              SELECT doc_id, t,
+                     regexp_replace(t,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g')
                        AS no_email
-              FROM documents)
+              FROM p)
             SELECT doc_id,
-                   CAST(len(regexp_extract_all(text,
-                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT)
+                   CAST(len(regexp_extract_all(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INT)
                      AS n_emails,
-                   CAST(len(regexp_extract_all(no_email, '\d+')) AS BIGINT)
+                   CAST(len(regexp_extract_all(no_email, '\d+')) AS INT)
                      AS n_nums,
                    md5(regexp_replace(no_email, '\d+', '<NUM>', 'g'))
                      AS scrub_digest

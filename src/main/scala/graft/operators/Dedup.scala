@@ -140,10 +140,26 @@ object Dedup {
     // Spark 4.1's Union constraint rewrite crashes (AttributeMap key not
     // found). Constraints would only add inferred IsNotNull filters here —
     // ids/labels are never null by construction — so nothing is lost.
+    // NOTE: the toggle is session-global, so this operator is not safe to
+    // run concurrently with other queries on the SAME SparkSession (their
+    // plans would lose inferred-filter constraints for the loop's
+    // duration, and two overlapping calls race on the restore).
     val spark = nodes.sparkSession
     val ccKey = "spark.sql.constraintPropagation.enabled"
     val ccPrev = spark.conf.getOption(ccKey)
     spark.conf.set(ccKey, "false")
+    // Dataset.unpersist() does NOT free localCheckpoint blocks (they are
+    // plain persisted RDDs, not CacheManager entries) — release each
+    // round's blocks eagerly via the underlying RDD, or executors hold
+    // every round's label table until GC-driven cleanup.
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectLeaves().collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    // empty input: sum(label) over zero rows is null — coalesce to 0 so
+    // an empty nodes frame converges to an empty result instead of NPE
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
     try {
     val n = nodes.toDF("id")
     val e0 = edges.toDF("a", "b")
@@ -153,7 +169,7 @@ object Dedup {
     // so planning cost grows superlinearly with rounds (measured 105 s at
     // 5 k docs before truncation)
     var labels = n.select(col("id"), col("id").as("label")).localCheckpoint(true)
-    var checksum = labels.agg(sum("label")).head().getLong(0)
+    var checksum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -180,8 +196,8 @@ object Dedup {
         .select(stepped("id"),
           coalesce(col("llabel"), stepped("label")).as("label"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum("label")).head().getLong(0)
-      labels.unpersist()
+      val nextSum = labelSum(next)
+      checkpointRdd(labels).foreach(_.unpersist(blocking = false))
       labels = next
       converged = nextSum == checksum // labels only decrease: equal sum = fixpoint
       checksum = nextSum

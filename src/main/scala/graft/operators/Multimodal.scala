@@ -72,46 +72,68 @@ object Multimodal {
 
   import org.apache.spark.sql.Column
 
-  /** A minimal well-formed PNG prefix: 8-byte signature + IHDR chunk
-    * (length=13, type, 4-byte big-endian width and height, 8-bit RGBA).
+  /** 4-byte little-endian hex of a value: the 4 bytes low-first, 2 hex
+    * digits each.
+    */
+  private def hexLe4(v: Column): Column =
+    concat((0 to 3).map(i =>
+      lpad(hex(shiftright(v.cast(LongType), 8 * i) % 256), 2, "0")): _*)
+
+  /** A complete well-formed PNG IHDR prefix: 8-byte signature + IHDR
+    * chunk with all 13 declared data bytes — 4-byte big-endian width and
+    * height, bit depth 8, color type 6 (RGBA), compression 0, filter 0,
+    * interlace 0.
     */
   def pngHeaderBytes(width: Column, height: Column): Column =
     unhex(concat(
       lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
       lpad(hex(width.cast(LongType)), 8, "0"),
       lpad(hex(height.cast(LongType)), 8, "0"),
-      lit("08060000")))
+      lit("0806000000")))
 
-  /** Parse width/height from PNG bytes: 4-byte big-endian ints at offsets
-    * 17 and 21 (1-based). big-endian == hex digit order, so hex→conv is
-    * the whole parse.
+  /** Parse a 4-byte big-endian unsigned field as a nullable int:
+    * big-endian == hex digit order, so hex→conv is the whole parse.
+    * Values outside the spec's positive int range (PNG dims are 1..2³¹−1)
+    * come back null instead of throwing under ANSI mode — one corrupt
+    * payload must not kill the job.
     */
-  def pngWidth(payload: Column): Column =
-    conv(hex(substring(payload, 17, 4)), 16, 10).cast(IntegerType)
-  def pngHeight(payload: Column): Column =
-    conv(hex(substring(payload, 21, 4)), 16, 10).cast(IntegerType)
+  private def be4AsInt(payload: Column, offset1Based: Int): Column = {
+    val v = conv(hex(substring(payload, offset1Based, 4)), 16, 10).cast(LongType)
+    when(v > 0 && v <= Int.MaxValue, v.cast(IntegerType))
+  }
 
-  /** Minimal WAV/RIFF prefix through the fmt chunk: sample rate is a
-    * 4-byte LITTLE-endian int at offset 25 (1-based).
+  /** Width/height from PNG bytes: offsets 17/21 (1-based); null if the
+    * field is out of the spec range (corrupt payload).
     */
-  def wavHeaderBytes(sampleRate: Column): Column = {
-    // little-endian: emit the 4 bytes low-first, each as 2 hex digits
-    val le = concat((0 to 3).map(i =>
-      lpad(hex(shiftright(sampleRate.cast(LongType), 8 * i) % 256), 2, "0")): _*)
+  def pngWidth(payload: Column): Column = be4AsInt(payload, 17)
+  def pngHeight(payload: Column): Column = be4AsInt(payload, 21)
+
+  /** A complete 44-byte WAV/RIFF header for 16-bit stereo PCM with an
+    * empty data chunk, so every declared size is consistent: RIFF size 36
+    * (= "WAVE" + full 24-byte fmt chunk + 8-byte data header + 0 data),
+    * fmt size 16 with all 16 body bytes present (PCM, 2 channels, sample
+    * rate, byte rate = rate×4, block align 4, bits 16). Sample rate and
+    * byte rate are 4-byte LITTLE-endian at offsets 25 and 29 (1-based).
+    */
+  def wavHeaderBytes(sampleRate: Column): Column =
     unhex(concat(
       lit("52494646" + "24000000" + "57415645" + "666D7420" +
         "10000000" + "0100" + "0200"),
-      le))
-  }
+      hexLe4(sampleRate),
+      hexLe4(sampleRate.cast(LongType) * 4),
+      lit("0400" + "1000" + "64617461" + "00000000")))
 
   /** Parse the sample rate back: reassemble the 4 little-endian bytes
     * (low-first) — endianness handled by explicit byte reassembly, not
-    * string reversal.
+    * string reversal. RIFF sample rate is unsigned 32-bit; values above
+    * Int.MaxValue come back null instead of an ANSI cast overflow.
     */
-  def wavSampleRate(payload: Column): Column =
-    (0 to 3).map(i =>
+  def wavSampleRate(payload: Column): Column = {
+    val v = (0 to 3).map(i =>
       conv(hex(substring(payload, 25 + i, 1)), 16, 10).cast(LongType) * (1L << (8 * i)))
-      .reduce((a, b) => a + b).cast(IntegerType)
+      .reduce((a, b) => a + b)
+    when(v <= Int.MaxValue, v.cast(IntegerType))
+  }
 
   /** Sniff the container from its magic number. */
   def mediaType(payload: Column): Column =

@@ -101,11 +101,24 @@ class ExtOpsSpec extends SparkSpec {
     // chain 0-1-2-3 (diameter 3 → needs multiple propagation rounds),
     // pair 5-6, self-loop 8, isolated 4/7/9
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L), (8L, 8L)).toDF("a", "b")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val out = Dedup.connectedComponents(nodes, edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(0L, 1L, 2L, 3L).forall(out(_) == 0L))
     assert(out(5L) == 5L && out(6L) == 5L)
     assert(Seq(4L, 7L, 8L, 9L).forall(i => out(i) == i))
+    // eager per-round cleanup: only the FINAL labels checkpoint may remain
+    // persisted (diameter-3 chain forces several rounds, each of which
+    // checkpoints — without the in-loop RDD unpersist this grows by ~2/round)
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter - persistedBefore <= 1,
+      s"round checkpoints leaked: $persistedBefore -> $persistedAfter persisted RDDs")
+  }
+
+  test("connected components: empty nodes frame returns empty, no NPE") {
+    val nodes = Seq.empty[Long].toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(nodes, edges).count() == 0)
   }
 
   test("capped bucketing: oversized buckets split by refinement planes") {

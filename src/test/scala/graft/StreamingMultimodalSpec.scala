@@ -143,7 +143,7 @@ class StreamingMultimodalSpec extends SparkSpec {
   }
 
   test("multimodal: PNG/WAV header build->parse round-trips the published layouts") {
-    import org.apache.spark.sql.functions.{col, hex, lit, typedLit}
+    import org.apache.spark.sql.functions.{col, hex, unhex}
     val df = Seq((256, 1, 44100), (16, 1039, 8000), (1, 1, 176400))
       .toDF("w", "h", "sr")
       .select(col("w"), col("h"), col("sr"),
@@ -164,12 +164,25 @@ class StreamingMultimodalSpec extends SparkSpec {
         assert(r.getAs[String]("tpng") == "png" && r.getAs[String]("twav") == "wav")
     }
     // golden bytes: the exact published layouts, not just self-consistency.
-    // PNG: signature, IHDR len 13, "IHDR", w=256, h=1 big-endian, 8-bit RGBA.
+    // PNG: signature, IHDR len 13, "IHDR", w=256, h=1 big-endian, then all
+    // 13 declared data bytes incl. the interlace byte.
     assert(out(0).getAs[String]("pnghex") ==
-      "89504E470D0A1A0A0000000D4948445200000100" + "0000000108060000")
-    // WAV: "RIFF", size 36, "WAVE", "fmt ", len 16, PCM, stereo, 44100 LE
+      "89504E470D0A1A0A0000000D4948445200000100" + "00000001" + "0806000000")
+    // WAV: "RIFF", size 36, "WAVE", full 16-byte fmt body (PCM, stereo,
+    // 44100 LE, byte rate 176400 LE, block align 4, bits 16), empty data
+    // chunk — declared sizes all consistent with the emitted 44 bytes.
     assert(out(0).getAs[String]("wavhex") ==
-      "524946462400000057415645666D7420100000000100020044AC0000".toUpperCase)
+      "524946462400000057415645666D7420100000000100020044AC0000" +
+        "10B1020004001000" + "6461746100000000")
+    // corrupt payloads parse to null, not an ANSI overflow crash
+    val corrupt = Seq(
+      ("89504E470D0A1A0A0000000D49484452FFFFFFFF" + "00000001" + "0806000000",
+        "52494646" + "24000000" + "57415645" + "666D7420" + "10000000" +
+          "0100" + "0200" + "FFFFFFFF")).toDF("p", "w")
+      .select(Multimodal.pngWidth(unhex(col("p"))).as("pw"),
+        Multimodal.wavSampleRate(unhex(col("w"))).as("sr"))
+      .collect()(0)
+    assert(corrupt.isNullAt(0) && corrupt.isNullAt(1))
     // unknown container sniffs as unknown
     val unk = Seq(Array[Byte](1, 2, 3, 4, 5)).toDF("p")
       .select(Multimodal.mediaType(col("p"))).collect()(0).getString(0)
