@@ -93,5 +93,86 @@ object QueriesWin {
                   FROM orders) x
             WHERE rk <= 3 ORDER BY o_custkey, rk"""))
 
-  val all: Seq[Q] = Seq(w1, w2, w3)
+  private val w5 = Q(
+    "w5_funnel",
+    "Ordered funnel (view → click-after-view → purchase-after-click) per " +
+      "user via a conditional-min cascade: each stage is min(ts) gated on " +
+      "the previous stage's timestamp. Three aggregations + two joins, " +
+      "ALL keyed on user_id — one logical shuffle key end to end, so at " +
+      "scale every stage is co-partitioned with the last (no data " +
+      "re-distribution between stages). Booleans out, no FP, no ts haze.",
+    (s, d) => {
+      val ev = t(s, d, "events").select("user_id", "event_type", "ts")
+      val v = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"))
+      val c = ev.join(v, "user_id")
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).as("t2"))
+      val p = ev.join(c, "user_id")
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).as("t3"))
+      v.join(c, "user_id").join(p, "user_id")
+        .select(col("user_id"),
+          col("t1").isNotNull.as("did_view"),
+          col("t2").isNotNull.as("did_click_after"),
+          col("t3").isNotNull.as("did_purchase_after"))
+        .orderBy("user_id")
+    },
+    Some("""WITH v AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+              FROM events GROUP BY 1),
+            c AS (
+              SELECT e.user_id,
+                     min(CASE WHEN e.event_type = 'click' AND e.ts > v.t1
+                              THEN e.ts END) AS t2
+              FROM events e JOIN v USING (user_id) GROUP BY 1),
+            p AS (
+              SELECT e.user_id,
+                     min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t2
+                              THEN e.ts END) AS t3
+              FROM events e JOIN c USING (user_id) GROUP BY 1)
+            SELECT v.user_id,
+                   t1 IS NOT NULL AS did_view,
+                   t2 IS NOT NULL AS did_click_after,
+                   t3 IS NOT NULL AS did_purchase_after
+            FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+            ORDER BY user_id"""))
+
+  private val w6 = Q(
+    "w6_retention",
+    "Cohort retention matrix: cohort = each user's first active day, " +
+      "retained(k) = distinct users active k days later (k ≤ 7). One agg " +
+      "for first-days, one distinct over (user, day) — both shuffle on " +
+      "user_id — then a user-keyed join and a small groupBy. The matrix " +
+      "is |days| x 8 rows regardless of event volume.",
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstDay = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val active = ev.distinct()
+      active.join(firstDay, "user_id")
+        .withColumn("k", datediff(col("day"), col("cohort_day")))
+        .filter(col("k") >= 0 && col("k") <= 7)
+        // ISO string, not DATE: pandas reads Spark's date32 as Timestamp
+        // but DuckDB DATE as datetime.date — strings compare identically
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("k"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_day", "k")
+    },
+    Some("""WITH ev AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+            f AS (
+              SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+            SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+                   CAST(date_diff('day', cohort_day, day) AS INT) AS k,
+                   count(DISTINCT ev.user_id) AS n_active
+            FROM ev JOIN f USING (user_id)
+            WHERE date_diff('day', cohort_day, day) BETWEEN 0 AND 7
+            GROUP BY 1, 2 ORDER BY cohort_day, k"""))
+
+  val all: Seq[Q] = Seq(w1, w2, w3, w5, w6)
 }
