@@ -549,11 +549,14 @@ object QueriesExt {
       val docs = t(s, d, "documents")
       val n = docs.count() // corpus size: driver scalar, one cheap job
       val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      val tfBase = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      val tf = tfBase
         .withColumn("len", sum("cnt").over(
           org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      val df_ = toks.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).as("df"))
+      // df derives from the tf aggregate (one row per doc×tok already) —
+      // no second token explode, no separate distinct shuffle, and the
+      // shared tf exchange is a ReusedExchange candidate for AQE
+      val df_ = tfBase.groupBy("tok").agg(count(lit(1)).as("df"))
       val scored = tf.join(df_, "tok")
         .withColumn("tfidf",
           round((col("cnt") / col("len")) * log(lit(n.toDouble) / col("df")), 6))
