@@ -80,6 +80,40 @@ class PlanSpec extends SparkSpec {
       "no partial aggregation before the shuffle")
   }
 
+  test("stratified sample: rate table broadcasts; rank window partitioned") {
+    val plan = planOf("curate_stratified_sample")
+    assert(plan.contains("BroadcastHashJoin"), "rate table should broadcast")
+    assert(!plan.contains("SortMergeJoin"))
+    // the cap's row_number must never be a global (unpartitioned) window:
+    // every windowspecdefinition must carry the stratum partition key
+    // (collect on the executedPlan sees nothing under AQE's wrapper, so
+    // assert on the plan string)
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("o_orderstatus")),
+      s"cap rank runs as a global single-partition window: $specs")
+  }
+
+  test("kmeans update: centroid pass broadcast; dim-fold aggregates map-side") {
+    val df = Queries.byName("sim_kmeans_update").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "centroids must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "no shuffled or cartesian join in the assignment pass")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "per-dimension means must partially aggregate before the exchange")
+  }
+
+  test("funnel: every stage keyed on user_id only — no second shuffle key") {
+    val df = Queries.byName("w5_funnel").fn(spark, sf)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.toString
+    }
+    assert(exchanges.forall(_.contains("user_id")),
+      s"funnel shuffles on a non-user key: $exchanges")
+  }
+
   test("events reader rebuilds µs timestamps from nanos") {
     val df = Engine.table(spark, sf, "events")
     assert(df.schema("ts").dataType.typeName == "timestamp")

@@ -13,6 +13,26 @@ import graft.pipeline.Schemas
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("media header property: PNG and WAV fields round-trip for random values") {
+    import graft.operators.Multimodal
+    val dims = Gen.listOfN(40, for {
+      w <- Gen.chooseNum(1, Int.MaxValue)
+      h <- Gen.chooseNum(1, Int.MaxValue)
+      sr <- Gen.chooseNum(1, Int.MaxValue)
+    } yield (w, h, sr)).sample.get
+    val out = dims.toDF("w", "h", "sr")
+      .select(col("w"), col("h"), col("sr"),
+        Multimodal.pngWidth(Multimodal.pngHeaderBytes(col("w"), col("h"))).as("pw"),
+        Multimodal.pngHeight(Multimodal.pngHeaderBytes(col("w"), col("h"))).as("ph"),
+        Multimodal.wavSampleRate(Multimodal.wavHeaderBytes(col("sr"))).as("psr"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(3) == r.getInt(0) && r.getInt(4) == r.getInt(1),
+        s"png dims ${r.getInt(0)}x${r.getInt(1)} -> ${r.getInt(3)}x${r.getInt(4)}")
+      assert(r.getInt(5) == r.getInt(2), s"wav sr ${r.getInt(2)} -> ${r.getInt(5)}")
+    }
+  }
+
   test("tokenId property: matches direct MD5-prefix computation, in [0, 2^32)") {
     val words = Gen.listOfN(60,
       Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)).sample.get.distinct
