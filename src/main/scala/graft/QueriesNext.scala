@@ -239,7 +239,96 @@ object QueriesNext {
             FROM hits JOIN totals USING (doc_id)
             ORDER BY doc_id"""))
 
+  // ------------------------------------------- j16: banded interval overlap
+
+  private val j16 = Q(
+    "j16_interval_overlap",
+    "Large-large interval-overlap join, banded: both interval sets " +
+      "(order activity spans × campaign windows derived from part) " +
+      "explode into fixed 32-day bands, equi-join on the band key, then " +
+      "exact overlap predicate + pair dedup. Band width ≥ max interval " +
+      "length ⇒ ≤2 bands per interval, so the shuffle is a plain hash " +
+      "equi-join at any scale — no broadcast requirement on either side " +
+      "and never the O(n·m) nested loop a raw range predicate plans " +
+      "(contrast j11_range_join, where one side is genuinely tiny and " +
+      "broadcast-NL is the right call).",
+    (s, d) => {
+      val base = to_date(lit("1995-01-01"))
+      val o = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        datediff(col("o_orderdate"), base).as("sa"))
+        .withColumn("ea", col("sa") + 1 + col("o_orderkey") % 14)
+      val c = t(s, d, "part").select(
+        col("p_partkey").as("campaign_id"),
+        ((col("p_partkey") * 13) % 2400).as("sb"))
+        .withColumn("eb", col("sb") + 10 + col("campaign_id") % 20)
+      def banded(df: DataFrame, lo: String, hi: String) =
+        df.withColumn("band",
+          explode(sequence((col(lo) / 32).cast(IntegerType),
+            (col(hi) / 32).cast(IntegerType))))
+      val pairs = banded(o, "sa", "ea").join(banded(c, "sb", "eb"), Seq("band"))
+        .filter(col("sa") <= col("eb") && col("sb") <= col("ea"))
+        .select("campaign_id", "sb", "eb", "o_orderkey", "o_totalprice")
+        .distinct() // a pair can share 2 bands
+      pairs.groupBy("campaign_id", "sb", "eb")
+        .agg(count(lit(1)).as("n_orders"), centsSum(col("o_totalprice")).as("total"))
+        .orderBy("campaign_id")
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_totalprice,
+                              date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS sa,
+                              date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                                + 1 + o_orderkey % 14 AS ea
+                       FROM orders),
+                 c AS (SELECT p_partkey AS campaign_id,
+                              (p_partkey * 13) % 2400 AS sb,
+                              (p_partkey * 13) % 2400 + 10 + p_partkey % 20 AS eb
+                       FROM part)
+            SELECT campaign_id, sb, eb, count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total
+            FROM c JOIN o ON sa <= eb AND sb <= ea
+            GROUP BY campaign_id, sb, eb
+            ORDER BY campaign_id"""))
+
+  // ---------------------------------------------- mm: video frame sampling
+
+  private val mmFrames = Q(
+    "mm_frame_sample",
+    "Video frame-sampling plumbing: synthesize a container per doc " +
+      "(4-byte magic, 4-byte big-endian frame count, fixed 4-byte " +
+      "frames), then the sampling pass reads ONLY the payload bytes — " +
+      "parses the frame count back out of the header, explodes every " +
+      "3rd frame index, and slices each sampled frame by computed byte " +
+      "offset (Column.substr with a per-row position). Pure codegen'd " +
+      "column expressions, map-side only — at scale this is the shape " +
+      "that feeds frame batches to a decode kernel without ever " +
+      "shuffling payload bytes. The oracle computes the expected " +
+      "samples independently, so the graded check is that build→parse " +
+      "round-trips the container layout exactly.",
+    (s, d) => {
+      val nf = (lit(4) + col("doc_id") % 8).cast(IntegerType)
+      val framesHex = array_join(transform(sequence(lit(0), nf - 1),
+        f => lpad(hex((col("doc_id") * 1000003 + f * 97) % lit(4294967296L)), 8, "0")), "")
+      val payload = unhex(concat(
+        lit("47564944"), lpad(hex(nf.cast(LongType)), 8, "0"), framesHex))
+      val media = t(s, d, "documents").select(col("doc_id"), payload.as("payload"))
+      val nfParsed = conv(hex(substring(col("payload"), 5, 4)), 16, 10).cast(IntegerType)
+      media
+        .withColumn("frame_idx", explode(sequence(lit(0), nfParsed - 1, lit(3))))
+        .select(col("doc_id"),
+          col("frame_idx").cast(LongType).as("frame_idx"),
+          (lit(9) + col("frame_idx") * 4).cast(IntegerType).as("byte_offset"),
+          conv(hex(col("payload").substr(lit(9) + col("frame_idx") * 4, lit(4))), 16, 10)
+            .cast(LongType).as("frame_val"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH f AS (SELECT doc_id, unnest(range(0, 4 + doc_id % 8, 3)) AS f
+                       FROM documents)
+            SELECT doc_id, f AS frame_idx,
+                   CAST(9 + f * 4 AS INT) AS byte_offset,
+                   (doc_id * 1000003 + f * 97) % 4294967296 AS frame_val
+            FROM f ORDER BY doc_id, frame_idx"""))
+
   // ------------------------------------------------------------------- all
 
-  val all: Seq[Q] = Seq(w7, a15, a16, dedupCos, contam)
+  val all: Seq[Q] = Seq(w7, a15, a16, dedupCos, contam, j16, mmFrames)
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan + value assertions for the late-round-2 tier (QueriesNext):
+  * the banded interval join must never plan a nested loop, the
+  * decontamination probe must broadcast only the eval side, the planted
+  * near-dup pass must recover plants through the LSH buckets, and the
+  * frame sampler must round-trip the container byte layout.
+  */
+class NextOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    Queries.byName(name).fn(spark, sf).queryExecution.executedPlan.toString
+
+  test("j16: banding turns the interval overlap into a pure equi-join") {
+    val plan = planOf("j16_interval_overlap")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "interval overlap planned as a nested loop — banding key didn't take")
+  }
+
+  test("contamination: eval shingles broadcast; corpus never shuffles on the gram key") {
+    val plan = planOf("curate_contamination")
+    assert(plan.contains("BroadcastHashJoin"), "eval shingle set must broadcast")
+    // exactly one gram-key exchange is acceptable: the EVAL-side distinct,
+    // which shuffles only benchmark shingles (MBs at any corpus size). A
+    // second one would mean the corpus gram stream itself shuffles —
+    // O(total corpus shingles) over the wire. doc_id exchanges (per-doc
+    // aggregation) are the operator's natural shuffle.
+    // (assert on the plan string: tree collect sees nothing under AQE)
+    val gramExchanges =
+      "Exchange hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
+        .filterNot(_.contains("doc_id"))
+    assert(gramExchanges.size <= 1,
+      s"corpus gram stream shuffled on the gram key: $gramExchanges")
+  }
+
+  test("embedding near-dup recovers only planted pairs, via buckets not cross join") {
+    val plan = planOf("dedup_embedding_cosine")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "near-dup pair generation fell back to the cross product")
+    val rows = Queries.byName("dedup_embedding_cosine").fn(spark, sf).collect()
+    assert(rows.nonEmpty, "no planted near-dup recovered — threshold pass is vacuous")
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) + 100000),
+      "a non-planted pair crossed the 0.95 threshold")
+  }
+
+  test("w7 lag/lead runs in exactly one hash shuffle, keyed on user_id") {
+    // rangepartitioning from the final presentation orderBy is expected;
+    // the window itself must cost exactly one user_id hash exchange
+    val plan = planOf("w7_lag_lead")
+    val hashEx = "Exchange hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("user_id"),
+      s"lag/lead needs one user_id hash exchange, found: $hashEx")
+  }
+
+  test("a15 grouping sets aggregate in ONE pass (single Expand, partial agg)") {
+    val plan = planOf("a15_grouping_sets")
+    assert("Expand".r.findAllIn(plan).size >= 1, "grouping sets lost the Expand")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "no partial aggregation before the exchange")
+  }
+
+  test("a16 typed top-k partially aggregates map-side") {
+    val plan = planOf("a16_topk_agg")
+    // ObjectHashAggregate partial + final: the shuffle carries ≤k-row
+    // buffers per map-side group, not the raw rows
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      "typed aggregator shuffles raw rows instead of partial buffers")
+  }
+
+  test("frame sampler round-trips the container layout byte-exactly") {
+    val rows = Queries.byName("mm_frame_sample").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docId, f, off, v) = (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))
+      assert(f % 3 == 0, "sampled a non-stride frame")
+      assert(off == 9 + f * 4, "byte offset drifted from the container layout")
+      assert(v == (docId * 1000003L + f * 97) % 4294967296L,
+        s"frame bytes corrupted for doc $docId frame $f")
+    }
+  }
+}
