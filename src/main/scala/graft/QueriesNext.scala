@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.engine.Engine
-import graft.operators.{Similarity, TopKAggregator}
+import graft.operators.{Graph, Similarity, TopKAggregator, TextAnalysis => TA}
 
 /** Round-2 late-extension tier: event-sequence windows, grouping sets,
   * the typed top-k UDAF as a graded query, and large-scale curation ops
@@ -266,10 +266,15 @@ object QueriesNext {
         df.withColumn("band",
           explode(sequence((col(lo) / 32).cast(IntegerType),
             (col(hi) / 32).cast(IntegerType))))
+      // one-band-per-pair dedup: a pair can share 2 bands, but its
+      // overlap START max(sa,sb) lies in exactly one — keep the match
+      // only there. No distinct: the multi-million-row pair stream goes
+      // straight into map-side partial aggregation instead of
+      // materializing a wide dedup hash (measured: the distinct version
+      // GC-stalled an 8 GB driver for 6 min at sf0.1; this one streams).
       val pairs = banded(o, "sa", "ea").join(banded(c, "sb", "eb"), Seq("band"))
-        .filter(col("sa") <= col("eb") && col("sb") <= col("ea"))
-        .select("campaign_id", "sb", "eb", "o_orderkey", "o_totalprice")
-        .distinct() // a pair can share 2 bands
+        .filter(col("sa") <= col("eb") && col("sb") <= col("ea") &&
+          col("band") === (greatest(col("sa"), col("sb")) / 32).cast(IntegerType))
       pairs.groupBy("campaign_id", "sb", "eb")
         .agg(count(lit(1)).as("n_orders"), centsSum(col("o_totalprice")).as("total"))
         .orderBy("campaign_id")
@@ -328,7 +333,316 @@ object QueriesNext {
                    (doc_id * 1000003 + f * 97) % 4294967296 AS frame_val
             FROM f ORDER BY doc_id, frame_idx"""))
 
+  // ------------------------------------------------- p10: SCD2 history build
+
+  private val p10 = Q(
+    "p10_scd2_history",
+    "Slowly-changing-dimension (type 2) history build via gaps-and-" +
+      "islands: per-customer status runs become validity intervals — " +
+      "change marker (lag) → running island id → per-island min/count → " +
+      "valid_to = next island's valid_from (lead), open interval = " +
+      "current row. Every window is keyed on the customer, so the whole " +
+      "build is one hash shuffle; no self-join against the history.",
+    (s, d) => {
+      val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val marked = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+        .withColumn("chg",
+          when(lag("o_orderstatus", 1).over(byCust).isNull ||
+            lag("o_orderstatus", 1).over(byCust) =!= col("o_orderstatus"), 1)
+            .otherwise(0))
+        .withColumn("island", sum("chg").over(
+          byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val islands = marked.groupBy("o_custkey", "island", "o_orderstatus")
+        .agg(min("o_orderdate").as("valid_from"), count(lit(1)).as("n_orders"))
+      val byIsland = Window.partitionBy("o_custkey").orderBy("island")
+      islands
+        .withColumn("valid_to", lead("valid_from", 1).over(byIsland))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("o_custkey", "island", "o_orderstatus", "valid_from",
+          "valid_to", "is_current", "n_orders")
+        .orderBy("o_custkey", "island")
+    },
+    Some("""WITH marked AS (
+              SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+                     CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                            OR lag(o_orderstatus) OVER w <> o_orderstatus
+                          THEN 1 ELSE 0 END AS chg
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+            isl AS (
+              SELECT *, CAST(sum(chg) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+              FROM marked),
+            g AS (
+              SELECT o_custkey, island, o_orderstatus,
+                     min(o_orderdate) AS valid_from, count(*) AS n_orders
+              FROM isl GROUP BY o_custkey, island, o_orderstatus)
+            SELECT o_custkey, island, o_orderstatus, valid_from,
+                   lead(valid_from) OVER w2 AS valid_to,
+                   lead(valid_from) OVER w2 IS NULL AS is_current,
+                   n_orders
+            FROM g WINDOW w2 AS (PARTITION BY o_custkey ORDER BY island)
+            ORDER BY o_custkey, island"""))
+
+  // ------------------------------------------------- p11: MERGE / upsert
+
+  private val p11 = Q(
+    "p11_upsert_merge",
+    "MERGE INTO semantics (CDC upsert batch): deterministic updates " +
+      "(U: reassign segment + adjust balance, D: delete, I: new keys) " +
+      "applied to the customer base via ONE full outer join on the key " +
+      "+ J5 coalesce precedence — matched-U takes update values, " +
+      "matched-D drops, unmatched-I inserts, untouched base rows pass " +
+      "through. Full outer can't broadcast, and shouldn't: at scale " +
+      "this is one hash-partitioned merge join on the key — the same " +
+      "plan a lakehouse MERGE executes.",
+    (s, d) => {
+      val base = t(s, d, "customer")
+      def k = col("c_custkey")
+      val dels = base.filter(k % 11 === 0)
+        .select(k.as("k"), lit("D").as("op"),
+          lit(null).cast("string").as("u_seg"), lit(null).cast("double").as("u_bal"))
+      val upds = base.filter(k % 11 =!= 0 && k % 7 === 0)
+        .select(k.as("k"), lit("U").as("op"),
+          lit("REASSIGNED").as("u_seg"), (col("c_acctbal") + 100).as("u_bal"))
+      val ins = base.filter(k % 13 === 0)
+        .select((k + 1000000).as("k"), lit("I").as("op"),
+          lit("INSERTED").as("u_seg"), (k % 1000).cast("double").as("u_bal"))
+      val updates = dels.unionByName(upds).unionByName(ins)
+      base.join(updates, k === col("k"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(
+          coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+          coalesce(col("u_seg"), col("c_mktsegment")).as("c_mktsegment"),
+          coalesce(col("u_bal"), col("c_acctbal")).as("c_acctbal"),
+          when(col("op").isNull, "kept")
+            .when(col("op") === "U", "updated")
+            .otherwise("inserted").as("src"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH upd AS (
+              SELECT c_custkey AS k, 'D' AS op,
+                     CAST(NULL AS VARCHAR) AS u_seg, CAST(NULL AS DOUBLE) AS u_bal
+              FROM customer WHERE c_custkey % 11 = 0
+              UNION ALL
+              SELECT c_custkey, 'U', 'REASSIGNED', c_acctbal + 100
+              FROM customer WHERE c_custkey % 11 <> 0 AND c_custkey % 7 = 0
+              UNION ALL
+              SELECT c_custkey + 1000000, 'I', 'INSERTED',
+                     CAST(c_custkey % 1000 AS DOUBLE)
+              FROM customer WHERE c_custkey % 13 = 0)
+            SELECT coalesce(c.c_custkey, u.k) AS c_custkey,
+                   coalesce(u.u_seg, c.c_mktsegment) AS c_mktsegment,
+                   coalesce(u.u_bal, c.c_acctbal) AS c_acctbal,
+                   CASE WHEN u.op IS NULL THEN 'kept'
+                        WHEN u.op = 'U' THEN 'updated'
+                        ELSE 'inserted' END AS src
+            FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.k
+            WHERE coalesce(u.op, '') <> 'D'
+            ORDER BY c_custkey"""))
+
+  // ------------------------------------------------- a17: fixed-width histogram
+
+  private val a17 = Q(
+    "a17_histogram",
+    "Fixed-width histogram (20 × 25k buckets over order totals, top " +
+      "bucket open): bucket id is a pure map-side expression, so the " +
+      "whole histogram is one partial-agg'd groupBy on ≤20 keys — the " +
+      "shuffle carries 20 rows per map task regardless of input size",
+    (s, d) => {
+      val bucket = least(floor(col("o_totalprice") / 25000.0), lit(19.0)).cast(LongType)
+      t(s, d, "orders")
+        .select(bucket.as("bucket"), col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("total"))
+        .withColumn("lo", (col("bucket") * 25000).cast("double"))
+        .select("bucket", "lo", "n", "total")
+        .orderBy("bucket")
+    },
+    Some("""SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT) AS bucket,
+                   CAST(least(floor(o_totalprice / 25000.0), 19) * 25000 AS DOUBLE) AS lo,
+                   count(*) AS n,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total
+            FROM orders GROUP BY 1, 2 ORDER BY bucket"""))
+
+  // --------------------------------------------- a18: physical top-k per key
+
+  private val a18 = Q(
+    "a18_topk_physical",
+    "Per-key top-k via the custom physical operator " +
+      "(plans.TopKPerKey: LogicalPlan + Strategy + two-phase SparkPlan " +
+      "with bounded per-partition heaps): top-3 orders by price per " +
+      "priority class. Identical answer to the window row_number form " +
+      "— the oracle IS that SQL — but the shuffle carries ≤k rows per " +
+      "key per map partition instead of sorting every group in full.",
+    (s, d) => {
+      val topk = graft.plans.TopKPerKey(
+        t(s, d, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      // rank the ≤ 5·3 survivors (the window below never sees more rows)
+      topk.withColumn("rank", row_number().over(
+          Window.partitionBy("o_orderpriority")
+            .orderBy(desc("o_totalprice"), col("o_orderkey"))))
+        .select(col("o_orderpriority"), col("rank"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderpriority", "rank")
+    },
+    Some("""SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_orderpriority
+                                            ORDER BY o_totalprice DESC, o_orderkey)
+                           AS rank
+                  FROM orders)
+            WHERE rank <= 3
+            ORDER BY o_orderpriority, rank"""))
+
+  // ----------------------------------------------- g1: integer PageRank
+
+  private val g1 = Q(
+    "g1_pagerank",
+    "PageRank (5 rounds, integer arithmetic) over the customer↔supplier " +
+      "trade graph: operators.Graph.pageRankInt — contribution sums are " +
+      "integers, so every round is order-independent and bit-exact " +
+      "across engines (float PageRank can't be hash-graded). Two " +
+      "shuffles per round, ranks checkpointed round-over-round, blocks " +
+      "freed eagerly; the oracle replays all 5 rounds in SQL.",
+    (s, d) => {
+      val oli = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+      val fwd = oli.select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000).as("dst"))
+      val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRankInt(edges, 5).orderBy("node")
+    },
+    Some("""WITH fwd AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+                         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            edges AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+            nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+            outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            r0 AS (SELECT node, 1000000 AS rank FROM nodes),
+            r1 AS (SELECT n.node,
+                          150000 + (850 * coalesce(sum(r.rank // o.deg), 0)) // 1000 AS rank
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r0 r ON r.node = e.src
+                   LEFT JOIN outdeg o ON o.src = e.src
+                   GROUP BY n.node),
+            r2 AS (SELECT n.node,
+                          150000 + (850 * coalesce(sum(r.rank // o.deg), 0)) // 1000 AS rank
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r1 r ON r.node = e.src
+                   LEFT JOIN outdeg o ON o.src = e.src
+                   GROUP BY n.node),
+            r3 AS (SELECT n.node,
+                          150000 + (850 * coalesce(sum(r.rank // o.deg), 0)) // 1000 AS rank
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r2 r ON r.node = e.src
+                   LEFT JOIN outdeg o ON o.src = e.src
+                   GROUP BY n.node),
+            r4 AS (SELECT n.node,
+                          150000 + (850 * coalesce(sum(r.rank // o.deg), 0)) // 1000 AS rank
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r3 r ON r.node = e.src
+                   LEFT JOIN outdeg o ON o.src = e.src
+                   GROUP BY n.node),
+            r5 AS (SELECT n.node,
+                          150000 + (850 * coalesce(sum(r.rank // o.deg), 0)) // 1000 AS rank
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r4 r ON r.node = e.src
+                   LEFT JOIN outdeg o ON o.src = e.src
+                   GROUP BY n.node)
+            SELECT node, CAST(rank AS BIGINT) AS rank FROM r5 ORDER BY node"""))
+
+  // ---------------------------------------- curation: end-to-end pipeline
+
+  private val curPipe = Q(
+    "curate_pipeline_e2e",
+    "The full curation DAG in one lineage — quality gate (score + " +
+      "language) → exact dedup (min doc per content hash, window not " +
+      "join) → benchmark decontamination (broadcast eval 4-gram set, " +
+      "anti-join) → stable-hash shard assignment with per-shard " +
+      "doc/token accounting. Three shuffles total (dedup hash, " +
+      "contamination doc-distinct, shard agg); the corpus text streams " +
+      "map-side through every gate. This is the operator composition a " +
+      "training-data run executes end to end.",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+      def gramsOf(c: Column): Column =
+        when(size(c) >= 4,
+          array_distinct(transform(sequence(lit(1), size(c) - 3),
+            i => concat_ws(" ", element_at(c, i), element_at(c, i + 1),
+              element_at(c, i + 2), element_at(c, i + 3)))))
+          .otherwise(array().cast("array<string>"))
+      val kept = docs.filter(col("doc_id") % 97 =!= 0)
+        .filter(TA.qualityScore(col("text")) >= 0.3 &&
+          TA.langIdEn(col("text")) === "en")
+      val byContent = Window.partitionBy(md5(col("text")))
+      val deduped = kept
+        .withColumn("keep_id", min("doc_id").over(byContent))
+        .filter(col("doc_id") === col("keep_id"))
+        .select("doc_id", "text", "toks")
+      val heldGrams = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(gramsOf(col("toks"))).as("g")).distinct()
+      val contaminated = deduped
+        .select(col("doc_id"), explode(gramsOf(col("toks"))).as("g"))
+        .join(broadcast(heldGrams), "g")
+        .select("doc_id").distinct()
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      clean
+        .select((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast(LongType) % 8).as("shard"),
+          size(col("toks")).as("n_toks"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+        .orderBy("shard")
+    },
+    Some("""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                       FROM documents),
+            scored AS (
+              SELECT doc_id, text, toks,
+                     round(least(CAST(1.0 AS DOUBLE), len(toks) / 100.0) *
+                           (1.0 - len(list_filter(toks,
+                              x -> x IN ('the','a','of','and','to'))) / len(toks)), 6)
+                       AS q,
+                     CASE WHEN len(list_filter(toks,
+                            x -> x IN ('the','a','of','and','to'))) /
+                          len(toks) > 0.05
+                          THEN 'en' ELSE 'other' END AS lang
+              FROM d),
+            kept AS (SELECT doc_id, text, toks FROM scored
+                     WHERE doc_id % 97 <> 0 AND q >= 0.3 AND lang = 'en'),
+            dedup AS (SELECT doc_id, text, toks FROM kept
+                      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+            heldsh AS (SELECT list_distinct([array_to_string(toks[i+1:i+4], ' ')
+                                             FOR i IN range(0, len(toks)-3)]) AS gs
+                       FROM d WHERE doc_id % 97 = 0 AND len(toks) >= 4),
+            heldg AS (SELECT DISTINCT unnest(gs) AS g FROM heldsh),
+            dsh AS (SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+4], ' ')
+                                                  FOR i IN range(0, len(toks)-3)]) AS gs
+                    FROM dedup WHERE len(toks) >= 4),
+            contaminated AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest(gs) AS g FROM dsh) x
+              JOIN heldg USING (g)),
+            clean AS (SELECT * FROM dedup
+                      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+            SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                     AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+            FROM clean GROUP BY shard ORDER BY shard"""))
+
   // ------------------------------------------------------------------- all
 
-  val all: Seq[Q] = Seq(w7, a15, a16, dedupCos, contam, j16, mmFrames)
+  val all: Seq[Q] = Seq(w7, a15, a16, dedupCos, contam, j16, mmFrames,
+    p10, p11, a17, a18, g1, curPipe)
 }

@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayDotProduct(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => FuseArrayDot)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

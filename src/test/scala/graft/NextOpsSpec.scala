@@ -71,6 +71,32 @@ class NextOpsSpec extends SparkSpec {
       "typed aggregator shuffles raw rows instead of partial buffers")
   }
 
+  test("scd2: every window keyed on the customer — no global window, no self-join") {
+    val plan = planOf("p10_scd2_history")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("o_custkey")),
+      s"an SCD2 window runs unpartitioned (single-partition sort): $specs")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "SCD2 build should be windows over one keyed stream, not a history self-join")
+  }
+
+  test("upsert merge applies U/D/I exactly: deletes gone, inserts present, rest kept") {
+    val rows = Queries.byName("p11_upsert_merge").fn(spark, sf).collect()
+    val byKey = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(byKey.keys.forall(k => k >= 1000000 || k % 11 != 0), "a deleted key survived")
+    assert(byKey.filter(_._1 >= 1000000).values.forall(_ == "inserted"))
+    assert(byKey.filter { case (k, _) => k < 1000000 && k % 11 != 0 && k % 7 == 0 }
+      .values.forall(_ == "updated"), "a matched update row kept its base values")
+    assert(byKey.filter { case (k, _) => k < 1000000 && k % 11 != 0 && k % 7 != 0 }
+      .values.forall(_ == "kept"))
+  }
+
+  test("histogram aggregates map-side; shuffle carries only bucket rows") {
+    val plan = planOf("a17_histogram")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "no partial aggregation before the exchange")
+  }
+
   test("frame sampler round-trips the container layout byte-exactly") {
     val rows = Queries.byName("mm_frame_sample").fn(spark, sf).collect()
     assert(rows.nonEmpty)
