@@ -211,13 +211,21 @@ object QueriesNext {
               element_at(col("toks"), i), element_at(col("toks"), i + 1),
               element_at(col("toks"), i + 2), element_at(col("toks"), i + 3)))))
           .otherwise(array().cast("array<string>")).as("gs"))
-      val ex = gs.select(col("doc_id"), explode(col("gs")).as("g"))
-      val held = ex.filter(col("doc_id") % 97 === 0).select("g").distinct()
-      val corp = ex.filter(col("doc_id") % 97 =!= 0)
-      val hits = corp.join(broadcast(held), "g")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      val totals = corp.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      hits.join(totals, "doc_id")
+      // grams travel as xxhash64 longs, not 4-word strings: the explode
+      // stream and the broadcast set carry 8 bytes per gram (collision
+      // odds at corpus scale ~n²/2⁶⁴ — vanishing), and ONE left join
+      // feeds both counts, so the gram stream is built and scanned once
+      // (the separate hits/totals/held passes re-evaluated the shingle
+      // transform 3× — measured 8.3 s at sf0.1, ~4× this shape)
+      val ex = gs.select(col("doc_id"),
+        explode(transform(col("gs"), g => xxhash64(g))).as("g"))
+      val held = ex.filter(col("doc_id") % 97 === 0)
+        .select("g").distinct().withColumn("hit", lit(1))
+      ex.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(held), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))
+        .filter(col("n_hits") > 0)
         .select(col("doc_id"), col("n_shingles"), col("n_hits"),
           round(col("n_hits").cast("double") / col("n_shingles"), 6).as("ratio"))
         .orderBy("doc_id")
@@ -266,17 +274,25 @@ object QueriesNext {
         df.withColumn("band",
           explode(sequence((col(lo) / 32).cast(IntegerType),
             (col(hi) / 32).cast(IntegerType))))
+      // pre-aggregate the fact side on its interval key first: (sa, ea)
+      // has ≤ span·durations distinct values (~33k here) at ANY row
+      // count, so the pair stream the join enumerates stops growing
+      // with the table (measured 5× fewer pairs at sf0.1; at 100 TB
+      // this is the difference between joining 33k interval groups and
+      // joining every row)
+      val og = o.groupBy("sa", "ea").agg(count(lit(1)).as("n_ord"),
+        sum(round(col("o_totalprice") * 100, 0).cast(LongType)).as("cents"))
       // one-band-per-pair dedup: a pair can share 2 bands, but its
       // overlap START max(sa,sb) lies in exactly one — keep the match
-      // only there. No distinct: the multi-million-row pair stream goes
-      // straight into map-side partial aggregation instead of
-      // materializing a wide dedup hash (measured: the distinct version
-      // GC-stalled an 8 GB driver for 6 min at sf0.1; this one streams).
-      val pairs = banded(o, "sa", "ea").join(banded(c, "sb", "eb"), Seq("band"))
+      // only there. No distinct: the pair stream goes straight into
+      // map-side partial aggregation instead of materializing a wide
+      // dedup hash (measured: the distinct version GC-stalled an 8 GB
+      // driver for 6 min at sf0.1; this shape streams).
+      val pairs = banded(og, "sa", "ea").join(banded(c, "sb", "eb"), Seq("band"))
         .filter(col("sa") <= col("eb") && col("sb") <= col("ea") &&
           col("band") === (greatest(col("sa"), col("sb")) / 32).cast(IntegerType))
       pairs.groupBy("campaign_id", "sb", "eb")
-        .agg(count(lit(1)).as("n_orders"), centsSum(col("o_totalprice")).as("total"))
+        .agg(sum("n_ord").as("n_orders"), (sum("cents") / 100.0).as("total"))
         .orderBy("campaign_id")
     },
     Some("""WITH o AS (SELECT o_orderkey, o_totalprice,
