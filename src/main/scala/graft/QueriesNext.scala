@@ -138,36 +138,40 @@ object QueriesNext {
     (s, d) => {
       // independent lineage per join side: typedlit-bearing lambdas in a
       // self-join trip Spark 4.1 attribute dedup (same dodge as rerank)
-      def corpus(idN: String, vN: String) = {
+      def corpus(idN: String, vN: String, nN: String) = {
         val base = t(s, d, "embeddings")
           .select(col("vec_id").as(idN),
             Similarity.toDoubleVec(col("embedding")).as(vN))
         val planted = t(s, d, "embeddings")
           .filter(col("vec_id") % 50 === 0)
-          .select((col("vec_id") + 100000).as(idN),
+          .select((col("vec_id") + 1000000000000L).as(idN),
             transform(Similarity.toDoubleVec(col("embedding")),
               (x, i) => x +
-                (((col("vec_id") + 100000) * 31 + i * 17) % 7 - 3)
+                (((col("vec_id") + 1000000000000L) * 31 + i * 17) % 7 - 3)
                   .cast("double") * lit(0.01)).as(vN))
         base.unionByName(planted)
           .withColumn("sig", Similarity.hyperplaneSig(col(vN), nPlanes = 8, dim = 64))
+          // norm once per ROW, not per pair: within a bucket of n vectors
+          // the join evaluates O(n²) cosines — precomputing sqrt(v·v)
+          // here cuts each pair from three 64-element folds to one, with
+          // bit-identical results (same fold, same order, evaluated
+          // earlier)
+          .withColumn(nN, sqrt(Similarity.dotComposed(col(vN), col(vN))))
       }
-      val a = corpus("id_a", "va")
-      val b = corpus("id_b", "vb")
-      def cosC(x: Column, y: Column) =
-        Similarity.dotComposed(x, y) /
-          (sqrt(Similarity.dotComposed(x, x)) * sqrt(Similarity.dotComposed(y, y)))
+      val a = corpus("id_a", "va", "na")
+      val b = corpus("id_b", "vb", "nb")
       a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(cosC(col("va"), col("vb")), 6).as("cos"))
+          round(Similarity.dotComposed(col("va"), col("vb")) /
+            (col("na") * col("nb")), 6).as("cos"))
         .filter(col("cos") >= 0.95)
         .orderBy("id_a", "id_b")
     },
     Some("""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
             planted AS (
-              SELECT vec_id + 100000 AS id,
+              SELECT vec_id + 1000000000000 AS id,
                      list_transform(range(0,64), i -> embedding[i+1]::DOUBLE +
-                       CAST(((vec_id + 100000)*31 + i*17) % 7 - 3 AS DOUBLE) * 0.01) AS v
+                       CAST(((vec_id + 1000000000000)*31 + i*17) % 7 - 3 AS DOUBLE) * 0.01) AS v
               FROM embeddings WHERE vec_id % 50 = 0),
             corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
             sig AS (
@@ -201,16 +205,8 @@ object QueriesNext {
     (s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      // 4-gram shingles over a MATERIALIZED token array (lambda bodies get
-      // no CSE — same lesson as Dedup.bigramShinglesFromToks); short docs
-      // yield an empty set (sequence would count DOWN below 4 tokens)
       val gs = docs.select(col("doc_id"),
-        when(size(col("toks")) >= 4,
-          array_distinct(transform(sequence(lit(1), size(col("toks")) - 3),
-            i => concat_ws(" ",
-              element_at(col("toks"), i), element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3)))))
-          .otherwise(array().cast("array<string>")).as("gs"))
+        TA.ngramShinglesFromToks(col("toks"), 4).as("gs"))
       // grams travel as xxhash64 longs, not 4-word strings: the explode
       // stream and the broadcast set carry 8 bytes per gram (collision
       // odds at corpus scale ~n²/2⁶⁴ — vanishing), and ONE left join
@@ -424,7 +420,7 @@ object QueriesNext {
         .select(k.as("k"), lit("U").as("op"),
           lit("REASSIGNED").as("u_seg"), (col("c_acctbal") + 100).as("u_bal"))
       val ins = base.filter(k % 13 === 0)
-        .select((k + 1000000).as("k"), lit("I").as("op"),
+        .select((k + 1000000000000L).as("k"), lit("I").as("op"),
           lit("INSERTED").as("u_seg"), (k % 1000).cast("double").as("u_bal"))
       val updates = dels.unionByName(upds).unionByName(ins)
       base.join(updates, k === col("k"), "full_outer")
@@ -446,7 +442,7 @@ object QueriesNext {
               SELECT c_custkey, 'U', 'REASSIGNED', c_acctbal + 100
               FROM customer WHERE c_custkey % 11 <> 0 AND c_custkey % 7 = 0
               UNION ALL
-              SELECT c_custkey + 1000000, 'I', 'INSERTED',
+              SELECT c_custkey + 1000000000000, 'I', 'INSERTED',
                      CAST(c_custkey % 1000 AS DOUBLE)
               FROM customer WHERE c_custkey % 13 = 0)
             SELECT coalesce(c.c_custkey, u.k) AS c_custkey,
@@ -592,15 +588,12 @@ object QueriesNext {
     (s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
-      def gramsOf(c: Column): Column =
-        when(size(c) >= 4,
-          array_distinct(transform(sequence(lit(1), size(c) - 3),
-            i => concat_ws(" ", element_at(c, i), element_at(c, i + 1),
-              element_at(c, i + 2), element_at(c, i + 3)))))
-          .otherwise(array().cast("array<string>"))
+      def gramsOf(c: Column): Column = TA.ngramShinglesFromToks(c, 4)
+      // quality gates evaluate over the MATERIALIZED token array — the
+      // text-based forms would re-tokenize the full corpus per metric
       val kept = docs.filter(col("doc_id") % 97 =!= 0)
-        .filter(TA.qualityScore(col("text")) >= 0.3 &&
-          TA.langIdEn(col("text")) === "en")
+        .filter(TA.qualityScoreFromToks(col("toks")) >= 0.3 &&
+          TA.langIdEnFromToks(col("toks")) === "en")
       val byContent = Window.partitionBy(md5(col("text")))
       val deduped = kept
         .withColumn("keep_id", min("doc_id").over(byContent))

@@ -156,14 +156,9 @@ object Dedup {
     val ccKey = "spark.sql.constraintPropagation.enabled"
     val ccPrev = spark.conf.getOption(ccKey)
     spark.conf.set(ccKey, "false")
-    // Dataset.unpersist() does NOT free localCheckpoint blocks (they are
-    // plain persisted RDDs, not CacheManager entries) — release each
-    // round's blocks eagerly via the underlying RDD, or executors hold
-    // every round's label table until GC-driven cleanup.
-    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collectLeaves().collectFirst {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-      }
+    // each round's checkpoint blocks are freed eagerly via the underlying
+    // RDD (see Iterate.checkpointRdd for why Dataset.unpersist can't)
+    import Iterate.checkpointRdd
     // empty input: sum(label) over zero rows is null — coalesce to 0 so
     // an empty nodes frame converges to an empty result instead of NPE
     def labelSum(df: DataFrame): Long =

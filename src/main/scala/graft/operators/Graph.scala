@@ -33,10 +33,7 @@ object Graph {
     */
   def pageRankInt(edgesIn: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"pageRankInt needs iters >= 1, got $iters")
-    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collectLeaves().collectFirst {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-      }
+    import Iterate.checkpointRdd
     // pre-partition the (cached) edge list on the join key: the cached
     // partitioning satisfies every round's join requirement, so rounds
     // shuffle only the |nodes|-sized rank table, never the edge list —

@@ -39,19 +39,42 @@ object TextAnalysis {
     length(regexp_replace(text, " ", "")) / size(toks)
 
   /** Composite [0,1] quality score: length credit × non-stopword density.
-    * Deterministic, SQL-expressible for the oracle.
+    * Deterministic, SQL-expressible for the oracle. Prefer the
+    * toks-based form when the token array is already a projected column
+    * (lambda bodies get no CSE — re-tokenizing per metric multiplies
+    * the scan cost).
     */
-  def qualityScore(text: Column): Column = {
-    val t = tokens(text)
-    round(least(lit(1.0), size(t) / lit(100.0)) * (lit(1.0) - stopwordRatio(t)), 6)
-  }
+  def qualityScoreFromToks(toks: Column): Column =
+    round(least(lit(1.0), size(toks) / lit(100.0)) * (lit(1.0) - stopwordRatio(toks)), 6)
+
+  def qualityScore(text: Column): Column = qualityScoreFromToks(tokens(text))
 
   /** Language-ID heuristic: density of English marker words. A real
     * pipeline swaps in char-n-gram profiles per language; the operator
     * shape (token filter ratio + threshold) is identical.
     */
+  def langIdEnFromToks(toks: Column, threshold: Double = 0.05): Column =
+    when(stopwordRatio(toks) > threshold, lit("en")).otherwise(lit("other"))
+
   def langIdEn(text: Column, threshold: Double = 0.05): Column =
-    when(stopwordRatio(tokens(text)) > threshold, lit("en")).otherwise(lit("other"))
+    langIdEnFromToks(tokens(text), threshold)
+
+  /** Word n-gram shingle set over an ALREADY-MATERIALIZED token-array
+    * column (same CSE lesson as [[Dedup.bigramShinglesFromToks]], which
+    * this generalizes). Docs with fewer than n tokens get an empty set —
+    * without the guard, `sequence` counts DOWN (Spark defaults step to
+    * -1 when start > stop) and out-of-range `element_at` throws under
+    * ANSI mode. DuckDB equivalence:
+    * `[array_to_string(toks[i+1:i+n], ' ') FOR i IN range(0, len(toks)-(n-1))]`.
+    */
+  def ngramShinglesFromToks(toks: Column, n: Int): Column = {
+    require(n >= 2, s"ngramShinglesFromToks needs n >= 2, got $n")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j =>
+          element_at(toks, if (j == 0) i else i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** Exact content fingerprint: hash of the normalized text. */
   def fingerprintExact(text: Column): Column = md5(lower(trim(text)))

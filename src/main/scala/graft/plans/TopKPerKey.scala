@@ -55,6 +55,13 @@ case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  // the operator is per-partition: rows never move, so the child's
+  // partitioning survives. Without this override the default
+  // UnknownPartitioning would make every downstream key-clustered
+  // operator (e.g. the rank window in a18) re-shuffle on the same key.
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 

@@ -43,7 +43,7 @@ class NextOpsSpec extends SparkSpec {
       "near-dup pair generation fell back to the cross product")
     val rows = Queries.byName("dedup_embedding_cosine").fn(spark, sf).collect()
     assert(rows.nonEmpty, "no planted near-dup recovered — threshold pass is vacuous")
-    assert(rows.forall(r => r.getLong(1) == r.getLong(0) + 100000),
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) + 1000000000000L),
       "a non-planted pair crossed the 0.95 threshold")
   }
 
@@ -83,11 +83,11 @@ class NextOpsSpec extends SparkSpec {
   test("upsert merge applies U/D/I exactly: deletes gone, inserts present, rest kept") {
     val rows = Queries.byName("p11_upsert_merge").fn(spark, sf).collect()
     val byKey = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
-    assert(byKey.keys.forall(k => k >= 1000000 || k % 11 != 0), "a deleted key survived")
-    assert(byKey.filter(_._1 >= 1000000).values.forall(_ == "inserted"))
-    assert(byKey.filter { case (k, _) => k < 1000000 && k % 11 != 0 && k % 7 == 0 }
+    assert(byKey.keys.forall(k => k >= 1000000000000L || k % 11 != 0), "a deleted key survived")
+    assert(byKey.filter(_._1 >= 1000000000000L).values.forall(_ == "inserted"))
+    assert(byKey.filter { case (k, _) => k < 1000000000000L && k % 11 != 0 && k % 7 == 0 }
       .values.forall(_ == "updated"), "a matched update row kept its base values")
-    assert(byKey.filter { case (k, _) => k < 1000000 && k % 11 != 0 && k % 7 != 0 }
+    assert(byKey.filter { case (k, _) => k < 1000000000000L && k % 11 != 0 && k % 7 != 0 }
       .values.forall(_ == "kept"))
   }
 
