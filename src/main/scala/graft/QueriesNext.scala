@@ -511,6 +511,42 @@ object QueriesNext {
             WHERE rank <= 3
             ORDER BY o_orderpriority, rank"""))
 
+  // ---------------------------------------------- w9: time-decayed aggregate
+
+  private val w9 = Q(
+    "w9_time_decay",
+    "Per-user time-decayed value sum (half-life 7 days, capped at 20 " +
+      "half-lives): weight = 2^-floor(age/7d) is a DYADIC rational, so " +
+      "every cents·weight term is exact in IEEE double and the sum is " +
+      "order-independent — a float-decay EWMA could never hash-match " +
+      "across engines. Reference age comes from a broadcast 1-row max, " +
+      "not a driver scalar; map-side partial agg as usual.",
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("ts"),
+        round(col("value") * 100, 0).cast(LongType).as("cents"))
+      val mx = ev.agg(max("ts").as("max_ts"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("k", least(
+          expr("((unix_micros(max_ts) - unix_micros(ts)) div 86400000000) div 7"),
+          lit(20L)))
+        .withColumn("w", expr("CAST(1.0 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("cents") * col("w")) / 100.0).as("decayed_value"))
+        .orderBy("user_id")
+    },
+    Some("""WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+            k AS (SELECT user_id,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                         least(((epoch_us(max_ts) - epoch_us(ts)) // 86400000000) // 7,
+                               20) AS k
+                  FROM events, mx)
+            SELECT user_id, count(*) AS n_events,
+                   sum(cents * (CAST(1.0 AS DOUBLE) /
+                                (CAST(1 AS BIGINT) << CAST(k AS INT)))) / 100.0
+                     AS decayed_value
+            FROM k GROUP BY user_id ORDER BY user_id"""))
+
   // ----------------------------------------------- g1: integer PageRank
 
   private val g1 = Q(
@@ -653,5 +689,5 @@ object QueriesNext {
   // ------------------------------------------------------------------- all
 
   val all: Seq[Q] = Seq(w7, a15, a16, dedupCos, contam, j16, mmFrames,
-    p10, p11, a17, a18, g1, curPipe)
+    p10, p11, a17, a18, w9, g1, curPipe)
 }

@@ -47,7 +47,8 @@ object Graph {
         val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
           .localCheckpoint(true)
-        for (_ <- 1 to iters) {
+        var lastCp = ranks
+        for (i <- 1 to iters) {
           val contribs = edges
             .join(ranks.withColumnRenamed("node", "src"), "src")
             .join(outdeg, "src")
@@ -58,9 +59,20 @@ object Graph {
             .select(col("node"),
               expr(s"${Scale * 15 / 100} + (850 * coalesce(incoming, 0L)) div 1000")
                 .as("rank"))
-            .localCheckpoint(true)
-          checkpointRdd(ranks).foreach(_.unpersist(blocking = false))
-          ranks = next
+          // checkpoint every SECOND round: with a fixed round count there
+          // is no per-round driver read, so letting the lineage span two
+          // rounds halves the materialization jobs while keeping plan
+          // depth (and re-analysis cost) bounded — the unbounded-rounds
+          // loop in Dedup.connectedComponents can't do this because its
+          // fixpoint check forces a job every round anyway
+          if (i % 2 == 0 || i == iters) {
+            val cp = next.localCheckpoint(true)
+            checkpointRdd(lastCp).foreach(_.unpersist(blocking = false))
+            lastCp = cp
+            ranks = cp
+          } else {
+            ranks = next
+          }
         }
         ranks
       } finally nodes.unpersist(blocking = false)
