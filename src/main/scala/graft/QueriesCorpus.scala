@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.engine.Engine
+import graft.operators.{AsofJoin, Dedup, TopKAggregator, TextAnalysis => TA}
+
+/** Corpus-preparation tier, round 2 continued: the operators between a raw
+  * document table and a training run — chunking, sequence packing,
+  * repetition-based quality filtering, a bounded inverted index — plus the
+  * forward as-of join completing [[graft.operators.AsofJoin]].
+  *
+  * Cross-engine determinism notes specific to this tier:
+  *  - single IEEE divisions of identical integer operands are bit-exact on
+  *    both engines (correctly-rounded), so ratio columns ship UNROUNDED —
+  *    `round(x, 6)` would be the riskier choice (HALF_UP vs HALF_EVEN on
+  *    exactly-representable midpoints like 1/128);
+  *  - threshold flags compare integers (5·cnt <= n), never floats;
+  *  - DuckDB list slices are 1-based inclusive; Spark `slice` is
+  *    (start, length) — both clamp at the end of the list.
+  */
+object QueriesCorpus {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  // -------------------------------------------------- text_chunk: windowing
+
+  private val ChunkLen = 50
+  private val ChunkStride = 40
+
+  private val chunk = Q(
+    "text_chunk",
+    "Document chunking into fixed 50-token windows with stride 40 (10-token " +
+      "overlap) — the pre-tokenization split feeding a trainer. Map-only: " +
+      "sequence+posexplode inside the scan stage, zero shuffles at any " +
+      "corpus size; chunk identity ships as a content hash so the output " +
+      "stays narrow.",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(1), size(col("toks")), lit(ChunkStride)))
+            .as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(ChunkLen), size(col("toks")) - col("start") + 1).as("n_toks"),
+          md5(concat_ws(" ", slice(col("toks"), col("start"), lit(ChunkLen))))
+            .as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx"),
+    Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             ex AS (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) + 1, $ChunkStride)) AS start
+                    FROM tk)
+             SELECT doc_id, CAST((start - 1) // $ChunkStride AS INT) AS chunk_idx,
+                    CAST(least($ChunkLen, len(toks) - start + 1) AS INT) AS n_toks,
+                    md5(array_to_string(toks[start:start + ${ChunkLen - 1}], ' '))
+                      AS chunk_hash
+             FROM ex ORDER BY doc_id, chunk_idx"""))
+
+  // ------------------------------------- curate_pack_sequences: seq packing
+
+  private val SeqLen = 8192
+
+  private val pack = Q(
+    "curate_pack_sequences",
+    "Sequence packing: concatenate the corpus in a deterministic order and " +
+      "chop into 8192-token training sequences — each doc's start offset " +
+      "is a prefix sum of token counts, its sequence id = offset div 8192. " +
+      "Order is (stable hash, doc_id) within (source, hash-bucket): the " +
+      "prefix sum only ever spans ONE bucket's rows, so at 100 TB each " +
+      "window partition is corpus_size/(sources·buckets), not a global " +
+      "sort. Output is per-sequence composition stats.",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(
+        col("doc_id"), col("source"),
+        size(TA.tokens(col("text"))).cast(LongType).as("ntok"),
+        Dedup.tokenId(col("doc_id").cast("string")).as("h"))
+      val bucketed = docs.withColumn("pbucket", pmod(col("h"), lit(8)))
+      val w = Window.partitionBy("source", "pbucket").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed
+        .withColumn("start", coalesce(sum("ntok").over(w), lit(0L)))
+        .withColumn("seq_id", expr(s"start div $SeqLen"))
+        .groupBy("source", "pbucket", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+        .orderBy("source", "pbucket", "seq_id")
+    },
+    Some(s"""WITH dcs AS (SELECT doc_id, source,
+                            CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+                          FROM documents),
+             o AS (SELECT source, h % 8 AS pbucket, ntok,
+                          coalesce(sum(ntok) OVER (
+                            PARTITION BY source, h % 8 ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+                   FROM dcs)
+             SELECT source, pbucket, CAST(start // $SeqLen AS BIGINT) AS seq_id,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(ntok) AS BIGINT) AS n_tokens
+             FROM o GROUP BY source, pbucket, seq_id
+             ORDER BY source, pbucket, seq_id"""))
+
+  // ------------------------------------- text_rep_ngram: repetition quality
+
+  private val rep = Q(
+    "text_rep_ngram",
+    "Repetition-based quality filters (the Gopher-style family): " +
+      "top-token fraction plus duplicate bigram/trigram fractions, all " +
+      "within-row HOF expressions — map-only, no shuffle. Ratios are " +
+      "single IEEE divisions (bit-exact cross-engine, shipped unrounded); " +
+      "the keep flag compares INTEGERS (5·top <= n etc.) so thresholding " +
+      "never touches float rounding.",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
+          array_max(transform(array_distinct(col("toks")),
+            u => size(filter(col("toks"), x => x === u)))).as("topc"),
+          size(TA.ngramShinglesFromToks(col("toks"), 2)).as("d2"),
+          size(TA.ngramShinglesFromToks(col("toks"), 3)).as("d3"))
+        .select(col("doc_id"), col("n"),
+          (col("topc").cast(DoubleType) / col("n")).as("top_tok_frac"),
+          when(col("n") >= 2,
+            lit(1.0) - col("d2").cast(DoubleType) / (col("n") - 1))
+            .otherwise(lit(0.0)).as("dup_bigram_frac"),
+          when(col("n") >= 3,
+            lit(1.0) - col("d3").cast(DoubleType) / (col("n") - 2))
+            .otherwise(lit(0.0)).as("dup_trigram_frac"),
+          (col("topc") * 5 <= col("n") &&
+            (col("n") < 2 || (col("n") - 1 - col("d2")) * 10 <= (col("n") - 1) * 3) &&
+            (col("n") < 3 || (col("n") - 2 - col("d3")) * 4 <= col("n") - 2))
+            .as("keep"))
+        .orderBy("doc_id"),
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            m AS (SELECT doc_id, len(toks) AS n,
+                         list_max(list_transform(list_distinct(toks),
+                           u -> len(list_filter(toks, x -> x = u)))) AS topc,
+                         len(list_distinct([array_to_string(toks[i+1:i+2], ' ')
+                                            FOR i IN range(0, len(toks) - 1)])) AS d2,
+                         len(list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                                            FOR i IN range(0, len(toks) - 2)])) AS d3
+                  FROM tk)
+            SELECT doc_id, CAST(n AS INT) AS n,
+                   CAST(topc AS DOUBLE) / n AS top_tok_frac,
+                   CASE WHEN n >= 2 THEN CAST(1 AS DOUBLE) - CAST(d2 AS DOUBLE) / (n - 1)
+                        ELSE CAST(0 AS DOUBLE) END AS dup_bigram_frac,
+                   CASE WHEN n >= 3 THEN CAST(1 AS DOUBLE) - CAST(d3 AS DOUBLE) / (n - 2)
+                        ELSE CAST(0 AS DOUBLE) END AS dup_trigram_frac,
+                   (topc * 5 <= n
+                    AND (n < 2 OR (n - 1 - d2) * 10 <= (n - 1) * 3)
+                    AND (n < 3 OR (n - 2 - d3) * 4 <= n - 2)) AS keep
+            FROM m ORDER BY doc_id"""))
+
+  // -------------------------------- text_inverted_index: bounded postings
+
+  /** Row counter with the same input type as [[TopKAggregator.topK]] so
+    * both ride ONE typed aggregation (single shuffle, one pass).
+    */
+  private val countAgg: Aggregator[(Long, Double), Long, Long] =
+    new Aggregator[(Long, Double), Long, Long] {
+      override def zero: Long = 0L
+      override def reduce(b: Long, a: (Long, Double)): Long = b + 1
+      override def merge(b1: Long, b2: Long): Long = b1 + b2
+      override def finish(r: Long): Long = r
+      override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+
+  private val invIdx = Q(
+    "text_inverted_index",
+    "Bounded inverted-index build: per term, document frequency AND a " +
+      "≤5-doc posting sample in ONE groupBy pass — the sample rides the " +
+      "typed top-k Aggregator (O(k) state, map-side partial agg; score " +
+      "= -doc_id so 'top' = smallest ids), never a collect_list. One " +
+      "term-keyed shuffle carrying ≤k+1 values per map-side group; " +
+      "stopword-grade skew is absorbed by the partial buffers. Real " +
+      "index shards would sink per term-range — the build plan is this.",
+    (s, d) => {
+      import s.implicits._
+      val topk = TopKAggregator.topK(5)
+      t(s, d, "documents")
+        .select(explode(array_distinct(TA.tokens(col("text")))).as("term"),
+          col("doc_id"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(p => (p._2, -p._2.toDouble))
+        .agg(topk.toColumn.name("top"), countAgg.toColumn.name("df"))
+        .map { case (term, top, df) =>
+          (term, df, top.map(_._1).sorted.mkString(","))
+        }
+        .toDF("term", "df", "sample_postings")
+        .filter(col("df") >= 3)
+        .orderBy("term")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+                              unnest(list_distinct(string_split(text, ' '))) AS term
+                       FROM documents)
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   array_to_string(list_transform(
+                     list_sort(list(doc_id))[1:5], x -> CAST(x AS VARCHAR)), ',')
+                     AS sample_postings
+            FROM p GROUP BY term HAVING count(*) >= 3 ORDER BY term"""))
+
+  // ------------------------------------------ j17: forward as-of join
+
+  private val j17 = Q(
+    "j17_asof_forward",
+    "Forward as-of join: each event matched to the NEXT order of the same " +
+      "key at-or-after its day, via operators.AsofJoin.forward — the same " +
+      "union-merge shape as j12 (one O(|events|+|orders|) shuffle on the " +
+      "key) with the window traversing time DESCENDING; ties resolve to " +
+      "the smallest order key. The oracle enumerates the pair space " +
+      "(min struct over a range join) — the union-merge never does.",
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_id") % 4 === 0)
+        .select(col("event_id"), (col("user_id") % 100).as("k"),
+          date_trunc("day", col("ts")).as("day"))
+      val ord = t(s, d, "orders")
+        .select((col("o_custkey") % 100).as("k"),
+          col("o_orderdate").as("odate"),
+          col("o_orderkey").as("okey"))
+      AsofJoin.forward(ev, ord,
+          keyCols = Seq("k"), leftTime = "day", rightTime = "odate",
+          carryCols = Seq("odate", "okey"), rightOrder = Seq("okey"))
+        .select(col("event_id"), col("k"),
+          col("asof_odate").as("next_date"), col("asof_okey").as("next_order"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, k, m.odate AS next_date, m.okey AS next_order
+            FROM (
+              SELECT e.event_id, e.k,
+                     min(struct_pack(odate := o.odate, okey := o.o_orderkey)) AS m
+              FROM (SELECT event_id, user_id % 100 AS k,
+                           date_trunc('day', ts) AS day
+                    FROM events WHERE event_id % 4 = 0) e
+              LEFT JOIN (SELECT o_custkey % 100 AS k, o_orderdate AS odate,
+                                o_orderkey FROM orders) o
+                ON e.k = o.k AND o.odate >= e.day
+              GROUP BY e.event_id, e.k)
+            ORDER BY event_id"""))
+
+  // ------------------------------------------------------------------- all
+
+  val all: Seq[Q] = Seq(chunk, pack, rep, invIdx, j17)
+}

@@ -14,19 +14,38 @@ import org.apache.spark.sql.expressions.Window
   * 34 s+ vs ~1 s at sf0.1 before this shape was adopted; see
   * QueriesMore.j12's history).
   *
-  * Matching is BACKWARD and inclusive: each left row sees the latest
+  * [[backward]] matching is inclusive: each left row sees the latest
   * right row with the same key and `rightTime <= leftTime` (right rows
   * sort before left rows at equal times). Left rows before any right row
   * get nulls. Ties among right rows at the same time resolve by
   * `rightOrder` ascending, last wins — pass the column that should
   * dominate (e.g. a monotone id).
+  *
+  * [[forward]] is the mirror: the EARLIEST right row with
+  * `rightTime >= leftTime` (same traversal, time descending), ties
+  * resolving to the SMALLEST `rightOrder`. Same cost: the direction only
+  * flips the window's sort order, not the shuffle shape.
   */
 object AsofJoin {
 
   def backward(left: DataFrame, right: DataFrame,
                keyCols: Seq[String], leftTime: String, rightTime: String,
                carryCols: Seq[String],
-               rightOrder: Seq[String] = Nil): DataFrame = {
+               rightOrder: Seq[String] = Nil): DataFrame =
+    merge(left, right, keyCols, leftTime, rightTime, carryCols, rightOrder,
+      descending = false)
+
+  def forward(left: DataFrame, right: DataFrame,
+              keyCols: Seq[String], leftTime: String, rightTime: String,
+              carryCols: Seq[String],
+              rightOrder: Seq[String] = Nil): DataFrame =
+    merge(left, right, keyCols, leftTime, rightTime, carryCols, rightOrder,
+      descending = true)
+
+  private def merge(left: DataFrame, right: DataFrame,
+                    keyCols: Seq[String], leftTime: String, rightTime: String,
+                    carryCols: Seq[String], rightOrder: Seq[String],
+                    descending: Boolean): DataFrame = {
     require(carryCols.nonEmpty, "asof join needs at least one carry column")
     require(rightOrder.forall(carryCols.contains),
       s"rightOrder columns must be carried: ${rightOrder.filterNot(carryCols.contains)}")
@@ -43,8 +62,14 @@ object AsofJoin {
       keyCols.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__is_left") :+
         struct(carryCols.map(col): _*).as("__carry"): _*)
     val merged = l.unionByName(r0, allowMissingColumns = true)
+    // descending traversal visits later times first, so the "most recently
+    // seen" right row is the earliest one at-or-after the current left row;
+    // __is_left stays ascending in both directions (right rows visible to
+    // an equal-time left row = inclusive bound)
+    val dir: Column => Column = if (descending) _.desc else _.asc
     val order: Seq[Column] =
-      col("__t") +: col("__is_left") +: rightOrder.map(c => col("__carry").getField(c))
+      dir(col("__t")) +: col("__is_left").asc +:
+        rightOrder.map(c => dir(col("__carry").getField(c)))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
