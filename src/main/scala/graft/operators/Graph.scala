@@ -20,13 +20,24 @@ object Graph {
 
   val Scale = 1000000L
 
-  /** Fixed-round integer PageRank. One edge-join + one dst-groupBy per
-    * round (two shuffles); ranks are localCheckpoint'ed each round so
-    * round N's plan never re-analyzes round N−1's lineage, and the
-    * previous round's blocks are freed eagerly (same discipline as
+  /** Fixed-round integer PageRank, shaped so a round pays ONE O(edges)
+    * shuffle — the contribution re-key to dst — and nothing else moves:
+    *
+    *  - out-degree is FUSED into the edge row once, up front (the
+    *    degree aggregation and its join run on the src partitioning, so
+    *    the fuse itself is exchange-free) — not re-joined every round;
+    *  - the fused edge list is cached hash-partitioned on src, so each
+    *    round's rank probe is co-located (at 100 TB the same co-location
+    *    comes from bucketing edges on src);
+    *  - nodes are cached on their own key, and the incoming-sum arrives
+    *    already partitioned by dst (alias-preserved through the rename),
+    *    so the dangling-mass left join is co-located too.
+    *
+    * Ranks are localCheckpoint'ed round-over-round so round N's plan
+    * never re-analyzes round N−1's lineage, and the previous round's
+    * blocks are freed eagerly (same discipline as
     * [[Dedup.connectedComponents]] — Dataset.unpersist does NOT free
-    * checkpoint blocks). At 100 TB: edges pre-partitioned by src makes
-    * the join exchange-free on one side; rounds stay O(edges) each.
+    * checkpoint blocks).
     *
     * @param edgesIn two-column (src, dst) directed edge frame; dedup'd
     *                internally.
@@ -34,24 +45,20 @@ object Graph {
   def pageRankInt(edgesIn: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"pageRankInt needs iters >= 1, got $iters")
     import Iterate.checkpointRdd
-    // pre-partition the (cached) edge list on the join key: the cached
-    // partitioning satisfies every round's join requirement, so rounds
-    // shuffle only the |nodes|-sized rank table, never the edge list —
-    // the same co-location a production run gets from bucketing edges
-    val edges = edgesIn.toDF("src", "dst").distinct()
-      .repartition(col("src")).cache()
+    val e0 = edgesIn.toDF("src", "dst").distinct().repartition(col("src"))
+    val edges = e0
+      .join(e0.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .cache()
     try {
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct().cache()
       try {
-        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
           .localCheckpoint(true)
         var lastCp = ranks
         for (i <- 1 to iters) {
           val contribs = edges
             .join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
             .select(col("dst"), expr("rank div deg").as("contrib"))
           val incoming = contribs.groupBy("dst").agg(sum("contrib").as("incoming"))
           val next = nodes

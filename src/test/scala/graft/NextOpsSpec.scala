@@ -97,6 +97,20 @@ class NextOpsSpec extends SparkSpec {
       "no partial aggregation before the exchange")
   }
 
+  test("pageRankInt: hand-computed ranks on a 3-node star, both checkpoint parities") {
+    import spark.implicits._
+    // a→b, a→c, b→a, c→a: deg(a)=2, deg(b)=deg(c)=1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    // r1(a) = 150000 + 850·(10^6 + 10^6) div 1000; r1(b) = 150000 + 850·(10^6 div 2) div 1000
+    val r1 = graft.operators.Graph.pageRankInt(edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L))
+    // iters=2 exercises the i%2==0 checkpoint path (iters=1 the i==iters one)
+    val r2 = graft.operators.Graph.pageRankInt(edges, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
+  }
+
   test("frame sampler round-trips the container layout byte-exactly") {
     val rows = Queries.byName("mm_frame_sample").fn(spark, sf).collect()
     assert(rows.nonEmpty)
