@@ -1,7 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -62,45 +62,72 @@ object QueriesCorpus {
 
   // ------------------------------------- curate_pack_sequences: seq packing
 
-  private val SeqLen = 8192
+  private val SeqLen = 8192L
+
+  /** Core of [[pack]], parameterized on the sequence length so specs can
+    * exercise document-spanning with a small L. Input needs (source,
+    * pbucket, h, doc_id, ntok); output is per-sequence composition
+    * stats. A doc whose token span crosses a sequence boundary is SPLIT:
+    * it contributes `least(end,(b+1)L) − greatest(start,bL)` tokens to
+    * every sequence b it touches — so every sequence except the last of
+    * a bucket holds exactly L tokens, seq ids are dense, and the stats
+    * describe what a trainer actually packs. The boundary-bin explode is
+    * bounded by ntok/L + 1 rows per doc.
+    */
+  private[graft] def packSpans(docs: DataFrame, seqLen: Long): DataFrame = {
+    val w = Window.partitionBy("source", "pbucket").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("start", coalesce(sum("ntok").over(w), lit(0L)))
+      .withColumn("fin", col("start") + col("ntok"))
+      .select(col("source"), col("pbucket"), col("start"), col("fin"),
+        explode(sequence(expr(s"start div $seqLen"),
+          expr(s"(fin - 1) div $seqLen"))).as("seq_id"))
+      .withColumn("tok_in_seq",
+        least(col("fin"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("start"), col("seq_id") * seqLen))
+      .groupBy("source", "pbucket", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok_in_seq").as("n_tokens"))
+      .orderBy("source", "pbucket", "seq_id")
+  }
 
   private val pack = Q(
     "curate_pack_sequences",
-    "Sequence packing: concatenate the corpus in a deterministic order and " +
-      "chop into 8192-token training sequences — each doc's start offset " +
-      "is a prefix sum of token counts, its sequence id = offset div 8192. " +
-      "Order is (stable hash, doc_id) within (source, hash-bucket): the " +
-      "prefix sum only ever spans ONE bucket's rows, so at 100 TB each " +
-      "window partition is corpus_size/(sources·buckets), not a global " +
-      "sort. Output is per-sequence composition stats.",
+    "Sequence packing: concatenate the corpus in a deterministic order " +
+      "and chop into 8192-token training sequences — each doc's start " +
+      "offset is a prefix sum of token counts; docs crossing a sequence " +
+      "boundary are split across the sequences they touch, so every " +
+      "sequence but a bucket's last holds exactly 8192 tokens. Order is " +
+      "(stable hash, doc_id) within (source, hash-bucket): the prefix " +
+      "sum only ever spans ONE bucket's rows, so at 100 TB each window " +
+      "partition is corpus_size/(sources·buckets), not a global sort. " +
+      "Output is per-sequence composition stats.",
     (s, d) => {
       val docs = t(s, d, "documents").select(
         col("doc_id"), col("source"),
         size(TA.tokens(col("text"))).cast(LongType).as("ntok"),
         Dedup.tokenId(col("doc_id").cast("string")).as("h"))
-      val bucketed = docs.withColumn("pbucket", pmod(col("h"), lit(8)))
-      val w = Window.partitionBy("source", "pbucket").orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      bucketed
-        .withColumn("start", coalesce(sum("ntok").over(w), lit(0L)))
-        .withColumn("seq_id", expr(s"start div $SeqLen"))
-        .groupBy("source", "pbucket", "seq_id")
-        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
-        .orderBy("source", "pbucket", "seq_id")
+      packSpans(docs.withColumn("pbucket", pmod(col("h"), lit(8))), SeqLen)
     },
     Some(s"""WITH dcs AS (SELECT doc_id, source,
                             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
                             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
                           FROM documents),
              o AS (SELECT source, h % 8 AS pbucket, ntok,
-                          coalesce(sum(ntok) OVER (
+                          CAST(coalesce(sum(ntok) OVER (
                             PARTITION BY source, h % 8 ORDER BY h, doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
-                   FROM dcs)
-             SELECT source, pbucket, CAST(start // $SeqLen AS BIGINT) AS seq_id,
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS start
+                   FROM dcs),
+             sp AS (SELECT source, pbucket, start, start + ntok AS fin,
+                           unnest(range(start // $SeqLen,
+                                        (start + ntok - 1) // $SeqLen + 1)) AS seq_id
+                    FROM o)
+             SELECT source, pbucket, CAST(seq_id AS BIGINT) AS seq_id,
                     CAST(count(*) AS BIGINT) AS n_docs,
-                    CAST(sum(ntok) AS BIGINT) AS n_tokens
-             FROM o GROUP BY source, pbucket, seq_id
+                    CAST(sum(least(fin, (seq_id + 1) * $SeqLen)
+                             - greatest(start, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
+             FROM sp GROUP BY source, pbucket, seq_id
              ORDER BY source, pbucket, seq_id"""))
 
   // ------------------------------------- text_rep_ngram: repetition quality
@@ -117,8 +144,21 @@ object QueriesCorpus {
       t(s, d, "documents")
         .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
-          array_max(transform(array_distinct(col("toks")),
-            u => size(filter(col("toks"), x => x === u)))).as("topc"),
+          // top-token count as the longest equal-run of the SORTED array:
+          // O(n log n) per row vs the O(n·distinct) count-each-distinct
+          // form (quadratic on mostly-unique text). The "" initial prev is
+          // safe: a leading "" token starts its run at 0+1 = 1 as needed.
+          // The oracle keeps the O(n·u) count form — clearer SQL, and
+          // oracle cost doesn't ride the 100 TB path.
+          aggregate(array_sort(col("toks")),
+            struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+            (acc, x) => {
+              val run = when(x === acc.getField("prev"),
+                acc.getField("run") + 1).otherwise(lit(1))
+              struct(x.as("prev"), run.as("run"),
+                greatest(acc.getField("best"), run).as("best"))
+            },
+            acc => acc.getField("best")).as("topc"),
           size(TA.ngramShinglesFromToks(col("toks"), 2)).as("d2"),
           size(TA.ngramShinglesFromToks(col("toks"), 3)).as("d3"))
         .select(col("doc_id"), col("n"),
@@ -156,19 +196,6 @@ object QueriesCorpus {
 
   // -------------------------------- text_inverted_index: bounded postings
 
-  /** Row counter with the same input type as [[TopKAggregator.topK]] so
-    * both ride ONE typed aggregation (single shuffle, one pass).
-    */
-  private val countAgg: Aggregator[(Long, Double), Long, Long] =
-    new Aggregator[(Long, Double), Long, Long] {
-      override def zero: Long = 0L
-      override def reduce(b: Long, a: (Long, Double)): Long = b + 1
-      override def merge(b1: Long, b2: Long): Long = b1 + b2
-      override def finish(r: Long): Long = r
-      override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
-      override def outputEncoder: Encoder[Long] = Encoders.scalaLong
-    }
-
   private val invIdx = Q(
     "text_inverted_index",
     "Bounded inverted-index build: per term, document frequency AND a " +
@@ -187,7 +214,7 @@ object QueriesCorpus {
         .as[(String, Long)]
         .groupByKey(_._1)
         .mapValues(p => (p._2, -p._2.toDouble))
-        .agg(topk.toColumn.name("top"), countAgg.toColumn.name("df"))
+        .agg(topk.toColumn.name("top"), count(lit(1)).as[Long].name("df"))
         .map { case (term, top, df) =>
           (term, df, top.map(_._1).sorted.mkString(","))
         }

@@ -516,11 +516,15 @@ object QueriesNext {
   private val w9 = Q(
     "w9_time_decay",
     "Per-user time-decayed value sum (half-life 7 days, capped at 20 " +
-      "half-lives): weight = 2^-floor(age/7d) is a DYADIC rational, so " +
-      "every cents·weight term is exact in IEEE double and the sum is " +
-      "order-independent — a float-decay EWMA could never hash-match " +
-      "across engines. Reference age comes from a broadcast 1-row max, " +
-      "not a driver scalar; map-side partial agg as usual.",
+      "half-lives): weight = 2^-floor(age/7d) is a dyadic rational, so " +
+      "the whole sum runs as an INTEGER sum of cents·2^(20-k) — exact at " +
+      "any cardinality and order-independent under map-side partial agg " +
+      "(a float-decay EWMA could never hash-match across engines; even " +
+      "per-term-exact doubles lose exactness once a user's total passes " +
+      "2^53·2^-20 cents). One double division at the end; long overflow " +
+      "needs ~10^7 max-value events per user — document, don't fear. " +
+      "Reference age comes from a broadcast 1-row max, not a driver " +
+      "scalar.",
     (s, d) => {
       val ev = t(s, d, "events").select(col("user_id"), col("ts"),
         round(col("value") * 100, 0).cast(LongType).as("cents"))
@@ -529,10 +533,11 @@ object QueriesNext {
         .withColumn("k", least(
           expr("((unix_micros(max_ts) - unix_micros(ts)) div 86400000000) div 7"),
           lit(20L)))
-        .withColumn("w", expr("CAST(1.0 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))"))
+        .withColumn("scaled",
+          expr("cents * shiftleft(CAST(1 AS BIGINT), CAST(20 - k AS INT))"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
-          (sum(col("cents") * col("w")) / 100.0).as("decayed_value"))
+          (sum("scaled") / lit(104857600.0)).as("decayed_value")) // 2^20 · 100
         .orderBy("user_id")
     },
     Some("""WITH mx AS (SELECT max(ts) AS max_ts FROM events),
@@ -542,9 +547,8 @@ object QueriesNext {
                                20) AS k
                   FROM events, mx)
             SELECT user_id, count(*) AS n_events,
-                   sum(cents * (CAST(1.0 AS DOUBLE) /
-                                (CAST(1 AS BIGINT) << CAST(k AS INT)))) / 100.0
-                     AS decayed_value
+                   CAST(sum(cents * (CAST(1 AS BIGINT) << CAST(20 - k AS INT)))
+                        AS BIGINT) / CAST(104857600 AS DOUBLE) AS decayed_value
             FROM k GROUP BY user_id ORDER BY user_id"""))
 
   // ----------------------------------------------- g1: integer PageRank

@@ -58,9 +58,16 @@ object AsofJoin {
     // most recent one. The struct itself is non-null on every right row
     // (even with all fields null) and null-filled on left rows by the
     // tolerant union, which is exactly what ignoreNulls needs.
+    // SQL comparison semantics for null times: a null rightTime can never
+    // satisfy `rt <= t` / `rt >= t`, so those rows are dropped before the
+    // merge (otherwise NULLS FIRST/LAST ordering would make them sort to
+    // an extreme and get carried as spurious matches); a null leftTime
+    // row stays in the output — left join semantics — but matches nothing
+    // (masked below).
     val r0 = right.select(
       keyCols.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__is_left") :+
         struct(carryCols.map(col): _*).as("__carry"): _*)
+      .filter(col("__t").isNotNull)
     val merged = l.unionByName(r0, allowMissingColumns = true)
     // descending traversal visits later times first, so the "most recently
     // seen" right row is the earliest one at-or-after the current left row;
@@ -73,7 +80,8 @@ object AsofJoin {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = merged.withColumn("__asof", last(col("__carry"), ignoreNulls = true).over(w))
+    val carried = merged.withColumn("__asof",
+      when(col("__t").isNotNull, last(col("__carry"), ignoreNulls = true).over(w)))
     carryCols.foldLeft(carried) { (df, c) =>
         df.withColumn(s"asof_$c", col("__asof").getField(c))
       }

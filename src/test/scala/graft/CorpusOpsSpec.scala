@@ -36,6 +36,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out("L2") == (None, None))           // key with no right rows
   }
 
+  test("as-of joins ignore null times on BOTH sides (SQL comparison semantics)") {
+    import graft.operators.AsofJoin
+    val left = Seq((Some(5L), 1, "L"), (None: Option[Long], 1, "Lnull"))
+      .toDF("t", "k", "tag")
+    val right = Seq((Some(3L), 1, "real", 1L), (None: Option[Long], 1, "phantom", 2L))
+      .toDF("rt", "k", "v", "rid")
+    for (dir <- Seq("backward", "forward")) {
+      val join = if (dir == "backward") AsofJoin.backward _ else AsofJoin.forward _
+      val out = join(left, right, Seq("k"), "t", "rt", Seq("v", "rid"), Seq("rid"))
+        .select("tag", "asof_v")
+        .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      // null-time left rows stay in the output (left join) but match nothing;
+      // null-time right rows can never be a match — `rt <= t` is NULL in SQL
+      assert(out("Lnull").isEmpty, s"$dir: null left time matched ${out("Lnull")}")
+      val expectReal = if (dir == "backward") Some("real") else None
+      assert(out("L") == expectReal, s"$dir: t=5 got ${out("L")}")
+    }
+  }
+
+  test("packing splits a boundary-crossing doc: dense seq ids, exact-L interiors") {
+    // one bucket, L=10: docs of 4, 9, 3 tokens → offsets 0, 4, 13.
+    // Doc 2 spans seqs 0/1, doc 3 spans 1 only; seq 0 = exactly 10 tokens.
+    val docs = Seq((1L, "s", 0L, 1L, 4L), (2L, "s", 0L, 2L, 9L), (3L, "s", 0L, 3L, 3L))
+      .toDF("doc_id", "source", "pbucket", "h", "ntok")
+    val out = QueriesCorpus.packSpans(docs, 10L)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 2L, 10L), (1L, 2L, 6L)),
+      s"span split wrong: ${out.toSeq}")
+  }
+
   test("chunking is map-only (no hash exchange) and chunk indices are dense") {
     val plan = q("text_chunk").queryExecution.executedPlan.toString
     assert(hashExchanges(plan).isEmpty,
