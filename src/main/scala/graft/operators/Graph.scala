@@ -45,9 +45,18 @@ object Graph {
   def pageRankInt(edgesIn: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"pageRankInt needs iters >= 1, got $iters")
     import Iterate.checkpointRdd
-    val e0 = edgesIn.toDF("src", "dst").distinct().repartition(col("src"))
-    val edges = e0
-      .join(e0.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    import org.apache.spark.sql.expressions.Window
+    // ONE shuffle builds the whole fused edge list: repartition on src,
+    // then dedup + degree both run on that partitioning — hash(src)
+    // satisfies the (src, dst) clustering of dropDuplicates, and the
+    // degree window is per-src — so neither adds an exchange, and the
+    // single lineage avoids the double scan a groupBy-join fuse costs
+    // (the previous shape computed the upstream edge join twice and
+    // shuffled it twice: distinct on (src,dst), then repartition(src))
+    val edges = edgesIn.toDF("src", "dst")
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .cache()
     try {
       val nodes = edges.select(col("src").as("node"))
