@@ -270,7 +270,119 @@ object QueriesCorpus {
               GROUP BY e.event_id, e.k)
             ORDER BY event_id"""))
 
+  // -------------------------------------- curate_domain_mix: target mixing
+
+  private val mix = Q(
+    "curate_domain_mix",
+    "Domain mixing to target proportions: per-source weights (wt = " +
+      "src_idx % 5 + 1) define the mix; the max FEASIBLE corpus size is " +
+      "T = min_i(cnt_i * W div wt_i) (the binding source runs out first), " +
+      "per-source quota = wt_i * T div W — all integer arithmetic, so " +
+      "both engines agree exactly. Selection within a source is the " +
+      "content-stable hash rank (same reproducibility contract as " +
+      "curate_stratified_sample). The quota table is S rows (one per " +
+      "source) built from one partial-agg'd count — broadcast back, so " +
+      "the corpus-side pass is map+window only. At web scale the exact " +
+      "per-source rank composes with the hash-rate prefilter " +
+      "(keep hv % M < ceil(quota/cnt * M) + margin) so the window input " +
+      "is ~quota rows per source, not cnt.",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val per = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+        .withColumn("wt",
+          substring(col("source"), 4, 10).cast(LongType) % 5 + 1)
+      val sized = per.crossJoin(broadcast(per.agg(sum("wt").as("wsum"))))
+      val tot = sized.agg(min(expr("cnt * wsum div wt")).as("tot"))
+      val quotas = sized.crossJoin(broadcast(tot))
+        .select(col("source"), expr("wt * tot div wsum").as("quota"))
+      val w = Window.partitionBy("source").orderBy(col("hv"), col("doc_id"))
+      docs.join(broadcast(quotas), "source")
+        .withColumn("hv", Dedup.tokenId(col("doc_id").cast("string")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("quota"))
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")
+    },
+    Some("""WITH per AS (SELECT source,
+                    CAST(substr(source, 4, 10) AS BIGINT) % 5 + 1 AS wt,
+                    count(*) AS cnt
+             FROM documents GROUP BY source),
+            s AS (SELECT CAST(sum(wt) AS BIGINT) AS wsum FROM per),
+            t AS (SELECT min(cnt * wsum // wt) AS tot FROM per, s),
+            q AS (SELECT source, wt * tot // wsum AS quota FROM per, s, t),
+            h AS (SELECT doc_id, source,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     AS hv
+                  FROM documents)
+            SELECT source, doc_id FROM (
+              SELECT h.source, h.doc_id, q.quota,
+                     row_number() OVER (PARTITION BY h.source
+                                        ORDER BY hv, doc_id) AS rk
+              FROM h JOIN q USING (source))
+            WHERE rk <= quota
+            ORDER BY source, doc_id"""))
+
+  // --------------------------- dedup_substring: cross-doc repeated spans
+
+  private val GramN = 8
+
+  private val subDup = Q(
+    "dedup_substring",
+    "Cross-document repeated span detection at fixed 8-token granularity " +
+      "— the n-gram reduction of exact substring dedup (a suffix-array " +
+      "pass finds maximal repeats; fixed-length spans find the same " +
+      "boilerplate with a groupBy instead of a global sort). Spans are " +
+      "dedup'd WITHIN the doc before the explode (array_distinct in the " +
+      "scan stage), so the single shuffle carries one row per (doc, " +
+      "distinct span) and the per-span doc count is a plain count — " +
+      "never count-distinct. The synthetic corpus is collision-free " +
+      "word salad, so shared boilerplate is PLANTED on two doc strata " +
+      "(%7, %11 — docs in both strata also share the junction spans), " +
+      "mirrored in the oracle; top-100 by (n_docs, hash) bounds the " +
+      "output at any corpus size.",
+    (s, d) => {
+      val plant1 = " legal notice all rights reserved by the corpus packer tool"
+      val plant2 = " subscribe to our newsletter for updates and exclusive offers today"
+      val planted = concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(plant1)).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(plant2)).otherwise(lit("")))
+      t(s, d, "documents")
+        .select(col("doc_id"), TA.tokens(planted).as("toks"))
+        .select(col("doc_id"),
+          explode(when(size(col("toks")) >= GramN,
+            array_distinct(transform(
+              sequence(lit(1), size(col("toks")) - (GramN - 1)),
+              i => concat_ws(" ", slice(col("toks"), i, lit(GramN))))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .select(md5(col("gram")).as("gram_hash"), col("n_docs"),
+          col("first_doc"))
+        .orderBy(col("n_docs").desc, col("gram_hash"))
+        .limit(100)
+    },
+    Some("""WITH pl AS (SELECT doc_id, text ||
+                   CASE WHEN doc_id % 7 = 0
+                     THEN ' legal notice all rights reserved by the corpus packer tool'
+                     ELSE '' END ||
+                   CASE WHEN doc_id % 11 = 0
+                     THEN ' subscribe to our newsletter for updates and exclusive offers today'
+                     ELSE '' END AS txt
+                 FROM documents),
+            tk AS (SELECT doc_id, string_split(txt, ' ') AS toks FROM pl),
+            g AS (SELECT doc_id,
+                   unnest(list_distinct(CASE WHEN len(toks) >= 8
+                     THEN list_transform(range(1, len(toks) - 6),
+                            i -> array_to_string(toks[i:i+7], ' '))
+                     ELSE []::VARCHAR[] END)) AS gram
+                  FROM tk)
+            SELECT md5(gram) AS gram_hash, count(*) AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM g GROUP BY gram HAVING count(*) >= 2
+            ORDER BY n_docs DESC, gram_hash LIMIT 100"""))
+
   // ------------------------------------------------------------------- all
 
-  val all: Seq[Q] = Seq(chunk, pack, rep, invIdx, j17)
+  val all: Seq[Q] = Seq(chunk, pack, rep, invIdx, j17, mix, subDup)
 }
