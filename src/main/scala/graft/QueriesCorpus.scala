@@ -382,7 +382,80 @@ object QueriesCorpus {
             FROM g GROUP BY gram HAVING count(*) >= 2
             ORDER BY n_docs DESC, gram_hash LIMIT 100"""))
 
+  // ------------------------------------------- text_bm25_topk: retrieval
+
+  private val Bm25Terms = Seq("spark", "hash", "merge", "window")
+
+  private val bm25 = Q(
+    "text_bm25_topk",
+    "BM25 retrieval (k1=1.2, b=0.75) for a fixed 4-term query over the " +
+      "document corpus: tf from one (doc, term) groupBy of the term-" +
+      "filtered token stream (the explode keeps ONLY query terms, so the " +
+      "shuffle is |matches|, not |tokens|), df/N/avgdl as broadcast " +
+      "1-row/4-row aggregates, top-20 via TakeOrdered. Per-doc scores " +
+      "sum the 4 term contributions in FIXED query order (chained adds " +
+      "over per-term conditional aggregates) — a shuffle-order float sum " +
+      "would differ in low bits run-to-run and across engines; ln() can " +
+      "differ by 1 ulp cross-engine, so scores round to 3 decimals.",
+    (s, d) => {
+      val k1 = 1.2
+      val b = 0.75
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+      val hits = docs
+        .select(col("doc_id"), col("dl"),
+          explode(filter(col("toks"),
+            tk => tk.isin(Bm25Terms: _*))).as("term"))
+      val tf = hits.groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast(DoubleType).as("tf"), max("dl").as("dl"))
+      val df = tf.groupBy("term").agg(count(lit(1)).cast(DoubleType).as("df"))
+      val scored = tf
+        .join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("s",
+          col("idf") * col("tf") * lit(k1 + 1.0) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      val perTerm = Bm25Terms.map(tm =>
+        coalesce(max(when(col("term") === tm, col("s"))), lit(0.0)))
+      scored.groupBy("doc_id")
+        .agg(round(perTerm.reduce(_ + _), 3).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents),
+            d AS (SELECT doc_id, len(toks) AS dl, toks FROM tk),
+            st AS (SELECT count(*) AS n_docs,
+                          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+            hits AS (SELECT doc_id, dl, unnest(list_filter(toks,
+                       x -> x IN ('spark', 'hash', 'merge', 'window'))) AS term
+                     FROM d),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+                          max(dl) AS dl
+                   FROM hits GROUP BY doc_id, term),
+            df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                   FROM tf GROUP BY term),
+            sc AS (SELECT tf.doc_id, tf.term,
+                          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf *
+                            (1.2 + 1.0) /
+                            (tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / avgdl))
+                            AS s
+                   FROM tf JOIN df USING (term), st)
+            SELECT doc_id,
+                   round(coalesce(max(CASE WHEN term = 'spark' THEN s END), 0.0)
+                       + coalesce(max(CASE WHEN term = 'hash' THEN s END), 0.0)
+                       + coalesce(max(CASE WHEN term = 'merge' THEN s END), 0.0)
+                       + coalesce(max(CASE WHEN term = 'window' THEN s END), 0.0),
+                     3) AS bm25
+            FROM sc GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id LIMIT 20"""))
+
   // ------------------------------------------------------------------- all
 
-  val all: Seq[Q] = Seq(chunk, pack, rep, invIdx, j17, mix, subDup)
+  val all: Seq[Q] = Seq(chunk, pack, rep, invIdx, j17, mix, subDup, bm25)
 }
