@@ -122,6 +122,58 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("domain mix: per-source kept counts equal the integer quota formula") {
+    val docs = graft.engine.Engine.table(spark, sf, "documents")
+    val counts = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wt = counts.keys.map(s => s -> (s.drop(3).toLong % 5 + 1)).toMap
+    val wsum = wt.values.sum
+    val tot = counts.map { case (s, c) => c * wsum / wt(s) }.min
+    val quota = wt.map { case (s, w) => s -> w * tot / wsum }
+    val kept = q("curate_domain_mix").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    quota.filter(_._2 > 0).foreach { case (s, n) =>
+      assert(kept.getOrElse(s, 0L) == n, s"source $s: kept ${kept.get(s)}, quota $n")
+    }
+    assert(kept.values.sum == quota.values.sum)
+    // selection must be the hash-ranked prefix: re-running is idempotent
+    // (deterministic) and every kept doc exists in the corpus
+    val docIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    q("curate_domain_mix").collect().foreach(r =>
+      assert(docIds.contains(r.getLong(1))))
+  }
+
+  test("substring dedup: planted boilerplate recovered with exact doc counts") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val n7 = graft.engine.Engine.table(spark, sf, "documents")
+      .filter(col("doc_id") % 7 === 0).count()
+    val rows = q("dedup_substring").collect()
+    assert(rows.size <= 100)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.forall(_ >= 2), "a singleton span leaked through")
+    assert(counts.sameElements(counts.sortBy(-_)), "not ordered by n_docs desc")
+    val plantedHash = md5hex("legal notice all rights reserved by the corpus")
+    val planted = rows.find(_.getString(0) == plantedHash)
+    assert(planted.isDefined, "planted boilerplate span missing from top-100")
+    assert(planted.get.getLong(1) == n7, s"planted span count ${planted.get.getLong(1)} != $n7")
+    assert(planted.get.getLong(2) == 0L, "first_doc of planted span must be doc 0")
+  }
+
+  test("bm25: 20 rows, positive scores, non-increasing; term filter pre-explode") {
+    val rows = q("text_bm25_topk").collect()
+    assert(rows.size == 20)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))), "scores not descending")
+    // the token explode must filter to query terms BEFORE generating rows —
+    // the generator's input carries the filter() HOF, so the per-doc blowup
+    // is |matches|, not |tokens|
+    val plan = q("text_bm25_topk").queryExecution.optimizedPlan.toString
+    assert(plan.contains("filter(toks"), "term filter not pushed into the explode input")
+  }
+
   test("repetition metrics: fractions in [0,1]; keep flag matches integer thresholds") {
     val rows = q("text_rep_ngram").collect()
     assert(rows.nonEmpty)
