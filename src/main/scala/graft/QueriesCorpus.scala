@@ -455,7 +455,105 @@ object QueriesCorpus {
             FROM sc GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id LIMIT 20"""))
 
+  // ----------------------------------------- text_winnow: MOSS fingerprints
+
+  private val WinK = 4 // tokens per gram
+  private val WinW = 5 // gram hashes per winnowing window
+
+  private val winnow = Q(
+    "text_winnow",
+    "Winnowing fingerprints (the MOSS scheme): hash every 4-token gram, " +
+      "then keep the MIN hash of each 5-hash window — any shared span of " +
+      "w+k-1 = 8 tokens is guaranteed to share a fingerprint, at ~1/w the " +
+      "fingerprint density of full gram hashing. Entirely within-row HOFs " +
+      "over the scan: map-only, zero shuffles at any corpus size (the " +
+      "cross-doc bucket join over fingerprints is dedup_substring's " +
+      "groupBy shape, at 1/w the shuffle volume). Gram hashes are " +
+      "PROJECTED before the window pass — lambda bodies get no CSE, so " +
+      "inlining them would rehash every gram w times. Per-doc digest of " +
+      "the sorted fingerprint set keeps the output narrow and the " +
+      "comparison exact.",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          when(size(col("toks")) >= WinK,
+            transform(sequence(lit(1), size(col("toks")) - (WinK - 1)),
+              i => Dedup.tokenId(concat_ws(" ", slice(col("toks"), i, lit(WinK))))))
+            .otherwise(array().cast("array<bigint>")).as("hs"))
+        .select(col("doc_id"),
+          when(size(col("hs")) >= WinW,
+            array_distinct(transform(
+              sequence(lit(1), size(col("hs")) - (WinW - 1)),
+              i => array_min(slice(col("hs"), i, lit(WinW))))))
+            .otherwise(array().cast("array<bigint>")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"),
+          md5(concat_ws(",",
+            transform(array_sort(col("fps")), x => x.cast("string"))))
+            .as("fp_digest"))
+        .orderBy("doc_id"),
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents),
+            h AS (SELECT doc_id,
+                   CASE WHEN len(toks) >= 4
+                     THEN list_transform(range(1, len(toks) - 2),
+                       i -> ('0x' || substr(md5(array_to_string(toks[i:i+3], ' ')),
+                                            1, 8))::BIGINT)
+                     ELSE []::BIGINT[] END AS hs
+                  FROM tk),
+            f AS (SELECT doc_id,
+                   CASE WHEN len(hs) >= 5
+                     THEN list_distinct(list_transform(range(1, len(hs) - 3),
+                            i -> list_min(hs[i:i+4])))
+                     ELSE []::BIGINT[] END AS fps
+                  FROM h)
+            SELECT doc_id, CAST(len(fps) AS INT) AS n_fps,
+                   md5(array_to_string(list_transform(list_sort(fps),
+                         x -> CAST(x AS VARCHAR)), ',')) AS fp_digest
+            FROM f ORDER BY doc_id"""))
+
+  // -------------------------------------- text_vocab_oov: vocab coverage
+
+  private val oov = Q(
+    "text_vocab_oov",
+    "Vocabulary coverage / OOV rate: top-16 corpus vocabulary by " +
+      "frequency (tie-broken by token — deterministic), broadcast back " +
+      "against the exploded token stream, per-doc out-of-vocabulary " +
+      "counts and rate. Two bounded shuffles: the vocab groupBy (map-side " +
+      "partial agg collapses to |vocab| rows per partition) and the " +
+      "per-doc count (tokens of a doc are co-located at the scan, so the " +
+      "doc_id groupBy ships pre-aggregated rows). The rate is one IEEE " +
+      "division of exact integers — bit-identical cross-engine, shipped " +
+      "unrounded.",
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(16)
+        .select(col("tok"), lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          count(when(col("in_v").isNull, 1)).as("n_oov"))
+        .select(col("doc_id"), col("n_toks"), col("n_oov"),
+          (col("n_oov").cast(DoubleType) / col("n_toks")).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+            v AS (SELECT tok FROM (
+                    SELECT tok, count(*) AS c FROM ex GROUP BY tok
+                    ORDER BY c DESC, tok LIMIT 16)),
+            j AS (SELECT ex.doc_id, ex.tok, v.tok AS vtok
+                  FROM ex LEFT JOIN v ON ex.tok = v.tok)
+            SELECT doc_id, count(*) AS n_toks,
+                   count(CASE WHEN vtok IS NULL THEN 1 END) AS n_oov,
+                   CAST(count(CASE WHEN vtok IS NULL THEN 1 END) AS DOUBLE)
+                     / count(*) AS oov_rate
+            FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
   // ------------------------------------------------------------------- all
 
-  val all: Seq[Q] = Seq(chunk, pack, rep, invIdx, j17, mix, subDup, bm25)
+  val all: Seq[Q] =
+    Seq(chunk, pack, rep, invIdx, j17, mix, subDup, bm25, winnow, oov)
 }
