@@ -349,11 +349,7 @@ object QueriesCorpus {
       t(s, d, "documents")
         .select(col("doc_id"), TA.tokens(planted).as("toks"))
         .select(col("doc_id"),
-          explode(when(size(col("toks")) >= GramN,
-            array_distinct(transform(
-              sequence(lit(1), size(col("toks")) - (GramN - 1)),
-              i => concat_ws(" ", slice(col("toks"), i, lit(GramN))))))
-            .otherwise(array().cast("array<string>"))).as("gram"))
+          explode(TA.ngramShinglesFromToks(col("toks"), GramN)).as("gram"))
         .groupBy("gram")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
         .filter(col("n_docs") >= 2)
