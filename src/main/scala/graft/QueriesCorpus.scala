@@ -548,8 +548,79 @@ object QueriesCorpus {
                      / count(*) AS oov_rate
             FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
+  // --------------------------------- dedup_incremental: batch-vs-corpus
+
+  private val incr = Q(
+    "dedup_incremental",
+    "Incremental dedup — the daily-ingest shape: a NEW batch (doc_id % 4 " +
+      "== 0 stands in for today's crawl) is admitted only if its content " +
+      "fingerprint collides with neither the HISTORICAL corpus (the other " +
+      "¾) nor an earlier doc of the same batch. Two hash-equi left-anti " +
+      "joins on the fingerprint — never a pair space — plus the keep-" +
+      "first window WITHIN the batch; at 100 TB the historical side is " +
+      "the persisted fingerprint index (bucketed on the hash, so the " +
+      "anti join is exchange-free on ingest). Near-dup admission swaps " +
+      "the exact fingerprint for minhash band keys — same two-anti-join " +
+      "shape. Duplicates are PLANTED: every 20th doc's text is reused " +
+      "verbatim by batch docs (batch ids ≡ 0 mod 20 collide with " +
+      "history via the %4 split), keeping both rejection paths " +
+      "non-vacuous.",
+    (s, d) => {
+      // plant: batch docs whose id ≡ 0 (mod 20) take the text of the
+      // historical doc id+10 (id+10 ≡ 10 mod 20, and ≢ 0 mod 4 when
+      // id ≡ 0 mod 20 ⇒ id+10 ≡ 2 mod 4 — always historical), so exact
+      // cross-split duplicates exist by construction
+      val docs = t(s, d, "documents")
+      val donors = docs.select((col("doc_id") - 10).as("did"),
+        col("text").as("donor_text"))
+      val planted = docs
+        .join(donors.hint("broadcast"), col("doc_id") === col("did"), "left")
+        .select(col("doc_id"), col("source"),
+          // second plant: %24==12 docs are all ≡0 mod 4 (batch-only), and
+          // share one literal payload no historical doc has — so the
+          // within-batch keep-first window has real work even though every
+          // cross-split duplicate dies at the anti join first
+          when(col("doc_id") % 20 === 0 && col("donor_text").isNotNull,
+            col("donor_text"))
+            .when(col("doc_id") % 24 === 12,
+              lit("shared batch boilerplate duplicate payload"))
+            .otherwise(col("text")).as("text"))
+      val fp = TA.fingerprintExact(col("text"))
+      val batch = planted.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("source"), fp.as("fp"))
+      val hist = planted.filter(col("doc_id") % 4 =!= 0)
+        .select(fp.as("fp")).distinct()
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      batch.join(hist, Seq("fp"), "left_anti")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("source"), col("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH planted AS (
+              SELECT d.doc_id, d.source,
+                     CASE WHEN d.doc_id % 20 = 0 AND don.donor_text IS NOT NULL
+                       THEN don.donor_text
+                     WHEN d.doc_id % 24 = 12
+                       THEN 'shared batch boilerplate duplicate payload'
+                     ELSE d.text END AS text
+              FROM documents d
+              LEFT JOIN (SELECT doc_id - 10 AS did, text AS donor_text
+                         FROM documents) don ON d.doc_id = don.did),
+            batch AS (SELECT doc_id, source, md5(lower(trim(text))) AS fp
+                      FROM planted WHERE doc_id % 4 = 0),
+            hist AS (SELECT DISTINCT md5(lower(trim(text))) AS fp
+                     FROM planted WHERE doc_id % 4 <> 0)
+            SELECT doc_id, source, fp FROM (
+              SELECT b.doc_id, b.source, b.fp,
+                     row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id)
+                       AS rk
+              FROM batch b ANTI JOIN hist h ON b.fp = h.fp)
+            WHERE rk = 1
+            ORDER BY doc_id"""))
+
   // ------------------------------------------------------------------- all
 
   val all: Seq[Q] =
-    Seq(chunk, pack, rep, invIdx, j17, mix, subDup, bm25, winnow, oov)
+    Seq(chunk, pack, rep, invIdx, j17, mix, subDup, bm25, winnow, oov, incr)
 }
