@@ -9,6 +9,15 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGER Column → Expression: the ExpressionUtils form above wraps the
+    * column in a lazy ColumnNodeExpression placeholder, which only the
+    * Dataset API path converts; inside a FunctionRegistry builder the
+    * placeholder survives analysis un-converted and dies in codegen
+    * (Unevaluable). SQL-function builders must convert eagerly.
+    */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** DataFrame over a custom logical node (Dataset.ofRows is private[sql]). */
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =

@@ -45,6 +45,28 @@ class ArrayDotSpec extends SparkSpec {
     assert(r.getDouble(0) == 32.0)
   }
 
+  test("graft_* SQL functions: the F-surface from pure SQL, same builders the extension installs") {
+    graft.plans.GraftExtensions.sqlFunctions.foreach { case (name, arity, f) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, graft.plans.GraftExtensions.expressionBuilder(name, arity, f),
+        "built-in")
+    }
+    val r = spark.sql(
+      """SELECT graft_fractional_odds('5/2')              AS odds,
+                graft_fractional_odds('junk')             AS bad_odds,
+                graft_strip_suffix('Arsenal (ENG)')       AS team,
+                graft_haversine(0.0d, 0.0d, 0.0d, 180.0d) AS half_girth,
+                CAST(graft_parse_dayfirst('29/02/2024') AS DATE) AS leap,
+                graft_parse_dayfirst('31/02/2024')        AS coerced
+      """).collect()(0)
+    assert(r.getDouble(0) == 3.5)
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "Arsenal")
+    assert(math.abs(r.getDouble(3) - math.Pi * 6371.0) < 0.5)
+    assert(r.getDate(4).toString == "2024-02-29")
+    assert(r.isNullAt(5)) // coercing parse: impossible date → null
+  }
+
   test("FuseArrayDot: composed idiom fuses to native node, nested lambdas don't") {
     spark.experimental.extraOptimizations = Seq(graft.plans.FuseArrayDot)
     try {
