@@ -51,6 +51,49 @@ object QueriesNext {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY user_id, event_id"""))
 
+  // --------------------------------------------- w8: integer z-score anomaly
+
+  private val w8 = Q(
+    "w8_anomaly_zscore",
+    "Per-user anomaly flagging: |x − mean| > 2σ against the user's own " +
+      "history, computed ENTIRELY in integers — the test is algebraically " +
+      "rearranged to (n·x − S)² > 4·(n·Sq − S²) over cents sums, so no " +
+      "float mean/variance ever materializes (a float σ is shuffle-order " +
+      "nondeterministic in the low bits and can flip the comparison on " +
+      "boundary rows, breaking any hash-graded compare). One shuffle: " +
+      "n/S/Sq ride a single user_id window, no join-back. Magnitudes: " +
+      "cents ≤ 10^5, n ≤ 10^3 per user keeps every term under 10^14 — " +
+      "long-safe with 4 orders of headroom; at 10^7-event users the same " +
+      "shape runs on DECIMAL(38,0).",
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id")
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100, 0).cast(LongType).as("cents"))
+        .withColumn("n", count(lit(1)).over(byUser))
+        .withColumn("sc", sum("cents").over(byUser))
+        .withColumn("sq", sum(col("cents") * col("cents")).over(byUser))
+        .withColumn("dev", col("n") * col("cents") - col("sc"))
+        .select(col("event_id"), col("user_id"), col("cents"),
+          // all-LONG products (pow() would round-trip through double)
+          (col("dev") * col("dev") >
+            lit(4L) * (col("n") * col("sq") - col("sc") * col("sc")))
+            .as("is_anomaly"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, cents,
+                   (n * cents - sc) * (n * cents - sc)
+                     > 4 * (n * sq - sc * sc) AS is_anomaly
+            FROM (SELECT event_id, user_id, cents,
+                         CAST(count(*) OVER w AS BIGINT) AS n,
+                         CAST(sum(cents) OVER w AS BIGINT) AS sc,
+                         CAST(sum(cents * cents) OVER w AS BIGINT) AS sq
+                  FROM (SELECT event_id, user_id,
+                               CAST(round(value * 100, 0) AS BIGINT) AS cents
+                        FROM events)
+                  WINDOW w AS (PARTITION BY user_id))
+            ORDER BY event_id"""))
+
   // ------------------------------------------------------ a15: grouping sets
 
   private val a15 = Q(
@@ -692,6 +735,6 @@ object QueriesNext {
 
   // ------------------------------------------------------------------- all
 
-  val all: Seq[Q] = Seq(w7, a15, a16, dedupCos, contam, j16, mmFrames,
+  val all: Seq[Q] = Seq(w7, w8, a15, a16, dedupCos, contam, j16, mmFrames,
     p10, p11, a17, a18, w9, g1, curPipe)
 }
