@@ -80,8 +80,11 @@ object Graph {
           // rounds halves the materialization jobs while keeping plan
           // depth (and re-analysis cost) bounded — the unbounded-rounds
           // loop in Dedup.connectedComponents can't do this because its
-          // fixpoint check forces a job every round anyway
-          if (i % 2 == 0 || i == iters) {
+          // fixpoint check forces a job every round anyway. The FINAL
+          // round is never checkpointed: the caller's sink materializes
+          // it, so an eager checkpoint there is a whole extra pass over
+          // the rank table
+          if (i % 2 == 0 && i < iters) {
             val cp = next.localCheckpoint(true)
             checkpointRdd(lastCp).foreach(_.unpersist(blocking = false))
             lastCp = cp
