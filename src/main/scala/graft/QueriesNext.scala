@@ -62,9 +62,9 @@ object QueriesNext {
       "nondeterministic in the low bits and can flip the comparison on " +
       "boundary rows, breaking any hash-graded compare). One shuffle: " +
       "n/S/Sq ride a single user_id window, no join-back. Magnitudes: " +
-      "cents ≤ 10^5, n ≤ 10^3 per user keeps every term under 10^14 — " +
-      "long-safe with 4 orders of headroom; at 10^7-event users the same " +
-      "shape runs on DECIMAL(38,0).",
+      "cents ≤ 10^5 and n ≤ 10^3 per user put the largest term (dev² ≤ " +
+      "(2·10^8)² = 4·10^16) ~230× under Long.MaxValue; bigger users or " +
+      "values need DECIMAL(38,0) — scale the bound from dev², not S.",
     (s, d) => {
       val byUser = Window.partitionBy("user_id")
       t(s, d, "events")

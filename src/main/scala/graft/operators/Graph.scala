@@ -81,10 +81,12 @@ object Graph {
           // depth (and re-analysis cost) bounded — the unbounded-rounds
           // loop in Dedup.connectedComponents can't do this because its
           // fixpoint check forces a job every round anyway. The FINAL
-          // round is never checkpointed: the caller's sink materializes
-          // it, so an eager checkpoint there is a whole extra pass over
-          // the rank table
-          if (i % 2 == 0 && i < iters) {
+          // round MUST checkpoint eagerly too: the finally blocks below
+          // unpersist edges/nodes before a lazy return value would ever
+          // run, so skipping it re-derives the whole fused-edge pipeline
+          // uncached at the caller's sink (measured as a regression, not
+          // a saving)
+          if (i % 2 == 0 || i == iters) {
             val cp = next.localCheckpoint(true)
             checkpointRdd(lastCp).foreach(_.unpersist(blocking = false))
             lastCp = cp

@@ -2,8 +2,6 @@ package graft.sources.v2
 
 import java.util
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -74,14 +72,25 @@ object HttpCsvSource {
     */
   private val bodyCache = new util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One shared client: connection reuse, and per-instance pacing state
+    * that actually accumulates (a per-fetch HttpFetcher would make both
+    * meaningless).
+    */
+  private lazy val fetcher = new HttpFetcher()
+
   private[v2] def fetchBody(options: CaseInsensitiveStringMap): Option[String] = {
     val url = Option(options.get("url")).getOrElse(
       throw new IllegalArgumentException("graft-http-csv: missing required option 'url'"))
     val refresh = options.getBoolean("refresh", false)
-    if (!refresh && bodyCache.containsKey(url)) return Some(bodyCache.get(url))
+    if (!refresh) {
+      // single get, not containsKey-then-get: a concurrent clear() between
+      // the two would surface as Some(null)
+      val cached = bodyCache.get(url)
+      if (cached != null) return Some(cached)
+    }
     val body: Option[String] =
       if (url.startsWith("http://") || url.startsWith("https://"))
-        new HttpFetcher().get(url, timeoutSec = options.getInt("timeoutSec", 60))
+        fetcher.get(url, timeoutSec = options.getInt("timeoutSec", 60))
       else {
         val p = java.nio.file.Paths.get(url.stripPrefix("file://"))
         if (java.nio.file.Files.exists(p))
@@ -96,11 +105,40 @@ object HttpCsvSource {
   }
 
   private[v2] def headerSchema(body: String): StructType = {
-    val header = body.linesIterator.find(_.nonEmpty).getOrElse(
+    val header = splitRecords(body).headOption.getOrElse(
       throw new IllegalArgumentException("graft-http-csv: empty body, no header"))
     StructType(parseCsvLine(header).map(c =>
       org.apache.spark.sql.types.StructField(
         Option(c).getOrElse(""), StringType, nullable = true)))
+  }
+
+  /** Split the body into CSV RECORDS, not lines: a newline inside a quoted
+    * field (RFC-4180 §2.6) is field content, so records are delimited only
+    * by newlines at quote depth zero. CRLF terminators are normalized;
+    * empty records (blank lines between rows) are skipped.
+    */
+  private[v2] def splitRecords(body: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var inQuotes = false
+    var i = 0
+    def flush(): Unit = {
+      val rec =
+        if (cur.length > 0 && cur.charAt(cur.length - 1) == '\r')
+          cur.substring(0, cur.length - 1)
+        else cur.toString
+      if (rec.nonEmpty) out += rec
+      cur.setLength(0)
+    }
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '"') { inQuotes = !inQuotes; cur.append(c) }
+      else if (c == '\n' && !inQuotes) flush()
+      else cur.append(c)
+      i += 1
+    }
+    flush()
+    out.toArray
   }
 
   /** Minimal RFC-4180 field split: double quotes delimit fields that may
@@ -193,9 +231,8 @@ final class LinesScan(full: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val body = HttpCsvSource.fetchBody(options)
     val dataLines: Array[String] = body match {
-      case None => Array.empty // S6: fetch failed → empty-but-valid scan
-      case Some(b) =>
-        b.linesIterator.filter(_.nonEmpty).drop(1).toArray // drop header
+      case None    => Array.empty // S6: fetch failed → empty-but-valid scan
+      case Some(b) => HttpCsvSource.splitRecords(b).drop(1) // drop header
     }
     val n = math.max(1, math.min(options.getInt("numPartitions", 4),
       math.max(1, dataLines.length)))

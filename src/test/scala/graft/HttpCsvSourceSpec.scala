@@ -47,6 +47,16 @@ class HttpCsvSourceSpec extends SparkSpec {
     assert(rows.contains((null, "Nowhere", "3")))     // leading empty → null
   }
 
+  test("RFC-4180 newline inside a quoted field stays one record") {
+    val body = "team,notes\nAlpha,\"line1\nline2\"\nBeta,plain\n"
+    val df = spark.read.format("graft-http-csv")
+      .option("url", tmpCsv(body)).load()
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length == 2)
+    assert(rows.contains(("Alpha", "line1\nline2")))
+    assert(rows.contains(("Beta", "plain")))
+  }
+
   test("column pruning reaches the scan; pushed EqualTo filters rows at parse") {
     val df = spark.read.format("graft-http-csv")
       .option("url", tmpCsv(csv)).load()
