@@ -909,11 +909,47 @@ object QueriesExt {
                         THEN CAST(8000 + (doc_id % 5) * 8820 AS INT) END AS sample_rate
             FROM documents ORDER BY doc_id"""))
 
+  private val mmJpeg = Q(
+    "mm_jpeg_sof",
+    "JPEG SOF0 dimension parsing with a REAL marker walk: the synthesized " +
+      "payloads put variable-length APP0 and COM segments (lengths keyed " +
+      "off doc_id) before SOF0, so no fixed offset can find the dims — " +
+      "Multimodal.jpegSofOffset folds over the segment chain (bounded " +
+      "aggregate HOF: read marker, read 2-byte BE length, advance 2+len, " +
+      "stop at FFC0), all as codegen'd expressions over the payload " +
+      "bytes. The oracle computes expected dims AND the expected walk " +
+      "offset independently, grading the full build→walk→parse " +
+      "round-trip. Map-only; zero shuffles at any corpus size.",
+    (s, d) => {
+      import graft.operators.Multimodal._
+      val h = (lit(100) + col("doc_id") % 900).cast("int")
+      val w = (lit(200) + col("doc_id") % 700).cast("int")
+      val appPad = (col("doc_id") % 8).cast("int")
+      val comPad = (col("doc_id") % 5).cast("int")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          jpegHeaderBytes(h, w, appPad, comPad).as("payload"))
+        // hex projected ONCE: the walk's lambda gets no CSE
+        .withColumn("hx", hex(col("payload")))
+        .withColumn("sof", jpegSofOffset(col("hx")))
+        .select(col("doc_id"),
+          mediaType(col("payload")).as("media_type"),
+          col("sof").as("sof_off"),
+          jpegHeight(col("hx"), col("sof")).as("jpeg_h"),
+          jpegWidth(col("hx"), col("sof")).as("jpeg_w"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, 'jpeg' AS media_type,
+                   CAST(27 + doc_id % 8 + doc_id % 5 AS INT) AS sof_off,
+                   CAST(100 + doc_id % 900 AS INT) AS jpeg_h,
+                   CAST(200 + doc_id % 700 AS INT) AS jpeg_w
+            FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     dExact, dJaccard, dMinhash, dSimhash, dComponents,
     simTopK, simLsh, simNearDup, simIvf,
     textStats, textLang, textFp, textTfidf, textTokCount,
     textHeavy, textPmi,
     curSample, curFilter, curShards, curStratified, curRedact, simQuantize, simKmeans,
-    mmBinary, mmHeaders)
+    mmBinary, mmHeaders, mmJpeg)
 }

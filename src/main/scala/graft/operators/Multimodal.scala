@@ -139,7 +139,69 @@ object Multimodal {
   def mediaType(payload: Column): Column =
     when(hex(substring(payload, 1, 4)) === "89504E47", lit("png"))
       .when(hex(substring(payload, 1, 4)) === "52494646", lit("wav"))
+      .when(hex(substring(payload, 1, 2)) === "FFD8", lit("jpeg"))
       .otherwise(lit("unknown"))
+
+  /** A well-formed JPEG prefix whose SOF0 sits behind VARIABLE-length
+    * segments (APP0 of 16+appPad, COM of 4+comPad), so parsing its dims
+    * requires a real marker walk — fixed offsets cannot work. Layout per
+    * ITU T.81: SOI, then marker(2)+length(2, big-endian, counts itself
+    * but not the marker)+payload per segment; SOF0 (FFC0) carries
+    * precision(1), height(2 BE), width(2 BE) at segment offsets +4/+5/+7.
+    */
+  def jpegHeaderBytes(height: Column, width: Column,
+                      appPad: Column, comPad: Column): Column = {
+    val appLen = lit(16) + appPad
+    val comLen = lit(4) + comPad
+    unhex(concat(
+      lit("FFD8"),
+      lit("FFE0"), lpad(hex(appLen), 4, "0"),
+      repeat(lit("41"), (appLen - 2).cast(IntegerType)),
+      lit("FFFE"), lpad(hex(comLen), 4, "0"),
+      repeat(lit("42"), (comLen - 2).cast(IntegerType)),
+      lit("FFC0"), lit("000B"), lit("08"),
+      lpad(hex(height.cast(LongType)), 4, "0"),
+      lpad(hex(width.cast(LongType)), 4, "0"),
+      lit("01011100"),
+      lit("FFD9")))
+  }
+
+  /** 1-based byte offset of the SOF0 marker, found by walking the segment
+    * chain from the payload bytes alone: start at byte 3 (after SOI);
+    * each step reads the 2-byte marker and 2-byte length and advances
+    * 2+len, stopping on FFC0. A bounded `aggregate` fold over maxSegs
+    * steps — pure codegen'd expression, no UDF, no explode. Returns 0 if
+    * no SOF0 appears within the bound (corrupt/truncated payload).
+    *
+    * Takes the PROJECTED hex string, not the binary: lambda bodies get no
+    * common-subexpression elimination, so an inline hex(payload) would
+    * re-hex the payload at every step of the walk.
+    */
+  def jpegSofOffset(hx: Column, maxSegs: Int = 8): Column =
+    aggregate(
+      sequence(lit(1), lit(maxSegs)),
+      struct(lit(3).as("off"), lit(0).as("sof")),
+      (st, _) => {
+        val off = st.getField("off")
+        val marker = hx.substr(off * 2 - 1, lit(4))
+        val len = conv(hx.substr(off * 2 + 3, lit(4)), 16, 10).cast(IntegerType)
+        when(st.getField("sof") =!= 0, st)
+          .when(marker === "FFC0", struct(off.as("off"), off.as("sof")))
+          .otherwise(struct((off + 2 + len).as("off"), lit(0).as("sof")))
+      },
+      st => st.getField("sof"))
+
+  /** 2-byte big-endian dims at the walked SOF0 position (byte sof+5 is
+    * height, sof+7 width → hex positions 2·sof+9 / 2·sof+13); null when
+    * the walk found no SOF0.
+    */
+  def jpegHeight(hx: Column, sofOff: Column): Column =
+    when(sofOff =!= 0,
+      conv(hx.substr(sofOff * 2 + 9, lit(4)), 16, 10).cast(IntegerType))
+
+  def jpegWidth(hx: Column, sofOff: Column): Column =
+    when(sofOff =!= 0,
+      conv(hx.substr(sofOff * 2 + 13, lit(4)), 16, 10).cast(IntegerType))
 
   /** Resize stub: recompute metadata, pass payload through (a real kernel
     * transcodes). Shows metadata-typed transforms stay columnar.

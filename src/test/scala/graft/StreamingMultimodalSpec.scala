@@ -189,6 +189,34 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(unk == "unknown")
   }
 
+  test("multimodal: JPEG SOF walk finds dims behind variable segments; corrupt payload → 0/null") {
+    import org.apache.spark.sql.functions.{col, hex, lit}
+    val df = Seq((480, 640, 0, 0), (1024, 2048, 7, 4), (1, 1, 3, 2))
+      .toDF("h", "w", "ap", "cp")
+      .select(col("h"), col("w"), col("ap"), col("cp"),
+        hex(Multimodal.jpegHeaderBytes(col("h"), col("w"), col("ap"), col("cp")))
+          .as("hx"))
+      .withColumn("sof", Multimodal.jpegSofOffset(col("hx")))
+      .select(col("h"), col("w"), col("ap"), col("cp"), col("sof"),
+        Multimodal.jpegHeight(col("hx"), col("sof")).as("ph"),
+        Multimodal.jpegWidth(col("hx"), col("sof")).as("pw"))
+    df.collect().foreach { r =>
+      val (h, w, ap, cp) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(r.getInt(4) == 27 + ap + cp, s"walk offset: $r")
+      assert(r.getInt(5) == h && r.getInt(6) == w, s"dims: $r")
+    }
+    // SOI followed by non-SOF segments only: walk exhausts its bound,
+    // returns 0, dims null — corrupt media must not kill the job
+    val corrupt = Seq("FFD8" + "FFE000104A4649460000000000000000" + "FFD9")
+      .toDF("hxs")
+      .select(Multimodal.jpegSofOffset(col("hxs")).as("sof"),
+        Multimodal.jpegHeight(col("hxs"), Multimodal.jpegSofOffset(col("hxs")))
+          .as("ph"))
+      .collect()(0)
+    assert(corrupt.getInt(0) == 0)
+    assert(corrupt.isNullAt(1))
+  }
+
   test("multimodal: resize metadata + frame sampling shapes") {
     implicit val s = spark
     val rows = Seq(MediaRow(1, Array.fill[Byte](1000)(7), MediaMeta("video", 640, 480, 0))).toDS()
