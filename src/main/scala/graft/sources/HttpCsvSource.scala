@@ -78,7 +78,7 @@ object HttpCsvSource {
     */
   private lazy val fetcher = new HttpFetcher()
 
-  private[v2] def fetchBody(options: CaseInsensitiveStringMap): Option[String] = {
+  private[graft] def fetchBody(options: CaseInsensitiveStringMap): Option[String] = {
     val url = Option(options.get("url")).getOrElse(
       throw new IllegalArgumentException("graft-http-csv: missing required option 'url'"))
     val refresh = options.getBoolean("refresh", false)
@@ -104,7 +104,7 @@ object HttpCsvSource {
     body
   }
 
-  private[v2] def headerSchema(body: String): StructType = {
+  private[graft] def headerSchema(body: String): StructType = {
     val header = splitRecords(body).headOption.getOrElse(
       throw new IllegalArgumentException("graft-http-csv: empty body, no header"))
     StructType(parseCsvLine(header).map(c =>
@@ -117,7 +117,7 @@ object HttpCsvSource {
     * by newlines at quote depth zero. CRLF terminators are normalized;
     * empty records (blank lines between rows) are skipped.
     */
-  private[v2] def splitRecords(body: String): Array[String] = {
+  private[graft] def splitRecords(body: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new java.lang.StringBuilder
     var inQuotes = false
@@ -146,7 +146,7 @@ object HttpCsvSource {
     * empty fields parse as null (Spark CSV's default nullValue); quoted
     * empty fields parse as "".
     */
-  private[v2] def parseCsvLine(line: String): Array[String] = {
+  private[graft] def parseCsvLine(line: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new java.lang.StringBuilder
     var inQuotes = false
