@@ -193,15 +193,21 @@ object Multimodal {
 
   /** 2-byte big-endian dims at the walked SOF0 position (byte sof+5 is
     * height, sof+7 width → hex positions 2·sof+9 / 2·sof+13); null when
-    * the walk found no SOF0.
+    * the walk found no SOF0, when the payload is TRUNCATED inside the
+    * SOF0 segment (both dim fields must be fully present — a short
+    * substr would conv-parse to 0 or partial garbage), or when the
+    * parsed dim is 0 (invalid per T.81, same corrupt-not-crash posture
+    * as the PNG/WAV parsers).
     */
-  def jpegHeight(hx: Column, sofOff: Column): Column =
-    when(sofOff =!= 0,
-      conv(hx.substr(sofOff * 2 + 9, lit(4)), 16, 10).cast(IntegerType))
+  private def jpegDim(hx: Column, sofOff: Column, hexPosFromSof: Int): Column = {
+    val v = conv(hx.substr(sofOff * 2 + hexPosFromSof, lit(4)), 16, 10)
+      .cast(IntegerType)
+    when(sofOff =!= 0 && length(hx) >= sofOff * 2 + 16 && v > 0, v)
+  }
 
-  def jpegWidth(hx: Column, sofOff: Column): Column =
-    when(sofOff =!= 0,
-      conv(hx.substr(sofOff * 2 + 13, lit(4)), 16, 10).cast(IntegerType))
+  def jpegHeight(hx: Column, sofOff: Column): Column = jpegDim(hx, sofOff, 9)
+
+  def jpegWidth(hx: Column, sofOff: Column): Column = jpegDim(hx, sofOff, 13)
 
   /** Resize stub: recompute metadata, pass payload through (a real kernel
     * transcodes). Shows metadata-typed transforms stay columnar.

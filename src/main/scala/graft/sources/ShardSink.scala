@@ -24,17 +24,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    mid-job, and speculative/retried tasks each write their own uuid
   *    so the LAST committed attempt wins without clobbering;
   *  - driver commit renames every temp file to
-  *    `<path>/shard-<k>-<rows>.jsonl` and writes `_INDEX.json` (shard →
-  *    row count) LAST — readers that require the index see the output
-  *    all-or-nothing;
+  *    `<path>/shard-<runId>-<k>-<rows>.jsonl` — the per-job runId makes
+  *    names collision-free ACROSS jobs, so an append can never clobber
+  *    a previously committed shard — then writes `_INDEX.json` covering
+  *    the FULL dataset (prior surviving shards merged in on append);
+  *  - commit ordering: new shards in → index written → (overwrite only)
+  *    old shards deleted. Index-driven readers therefore see the
+  *    dataset all-or-nothing at every failure point; glob readers
+  *    (`shard-*.jsonl`) can transiently see old+new together if the
+  *    driver dies mid-overwrite-commit — over-inclusive, never partial
+  *    loss of the committed generation;
   *  - abort deletes the temp files; a crashed job leaves only `_tmp`
   *    debris, never a half-visible dataset.
   *
-  * Overwrite mode implements `SupportsTruncate` (the existing output is
-  * cleared inside driver commit, not before the job — a failed overwrite
-  * leaves the previous data intact). Local-filesystem rename semantics
-  * match the single-node harness; on an object store the rename step
-  * becomes a copy-manifest commit, same protocol shape.
+  * Local-filesystem rename semantics match the single-node harness; on
+  * an object store the rename step becomes a copy-manifest commit, same
+  * protocol shape.
   */
 final class ShardSink extends TableProvider with DataSourceRegister {
 
@@ -87,32 +92,50 @@ final class ShardBatchWrite(schema: StructType, path: String, truncate: Boolean)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ShardWriterFactory(schema, path)
 
+  /** Files.list streams hold an open DirectoryStream — they MUST be
+    * closed, or every commit leaks a directory fd until GC.
+    */
+  private def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(dir)
+    try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    } finally s.close()
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
-    if (truncate) {
-      val old = java.nio.file.Files.list(dir).iterator()
-      while (old.hasNext) {
-        val p = old.next()
-        if (!p.getFileName.toString.startsWith("_tmp"))
-          deleteRecursively(p)
-      }
-    }
+    val oldShards = listDir(dir).map(_.getFileName.toString)
+      .filter(n => n.startsWith("shard-") && n.endsWith(".jsonl"))
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val shards = messages.collect { case ShardCommit(tmp, rows) => (tmp, rows) }
-    val index = new StringBuilder("{\n")
-    shards.zipWithIndex.foreach { case ((tmp, rows), k) =>
-      val name = s"shard-$k-$rows.jsonl"
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dir.resolve(name),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      index.append(s"""  "$name": $rows${if (k < shards.length - 1) "," else ""}\n""")
+    // 1. new shards in — runId makes the names unique across jobs, so no
+    //    previously committed file can be clobbered, append or not
+    val newNames = shards.zipWithIndex.map { case ((tmp, rows), k) =>
+      val name = s"shard-$runId-$k-$rows.jsonl"
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dir.resolve(name))
+      (name, rows)
     }
-    index.append("}\n")
-    // the index is written LAST: its presence is the commit marker
-    java.nio.file.Files.write(dir.resolve("_INDEX.json"),
-      index.toString.getBytes("UTF-8"))
+    // 2. index covers the FULL post-commit dataset (prior shards merged
+    //    in on append; counts recovered from the filename suffix) and is
+    //    written before any deletion: index readers never see a partial
+    //    or stale-file-referencing view
+    val kept = if (truncate) newNames.toSeq
+      else oldShards.map(n =>
+        (n, n.stripSuffix(".jsonl").split("-").last.toLong)) ++ newNames
+    val index = kept.map { case (n, r) => s"""  "$n": $r""" }
+      .mkString("{\n", ",\n", "\n}\n")
+    java.nio.file.Files.write(dir.resolve("_INDEX.json"), index.getBytes("UTF-8"))
+    // 3. overwrite semantics: old generation deleted LAST — a mid-commit
+    //    crash leaves extra files (glob readers over-read), never a
+    //    partially destroyed committed generation
+    if (truncate) oldShards.foreach(n =>
+      java.nio.file.Files.deleteIfExists(dir.resolve(n)))
     val tmpDir = dir.resolve("_tmp")
-    if (java.nio.file.Files.exists(tmpDir) &&
-        !java.nio.file.Files.list(tmpDir).iterator().hasNext)
+    if (java.nio.file.Files.exists(tmpDir) && listDir(tmpDir).isEmpty)
       java.nio.file.Files.delete(tmpDir)
   }
 
@@ -122,14 +145,6 @@ final class ShardBatchWrite(schema: StructType, path: String, truncate: Boolean)
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
       case _ => ()
     }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val it = java.nio.file.Files.list(p).iterator()
-      while (it.hasNext) deleteRecursively(it.next())
-    }
-    java.nio.file.Files.deleteIfExists(p)
-  }
 }
 
 final class ShardWriterFactory(schema: StructType, path: String)
@@ -153,6 +168,10 @@ final class ShardWriter(schema: StructType, path: String)
     java.nio.file.Files.newOutputStream(tmp), "UTF-8"))
   private var rows = 0L
 
+  // escaped once at construction, not re-escaped per row in the hot path
+  private val keyPrefix: Array[String] =
+    schema.fields.map(f => "\"" + jsonEscape(f.name) + "\":")
+
   private def jsonEscape(s: String): String = s.flatMap {
     case '"'           => "\\\""
     case '\\'          => "\\\\"
@@ -169,14 +188,17 @@ final class ShardWriter(schema: StructType, path: String)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (!first) sb.append(',')
       first = false
-      sb.append('"').append(jsonEscape(f.name)).append("\":")
+      sb.append(keyPrefix(i))
       if (row.isNullAt(i)) sb.append("null")
       else f.dataType match {
         case StringType  => sb.append('"')
           .append(jsonEscape(row.getUTF8String(i).toString)).append('"')
         case LongType    => sb.append(row.getLong(i))
         case IntegerType => sb.append(row.getInt(i))
-        case DoubleType  => sb.append(row.getDouble(i))
+        case DoubleType  =>
+          // NaN/Infinity are not legal JSON (RFC 8259) → null
+          val d = row.getDouble(i)
+          if (java.lang.Double.isFinite(d)) sb.append(d) else sb.append("null")
         case BooleanType => sb.append(row.getBoolean(i))
         case dt => throw new IllegalArgumentException(
           s"graft-shards: unsupported field type $dt for '${f.name}'")

@@ -31,7 +31,8 @@ class ShardSinkSpec extends SparkSpec {
     val shardNames = names.filter(_.startsWith("shard-"))
     assert(shardNames.size == 4, s"expected 4 shards, got $shardNames")
     // declared row counts are embedded in the file names AND the index
-    assert(shardNames.toSeq.map(_.split("-")(2).stripSuffix(".jsonl").toLong).sum == 997)
+    assert(shardNames.toSeq
+      .map(_.stripSuffix(".jsonl").split("-").last.toLong).sum == 997)
     val index = new String(
       Files.readAllBytes(Paths.get(dir, "_INDEX.json")), "UTF-8")
     shardNames.foreach(n => assert(index.contains(n), s"$n missing from index"))
@@ -61,6 +62,34 @@ class ShardSinkSpec extends SparkSpec {
     assert(spark.read.json(dir + "/shard-*.jsonl").count() == 20)
     write(5, "append")
     assert(spark.read.json(dir + "/shard-*.jsonl").count() == 25)
+  }
+
+  test("append of an identical frame never clobbers; index merges prior shards") {
+    val dir = Files.createTempDirectory("graft_shards_").toString
+    def append(): Unit =
+      (1 to 10).map(i => (i.toLong, "x")).toDF("id", "t").coalesce(1)
+        .write.format("graft-shards").option("path", dir).mode("append").save()
+    append(); append() // same partition count, same row count: name-collision bait
+    assert(spark.read.json(dir + "/shard-*.jsonl").count() == 20)
+    val index = new String(
+      Files.readAllBytes(Paths.get(dir, "_INDEX.json")), "UTF-8")
+    val listed = listNames(dir).filter(_.startsWith("shard-"))
+    assert(listed.size == 2, s"expected 2 shards on disk: $listed")
+    listed.foreach(n => assert(index.contains(n), s"index lost shard $n"))
+  }
+
+  test("NaN/Infinity doubles serialize as null — strict-JSON-legal lines") {
+    val dir = Files.createTempDirectory("graft_shards_").toString
+    Seq((1L, Double.NaN), (2L, Double.PositiveInfinity), (3L, 2.5))
+      .toDF("id", "score").coalesce(1)
+      .write.format("graft-shards").option("path", dir).mode("append").save()
+    val lines = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("shard-")).toSeq
+      .flatMap(p => scala.io.Source.fromFile(p.toFile, "UTF-8").getLines())
+    lines.foreach(l => assert(!l.contains("NaN") && !l.contains("Infinity"), l))
+    val back = spark.read.json(dir + "/shard-*.jsonl")
+    assert(back.filter(col("score").isNull).count() == 2)
+    assert(back.filter(col("score") === 2.5).count() == 1)
   }
 
   test("failed job leaves previously committed output intact (no partial visibility)") {

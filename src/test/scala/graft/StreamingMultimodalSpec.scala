@@ -215,6 +215,14 @@ class StreamingMultimodalSpec extends SparkSpec {
       .collect()(0)
     assert(corrupt.getInt(0) == 0)
     assert(corrupt.isNullAt(1))
+    // truncated INSIDE the SOF0 segment: the walk finds the marker but
+    // the dim fields are cut off → null, not a partial-parse garbage dim
+    val truncated = Seq("FFD8" + "FFC0" + "000B" + "08" + "01")
+      .toDF("hxs")
+      .select(Multimodal.jpegHeight(col("hxs"),
+        Multimodal.jpegSofOffset(col("hxs"))).as("ph"))
+      .collect()(0)
+    assert(truncated.isNullAt(0), s"truncated payload parsed to $truncated")
   }
 
   test("multimodal: resize metadata + frame sampling shapes") {
