@@ -112,6 +112,30 @@ class ShardSinkSpec extends SparkSpec {
     assert(back.filter(col("t") === "keep").count() == 10)
   }
 
+  test("curation E2E to shards: quality-filter -> chunk -> export -> read back complete") {
+    import graft.operators.{TextAnalysis => TA}
+    val dir = Files.createTempDirectory("graft_shards_").toString
+    val docs = graft.engine.Engine.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 50) // quality gate: too-short docs out
+    val chunks = docs
+      .select(col("doc_id"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(40)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"))
+    val expected = chunks.count()
+    chunks.repartition(3)
+      .write.format("graft-shards").option("path", dir).mode("overwrite").save()
+    val back = spark.read.json(dir + "/shard-*.jsonl")
+    assert(back.count() == expected)
+    // every (doc, chunk) pair survives exactly once
+    assert(back.select("doc_id", "chunk_idx").distinct().count() == expected)
+    val index = new String(
+      Files.readAllBytes(Paths.get(dir, "_INDEX.json")), "UTF-8")
+    assert(listNames(dir).count(_.startsWith("shard-")) == 3)
+    assert(!index.isEmpty)
+  }
+
   test("unsupported field types are rejected loudly, not stringified") {
     val dir = Files.createTempDirectory("graft_shards_").toString
     val e = intercept[Exception] {
