@@ -165,6 +165,47 @@ object Streaming {
     * schema — the deployment shape (`readStream` → transform →
     * `writeStream` with checkpointing).
     */
+  case class UserStats(user_id: Long, n_events: Long, max_value: Double)
+
+  /** Per-user running stats on the `transformWithState` API (Spark 4's
+    * arbitrary-state v2, the successor to map/flatMapGroupsWithState):
+    * a typed [[org.apache.spark.sql.streaming.ValueState]] accumulates
+    * (count, max) per key in the RocksDB state store and every batch
+    * emits the keys it touched (Update mode). TWS is where new state
+    * features land (typed composite state, TTL, timers, initial state)
+    * — this is the minimal correct shape: state access only inside
+    * handleInputRows, one emitted row per touched key per batch.
+    */
+  class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserStats] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)](
+        "stats", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: ss.TimerValues): Iterator[UserStats] = {
+      var (n, mx) = Option(state.get()).getOrElse((0L, Double.MinValue))
+      rows.foreach { e => n += 1; if (e.value > mx) mx = e.value }
+      state.update((n, mx))
+      Iterator.single(UserStats(key, n, mx))
+    }
+  }
+
+  /** `transformWithState` requires the RocksDB state store provider. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),

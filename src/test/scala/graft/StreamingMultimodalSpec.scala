@@ -127,6 +127,35 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(rows.toSeq == Seq((10L, 20L)))
   }
 
+  test("transformWithState: running per-user stats accumulate across batches (RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = Streaming.runningUserStats(mem.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      try {
+        mem.addData(Event(1, ts(0), 1, "click", 5.0), Event(2, ts(1), 1, "click", 9.0),
+          Event(3, ts(0), 2, "view", 2.0))
+        q.processAllAvailable()
+        mem.addData(Event(4, ts(2), 1, "click", 7.0)) // state must persist
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("tws_out")
+        .as[Streaming.UserStats].collect()
+      // batch 1 snapshot for user 1, then batch 2 carries the count ON
+      assert(out.exists(s => s.user_id == 1 && s.n_events == 2 && s.max_value == 9.0))
+      assert(out.exists(s => s.user_id == 1 && s.n_events == 3 && s.max_value == 9.0))
+      assert(out.exists(s => s.user_id == 2 && s.n_events == 1 && s.max_value == 2.0))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("multimodal: deterministic fake decode, checksum, batch shape") {
     implicit val s = spark
     val rows = Seq(
