@@ -174,18 +174,24 @@ object QueriesMore {
       "boolean — identical `true` rows on both sides. Exact twins are " +
       "a9_distinct_count / a11_percentiles.",
     (s, d) => {
-      // sketch and exact aggs run as SEPARATE aggregations joined on the
-      // group key: one agg mixing countDistinct (Expand) with two
-      // object-buffer percentile aggs planned 30x slower at sf0.1
+      // three SEPARATE aggregations joined on the 3-row group key: one
+      // agg mixing countDistinct (Expand) with object-buffer percentile
+      // aggs planned 30x slower at sf0.1, and even countDistinct +
+      // percentile in one agg pays Expand over doubled rows (~2x) —
+      // split, each piece runs in its fastest shape. Exact distinct is
+      // the TWO-LEVEL form (partial agg on (flag, partkey) collapses
+      // map-side; no Expand) — also the shape that survives 100 TB.
       val approx = t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("ad"),
           expr("approx_percentile(l_quantity, 0.5)").as("aq"))
-      val exact = t(s, d, "lineitem")
+      val exactDistinct = t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_partkey").agg(count(lit(1)))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("ed"))
+      val exactQ = t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("ed"),
-          expr("percentile(l_quantity, 0.5)").as("eq"))
-      approx.join(exact, "l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("eq"))
+      approx.join(exactDistinct, "l_returnflag").join(exactQ, "l_returnflag")
         .select(col("l_returnflag"),
           (col("ad") >= col("ed") * 0.9 && col("ad") <= col("ed") * 1.1)
             .as("hll_within_10pct"),
