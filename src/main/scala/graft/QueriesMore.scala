@@ -186,7 +186,10 @@ object QueriesMore {
         .agg(approx_count_distinct(col("l_partkey")).as("ad"),
           expr("approx_percentile(l_quantity, 0.5)").as("aq"))
       val exactDistinct = t(s, d, "lineitem")
-        .groupBy("l_returnflag", "l_partkey").agg(count(lit(1)))
+        // isNotNull keeps count(DISTINCT) semantics: a NULL key is not a
+        // distinct value (the grouped form would count it as one)
+        .filter(col("l_partkey").isNotNull)
+        .select("l_returnflag", "l_partkey").distinct()
         .groupBy("l_returnflag").agg(count(lit(1)).as("ed"))
       val exactQ = t(s, d, "lineitem")
         .groupBy("l_returnflag")

@@ -190,7 +190,9 @@ object Streaming {
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  timerValues: ss.TimerValues): Iterator[UserStats] = {
-      var (n, mx) = Option(state.get()).getOrElse((0L, Double.MinValue))
+      // -Inf seed, not the MinValue sentinel: an all-NaN/-Inf first batch
+      // would otherwise emit (and persist) the sentinel as a "max"
+      var (n, mx) = Option(state.get()).getOrElse((0L, Double.NegativeInfinity))
       rows.foreach { e => n += 1; if (e.value > mx) mx = e.value }
       state.update((n, mx))
       Iterator.single(UserStats(key, n, mx))
