@@ -596,6 +596,51 @@ object QueriesNext {
 
   // ----------------------------------------------- g1: integer PageRank
 
+  private val g2 = Q(
+    "g2_graph_projection",
+    "Bipartite projection with per-node caps: suppliers co-purchased by " +
+      "the same customer become weighted supplier-supplier edges. The " +
+      "cap is the scale story — a hot customer touching S suppliers " +
+      "would emit S² pairs, so each customer's supplier list is sorted " +
+      "and truncated to 20 BEFORE pair enumeration (≤190 pairs per " +
+      "customer at any corpus size; the same bounded-blowup discipline " +
+      "as the LSH bucket caps). Pairs are generated by a nested " +
+      "sequence/transform HOF inside the aggregation's projection — " +
+      "no self-join, one customer-key shuffle plus the pair groupBy; " +
+      "top-50 by shared-customer count via TakeOrdered.",
+    (s, d) => {
+      // no edges.distinct(): collect_set dedups per customer anyway, so
+      // a pre-distinct would only add a full (c, s) shuffle
+      val edges = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      val capped = edges.groupBy("c")
+        .agg(slice(array_sort(collect_set(col("s"))), 1, 20).as("ss"))
+      capped
+        .filter(size(col("ss")) >= 2) // sequence(1, 0) would count DOWN
+        .select(explode(flatten(transform(
+          sequence(lit(1), size(col("ss")) - 1),
+          i => transform(sequence(i + 1, size(col("ss"))),
+            j => struct(element_at(col("ss"), i).as("a"),
+              element_at(col("ss"), j).as("b")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("a"), col("b"))
+        .limit(50)
+    },
+    Some("""WITH ed AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            cap AS (SELECT c, list_sort(list(DISTINCT s))[1:20] AS ss
+                    FROM ed GROUP BY c),
+            pr AS (SELECT unnest(flatten(list_transform(range(1, len(ss)),
+                     i -> list_transform(range(i + 1, len(ss) + 1),
+                       j -> {'a': ss[i], 'b': ss[j]})))) AS p
+                   FROM cap WHERE len(ss) >= 2)
+            SELECT p.a AS a, p.b AS b, count(*) AS n_shared
+            FROM pr GROUP BY p.a, p.b
+            ORDER BY n_shared DESC, a, b LIMIT 50"""))
+
   private val g1 = Q(
     "g1_pagerank",
     "PageRank (5 rounds, integer arithmetic) over the customer↔supplier " +
@@ -736,5 +781,5 @@ object QueriesNext {
   // ------------------------------------------------------------------- all
 
   val all: Seq[Q] = Seq(w7, w8, a15, a16, dedupCos, contam, j16, mmFrames,
-    p10, p11, a17, a18, w9, g1, curPipe)
+    p10, p11, a17, a18, w9, g1, g2, curPipe)
 }
