@@ -606,8 +606,10 @@ object QueriesNext {
       "customer at any corpus size; the same bounded-blowup discipline " +
       "as the LSH bucket caps). Pairs are generated by a nested " +
       "sequence/transform HOF inside the aggregation's projection — " +
-      "no self-join, one customer-key shuffle plus the pair groupBy; " +
-      "top-50 by shared-customer count via TakeOrdered.",
+      "no self-join. Shuffle budget: the orders⋈lineitem edge build " +
+      "shuffles on orderkey once facts outgrow broadcast, then one " +
+      "customer-key shuffle and the pair groupBy; top-50 via " +
+      "TakeOrdered.",
     (s, d) => {
       // no edges.distinct(): collect_set dedups per customer anyway, so
       // a pre-distinct would only add a full (c, s) shuffle

@@ -22,18 +22,29 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       try {
-        val plan = graft.SparkEntry.queries(name)(spark, sfDir)
-          .queryExecution.executedPlan.toString
-        val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
-        val range = "Exchange rangepartitioning".r.findAllIn(plan).size
-        val single = "Exchange SinglePartition".r.findAllIn(plan).size
-        val bc = "BroadcastExchange".r.findAllIn(plan).size
-        val smj = "SortMergeJoin".r.findAllIn(plan).size
-        println(f"[plan] $name%-28s hash=$hash range=$range single=$single " +
-          f"broadcast=$bc sortmerge=$smj")
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        // EXECUTE first: an unexecuted AQE plan prints the initial plan
+        // (isFinalPlan=false) — runtime re-planning (exchange reuse,
+        // SMJ→broadcast conversion) only shows after an action
+        df.foreach(_ => ())
+        val plan = df.queryExecution.executedPlan.toString
+        // count NODE LINES, not substrings: a ReusedExchange line embeds
+        // its child exchange's string, which a substring count would
+        // double-count as a real shuffle
+        val nodes = plan.linesIterator
+          .map(_.dropWhile(c => !c.isLetter)).toSeq
+        def n(prefix: String) = nodes.count(_.startsWith(prefix))
+        println(f"[plan] $name%-28s " +
+          f"hash=${n("Exchange hashpartitioning")} " +
+          f"range=${n("Exchange rangepartitioning")} " +
+          f"single=${n("Exchange SinglePartition")} " +
+          f"broadcast=${n("BroadcastExchange")} " +
+          f"reused=${n("ReusedExchange")} " +
+          f"sortmerge=${n("SortMergeJoin")}")
       } catch {
         case e: Throwable =>
-          println(s"[plan] $name FAILED ${e.getClass.getSimpleName}")
+          println(s"[plan] $name FAILED ${e.getClass.getSimpleName}: " +
+            s"${String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | ")}")
       }
     }
     spark.stop()
