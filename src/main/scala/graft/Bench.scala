@@ -49,10 +49,33 @@ object Bench {
       val (t1, t2) = (pass1(n), pass2(n))
       n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    // Full per-query detail goes to a FILE; the printed contract line is
+    // kept compact. The harness that collects this output keeps only a
+    // bounded tail of it, and a single line carrying all ~112 query
+    // timings at full precision is longer than that window — the line's
+    // head gets cut and the JSON never parses (observed in both prior
+    // rounds' bench artifacts). Budget the printed line well under the
+    // window: headline stats + the slowest queries that fit, count the rest.
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val detailLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+    val out = new java.io.PrintWriter("BENCH_DETAIL.json")
+    try out.println(detailLine) finally out.close()
+
+    val tail = s""","sf":"$sfDir"}"""
+    val head =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":"""
+    var budget = 1400 - head.length - tail.length - 2 // braces of queries map
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((k, v) <- results.sortBy(-_._2)) {
+      val e = "\"" + k + "\":" + fmt(v)
+      val cost = e.length + (if (kept.isEmpty) 0 else 1)
+      if (budget - cost >= 0) { kept += e; budget -= cost }
+    }
+    println(head + kept.mkString("{", ",", "}") + tail)
     spark.stop()
   }
 }
