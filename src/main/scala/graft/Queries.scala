@@ -332,7 +332,8 @@ object Queries {
     j1, j3, j8,
     a3, a5,
     f7, f8) ++ Queries2.all ++ QueriesExt.all ++ QueriesPipe.all ++
-    QueriesWin.all ++ QueriesMore.all ++ QueriesNext.all ++ QueriesCorpus.all
+    QueriesWin.all ++ QueriesMore.all ++ QueriesNext.all ++ QueriesCorpus.all ++
+    QueriesR3.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -610,27 +610,10 @@ object QueriesNext {
       "shuffles on orderkey once facts outgrow broadcast, then one " +
       "customer-key shuffle and the pair groupBy; top-50 via " +
       "TakeOrdered.",
-    (s, d) => {
-      // no edges.distinct(): collect_set dedups per customer anyway, so
-      // a pre-distinct would only add a full (c, s) shuffle
-      val edges = t(s, d, "orders").select("o_orderkey", "o_custkey")
-        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      val capped = edges.groupBy("c")
-        .agg(slice(array_sort(collect_set(col("s"))), 1, 20).as("ss"))
-      capped
-        .filter(size(col("ss")) >= 2) // sequence(1, 0) would count DOWN
-        .select(explode(flatten(transform(
-          sequence(lit(1), size(col("ss")) - 1),
-          i => transform(sequence(i + 1, size(col("ss"))),
-            j => struct(element_at(col("ss"), i).as("a"),
-              element_at(col("ss"), j).as("b")))))).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+    (s, d) =>
+      Graph.coPurchasePairs(t(s, d, "orders"), t(s, d, "lineitem"), 20)
         .orderBy(col("n_shared").desc, col("a"), col("b"))
-        .limit(50)
-    },
+        .limit(50),
     Some("""WITH ed AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
                         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
             cap AS (SELECT c, list_sort(list(DISTINCT s))[1:20] AS ss

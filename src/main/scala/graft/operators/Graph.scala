@@ -20,6 +20,38 @@ object Graph {
 
   val Scale = 1000000L
 
+  /** Weighted co-purchase projection of the customer↔supplier bipartite
+    * graph: suppliers sharing a customer become an (a, b, n_shared) edge
+    * with a < b. The per-customer cap is the scale guarantee — a hot
+    * customer touching S suppliers would emit S² pairs, so each
+    * customer's supplier list is sorted and truncated to `cap` BEFORE
+    * pair enumeration (≤ cap·(cap−1)/2 pairs per customer at any corpus
+    * size). Pairs come from a nested sequence/transform HOF inside the
+    * aggregation's projection — no self-join. Shuffle budget: the
+    * orders⋈lineitem edge build shuffles on orderkey once facts outgrow
+    * broadcast, then one customer-key shuffle and the (a, b) groupBy.
+    *
+    * Shared by the projection query (g2) and triangle counting (g3).
+    */
+  def coPurchasePairs(orders: DataFrame, lineitem: DataFrame, cap: Int): DataFrame = {
+    // no edges.distinct(): collect_set dedups per customer anyway, so a
+    // pre-distinct would only add a full (c, s) shuffle
+    val edges = orders.select("o_orderkey", "o_custkey")
+      .join(lineitem.select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+    edges.groupBy("c")
+      .agg(slice(array_sort(collect_set(col("s"))), 1, cap).as("ss"))
+      .filter(size(col("ss")) >= 2) // sequence(1, 0) would count DOWN
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ss")) - 1),
+        i => transform(sequence(i + 1, size(col("ss"))),
+          j => struct(element_at(col("ss"), i).as("a"),
+            element_at(col("ss"), j).as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Fixed-round integer PageRank, shaped so a round pays ONE O(edges)
     * shuffle — the contribution re-key to dst — and nothing else moves:
     *
