@@ -94,6 +94,20 @@ object Graph {
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct().cache()
       try {
+        // Nodes with no in-edges keep the base rank 0.15·scale every
+        // round — a CONSTANT frame, so it's computed once up front
+        // (anti join vs the distinct dst set) instead of re-deriving it
+        // via a per-round nodes⋈incoming left join. Each round is then
+        // just the incoming aggregation's own output unioned with this
+        // frame: one shuffle join per round eliminated at any scale (on
+        // an undirected edge list the frame is empty and the union is a
+        // no-op branch). localCheckpoint'ed eagerly because the loop
+        // references it after nodes is unpersisted.
+        val noIn = nodes
+          .join(edges.select(col("dst").as("node")).distinct(),
+            Seq("node"), "left_anti")
+          .select(col("node"), lit(Scale * 15 / 100).as("rank"))
+          .localCheckpoint(true)
         var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
           .localCheckpoint(true)
         var lastCp = ranks
@@ -101,12 +115,11 @@ object Graph {
           val contribs = edges
             .join(ranks.withColumnRenamed("node", "src"), "src")
             .select(col("dst"), expr("rank div deg").as("contrib"))
-          val incoming = contribs.groupBy("dst").agg(sum("contrib").as("incoming"))
-          val next = nodes
-            .join(incoming.withColumnRenamed("dst", "node"), Seq("node"), "left")
-            .select(col("node"),
-              expr(s"${Scale * 15 / 100} + (850 * coalesce(incoming, 0L)) div 1000")
+          val next = contribs.groupBy("dst").agg(sum("contrib").as("incoming"))
+            .select(col("dst").as("node"),
+              expr(s"${Scale * 15 / 100} + (850 * incoming) div 1000")
                 .as("rank"))
+            .unionByName(noIn)
           // checkpoint every SECOND round: with a fixed round count there
           // is no per-round driver read, so letting the lineage span two
           // rounds halves the materialization jobs while keeping plan

@@ -111,6 +111,22 @@ class NextOpsSpec extends SparkSpec {
     assert(r2 == Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
   }
 
+  test("pageRankInt: a source node with no in-edges holds the base rank") {
+    import spark.implicits._
+    // 1↔2 plus a pure source 3→1: node 3 never receives mass
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val r1 = graft.operators.Graph.pageRankInt(edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r1(1) = 150000 + 850·(10^6 + 10^6) div 1000; r1(2) gets 1's full rank;
+    // r1(3) = bare base 150000 via the precomputed no-in-edge frame
+    assert(r1 == Map(1L -> 1850000L, 2L -> 1000000L, 3L -> 150000L))
+    val r2 = graft.operators.Graph.pageRankInt(edges, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r2(1) = 150000 + 850·(r1(2) + r1(3)) div 1000 = 150000 + 977500
+    // r2(2) = 150000 + 850·r1(1) div 1000 = 150000 + 1572500
+    assert(r2 == Map(1L -> 1127500L, 2L -> 1722500L, 3L -> 150000L))
+  }
+
   test("frame sampler round-trips the container layout byte-exactly") {
     val rows = Queries.byName("mm_frame_sample").fn(spark, sf).collect()
     assert(rows.nonEmpty)
