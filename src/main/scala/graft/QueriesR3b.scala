@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.engine.Engine
+import graft.operators.Graph
+
+/** Round-3 batch 2: iterative graph traversal (BFS), time-range window
+  * frames, model-scored quality filtering, the full BPE
+  * count→merge→recount iteration, and relational melt (unpivot).
+  *
+  * Same determinism discipline as the rest of the inventory: unique
+  * ordering keys, exact-integer or single-expression IEEE arithmetic,
+  * bounded per-round state, no driver-side data loops.
+  */
+object QueriesR3b {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  // ---------------------------------------------------- g4: BFS hop counts
+
+  private val g4 = Q(
+    "g4_bfs_hops",
+    "Bounded-depth BFS from the smallest node over the top-2000-weight " +
+      "co-purchase backbone (same thinned graph as g3 — enumeration-style " +
+      "graph work is only sane on a bounded backbone). Frontier-probe " +
+      "rounds: each hop ships ONLY the new frontier into a join against " +
+      "the cached src-partitioned edge list, anti-joins the visited set, " +
+      "and checkpoints — O(frontier + touched edges) per round, " +
+      "terminating early when a frontier empties. The DuckDB oracle is " +
+      "the recursive-CTE all-(node,hop)-pairs form collapsed by " +
+      "min(hop); the Spark loop never materializes that pair space — " +
+      "first-reach IS minimality.",
+    (s, d) => {
+      val e = Graph
+        .coPurchasePairs(t(s, d, "orders"), t(s, d, "lineitem"), 20)
+        .orderBy(col("n_shared").desc, col("a"), col("b"))
+        .limit(2000)
+        .select("a", "b")
+      Graph.bfsHops(e, 4).orderBy("hop", "node")
+    },
+    Some("""WITH ed AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+                 cap AS (SELECT c, list_sort(list(DISTINCT s))[1:20] AS ss
+                         FROM ed GROUP BY c),
+                 pr AS (SELECT unnest(flatten(list_transform(range(1, len(ss)),
+                          i -> list_transform(range(i + 1, len(ss) + 1),
+                            j -> {'a': ss[i], 'b': ss[j]})))) AS p
+                        FROM cap WHERE len(ss) >= 2),
+                 e AS (SELECT a, b FROM (SELECT p.a AS a, p.b AS b, count(*) AS n
+                                         FROM pr GROUP BY p.a, p.b
+                                         ORDER BY n DESC, a, b LIMIT 2000)),
+                 dir AS (SELECT a AS src, b AS dst FROM e
+                         UNION ALL SELECT b, a FROM e),
+                 seed AS (SELECT min(src) AS s FROM dir),
+                 r AS (WITH RECURSIVE rr(node, hop) AS (
+                         SELECT s, 0 FROM seed
+                         UNION
+                         SELECT d.dst, rr.hop + 1 FROM rr
+                         JOIN dir d ON d.src = rr.node WHERE rr.hop < 4)
+                       SELECT * FROM rr)
+            SELECT node, CAST(min(hop) AS INT) AS hop
+            FROM r GROUP BY node ORDER BY hop, node"""))
+
+  // ------------------------------------- w11: time-range rolling window
+
+  private val w11 = Q(
+    "w11_rolling_time",
+    "Per-user rolling 1-hour window (RANGE frame on epoch micros, not " +
+      "ROWS — the frame is defined by event TIME, so bursts contribute " +
+      "however many rows fall in the hour): running event count and " +
+      "exact integer cent sum over [t−1h, t]. One user_id shuffle; " +
+      "within a partition Spark keeps a sliding frame over the sorted " +
+      "run, O(1) amortized per row. The value sum is integer cents " +
+      "(round-then-cast), so window accumulation order can't produce " +
+      "float drift on either engine.",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ep"))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ep"),
+          round(col("value") * 100, 0).cast(LongType).as("cents"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("cents_1h", sum("cents").over(w))
+        .drop("cents")
+        .orderBy("user_id", "ep", "event_id")
+    },
+    Some("""SELECT user_id, event_id, epoch_us(ts) AS ep,
+                   count(*) OVER w AS n_1h,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+                        AS BIGINT) AS cents_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, ep, event_id"""))
+
+  // ------------------------------- curate_lm_score: model-scored quality
+
+  private val lmScore = Q(
+    "curate_lm_score",
+    "Model-based quality scoring (the FineWeb/DCLM pattern: a cheap " +
+      "linear classifier gates every document): fixed-weight logit over " +
+      "per-doc features — stopword ratio, mean token length, token " +
+      "count — each an exact int/int division, combined in ONE " +
+      "left-associated expression so both engines round identically at " +
+      "every IEEE step (no aggregation order anywhere). The sigmoid is " +
+      "deliberately NOT applied: exp() is libm-dependent, the decision " +
+      "boundary logit>0 is the same, and downstream consumers get the " +
+      "monotone score. Map-only at any corpus size.",
+    (s, d) => {
+      val nToks = size(split(col("text"), " "))
+      val nStop = size(filter(split(col("text"), " "),
+        w => w === "a" || w === "the"))
+      val stopRatio = nStop.cast(DoubleType) / nToks.cast(DoubleType)
+      val meanLen = (length(col("text")) - nToks + 1).cast(DoubleType) /
+        nToks.cast(DoubleType)
+      val logit = lit(-2.0) + lit(-3.0) * stopRatio +
+        lit(0.55) * meanLen + lit(-0.004) * nToks.cast(DoubleType)
+      t(s, d, "documents")
+        .select(col("doc_id"), nToks.as("n_toks"), logit.as("logit"))
+        .withColumn("keep", col("logit") > 0)
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_toks,
+                   len(list_filter(string_split(text, ' '),
+                       w -> w = 'a' OR w = 'the')) AS n_stop,
+                   len(text) AS n_chars
+            FROM documents)
+            SELECT doc_id, CAST(n_toks AS INT) AS n_toks,
+                   CAST(-2.0 AS DOUBLE)
+                   + CAST(-3.0 AS DOUBLE) * (CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE))
+                   + CAST(0.55 AS DOUBLE) * (CAST(n_chars - n_toks + 1 AS DOUBLE) / CAST(n_toks AS DOUBLE))
+                   + CAST(-0.004 AS DOUBLE) * CAST(n_toks AS DOUBLE) AS logit,
+                   (CAST(-2.0 AS DOUBLE)
+                   + CAST(-3.0 AS DOUBLE) * (CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE))
+                   + CAST(0.55 AS DOUBLE) * (CAST(n_chars - n_toks + 1 AS DOUBLE) / CAST(n_toks AS DOUBLE))
+                   + CAST(-0.004 AS DOUBLE) * CAST(n_toks AS DOUBLE)) > 0 AS keep
+            FROM f ORDER BY doc_id"""))
+
+  // ------------------------------------ text_bpe_apply: full BPE iteration
+
+  private val bpeApply = Q(
+    "text_bpe_apply",
+    "The BPE trainer's full inner loop, one iteration: count adjacent " +
+      "symbol pairs (text_bpe_merge's step), pick the argmax merge " +
+      "deterministically (count desc, pair asc), APPLY it corpus-wide, " +
+      "and re-count on the merged symbol sequences — the counts a " +
+      "second training step would consume. The merge itself is the " +
+      "classic space-separated-symbols replace('e r' → 'er'): both " +
+      "engines' replace() is left-to-right non-overlapping, so merge " +
+      "results agree exactly. The argmax is a 1-row frame broadcast " +
+      "into the scan (crossJoin(broadcast) — no driver round-trip, the " +
+      "whole loop stays one lazy plan); pair space stays ≈ alphabet², " +
+      "so both groupBys collapse map-side at any corpus size.",
+    (s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2) // sequence(1, 0) would count DOWN
+      val best = words
+        .select(explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair").as("bp"))
+      words
+        .crossJoin(broadcast(best))
+        // spread w into space-separated symbols, merge the best pair
+        .select(split(expr(
+          "replace(trim(regexp_replace(w, '(.)', '$1 '))," +
+            " concat(substr(bp, 1, 1), ' ', substr(bp, 2, 1)), bp)"),
+          " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => concat_ws("_", element_at(col("syms"), i),
+            element_at(col("syms"), i + 1)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+    },
+    Some("""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
+                           FROM documents),
+                 ws AS (SELECT w FROM words WHERE len(w) >= 2),
+                 p1 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+                        FROM (SELECT w, unnest(range(1, len(w))) AS i FROM ws)),
+                 best AS (SELECT pair AS bp FROM p1 GROUP BY pair
+                          ORDER BY count(*) DESC, pair LIMIT 1),
+                 merged AS (SELECT string_split(
+                              replace(trim(regexp_replace(w, '(.)', '\1 ', 'g')),
+                                substr(bp, 1, 1) || ' ' || substr(bp, 2, 1), bp),
+                              ' ') AS syms
+                            FROM ws, best),
+                 p2 AS (SELECT syms[CAST(i AS INT)] || '_' ||
+                               syms[CAST(i AS INT) + 1] AS pair
+                        FROM (SELECT syms, unnest(range(1, len(syms))) AS i
+                              FROM merged WHERE len(syms) >= 2))
+            SELECT pair, count(*) AS cnt FROM p2
+            GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""))
+
+  // ----------------------------------------------- a19: unpivot / melt
+
+  private val a19 = Q(
+    "a19_unpivot",
+    "Relational melt (unpivot): three measure columns rotated into " +
+      "(metric, val) rows — the inverse of a14_pivot, and the shape " +
+      "feature-store exports take. Spark's native Dataset.unpivot is an " +
+      "Expand node: one projection per measure inside the scan stage, " +
+      "map-only, no shuffle (vs the naive union-of-selects which scans " +
+      "the source once per measure).",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 500 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric"),
+    Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+              SELECT l_orderkey, l_linenumber,
+                     l_quantity AS quantity,
+                     l_extendedprice AS extendedprice,
+                     l_discount AS discount
+              FROM lineitem WHERE l_orderkey % 500 = 0)
+            UNPIVOT (val FOR metric IN (quantity, extendedprice, discount))
+            ORDER BY l_orderkey, l_linenumber, metric"""))
+
+  val all: Seq[Q] = Seq(g4, w11, lmScore, bpeApply, a19)
+}

@@ -52,6 +52,50 @@ object Graph {
       .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bounded-depth BFS hop counts from the smallest node id, over an
+    * undirected (a, b) edge frame. Per round: the frontier (previous
+    * round's newly-reached nodes, always ≤ |V|) probes the cached
+    * directed edge list — co-partitioned on src, so only the frontier
+    * moves — then one anti join discards already-visited nodes. Rounds
+    * are localCheckpoint'ed so round N never re-derives round N−1's
+    * lineage, and the loop exits early once a frontier is empty (the
+    * emptiness check reads the just-materialized checkpoint, not a
+    * recompute). Hop minimality is by construction — a node enters
+    * `visited` in the first round that reaches it — so no min(hop)
+    * aggregation is needed, unlike the all-pairs recursive form.
+    */
+  def bfsHops(edgesIn: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"bfsHops needs maxHops >= 1, got $maxHops")
+    val ab = edgesIn.toDF("a", "b")
+    val e = ab.select(col("a").as("src"), col("b").as("dst"))
+      .union(ab.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .cache()
+    try {
+      var visited = e.agg(min("src").as("node"))
+        .select(col("node"), lit(0).as("hop"))
+        .localCheckpoint(true)
+      var frontier = visited
+      var h = 1
+      var done = false
+      while (h <= maxHops && !done) {
+        val next = frontier.select(col("node").as("src"))
+          .join(e, "src")
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .select(col("node"), lit(h).as("hop"))
+          .localCheckpoint(true)
+        if (next.isEmpty) done = true
+        else {
+          frontier = next
+          visited = visited.unionByName(frontier)
+          h += 1
+        }
+      }
+      visited
+    } finally e.unpersist(blocking = false)
+  }
+
   /** Fixed-round integer PageRank, shaped so a round pays ONE O(edges)
     * shuffle — the contribution re-key to dst — and nothing else moves:
     *
