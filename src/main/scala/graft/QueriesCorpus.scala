@@ -464,18 +464,27 @@ object QueriesCorpus {
       "fingerprint density of full gram hashing. Entirely within-row HOFs " +
       "over the scan: map-only, zero shuffles at any corpus size (the " +
       "cross-doc bucket join over fingerprints is dedup_substring's " +
-      "groupBy shape, at 1/w the shuffle volume). Gram hashes are " +
-      "PROJECTED before the window pass — lambda bodies get no CSE, so " +
-      "inlining them would rehash every gram w times. Per-doc digest of " +
-      "the sorted fingerprint set keeps the output narrow and the " +
-      "comparison exact.",
+      "groupBy shape, at 1/w the shuffle volume). Gram hashing is " +
+      "two-level: ONE md5 per token (projected before the gram pass — " +
+      "lambda bodies get no CSE), then each gram id is a base-31 integer " +
+      "polynomial over its 4 token ids — HOF lambdas are interpreted per " +
+      "element, so the earlier per-gram slice+concat+md5 paid string " +
+      "allocation and a digest per gram (~2.4× slower at sf0.1); 32-bit " +
+      "ids keep 31³·id < 2^63, so DuckDB's checked BIGINT arithmetic " +
+      "never overflows. Per-doc digest of the sorted fingerprint set " +
+      "keeps the output narrow and the comparison exact.",
     (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          when(size(col("toks")) >= WinK,
-            transform(sequence(lit(1), size(col("toks")) - (WinK - 1)),
-              i => Dedup.tokenId(concat_ws(" ", slice(col("toks"), i, lit(WinK))))))
+          transform(col("toks"), tk => Dedup.tokenId(tk)).as("ids"))
+        .select(col("doc_id"),
+          when(size(col("ids")) >= WinK,
+            transform(sequence(lit(1), size(col("ids")) - (WinK - 1)),
+              i => ((element_at(col("ids"), i) * 31
+                + element_at(col("ids"), i + 1)) * 31
+                + element_at(col("ids"), i + 2)) * 31
+                + element_at(col("ids"), i + 3)))
             .otherwise(array().cast("array<bigint>")).as("hs"))
         .select(col("doc_id"),
           when(size(col("hs")) >= WinW,
@@ -488,13 +497,17 @@ object QueriesCorpus {
             transform(array_sort(col("fps")), x => x.cast("string"))))
             .as("fp_digest"))
         .orderBy("doc_id"),
-    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+    Some("""WITH tk AS (SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                     t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS ids
                         FROM documents),
             h AS (SELECT doc_id,
-                   CASE WHEN len(toks) >= 4
-                     THEN list_transform(range(1, len(toks) - 2),
-                       i -> ('0x' || substr(md5(array_to_string(toks[i:i+3], ' ')),
-                                            1, 8))::BIGINT)
+                   CASE WHEN len(ids) >= 4
+                     THEN list_transform(range(1, len(ids) - 2),
+                       i -> ((ids[CAST(i AS INT)] * 31
+                            + ids[CAST(i AS INT) + 1]) * 31
+                            + ids[CAST(i AS INT) + 2]) * 31
+                            + ids[CAST(i AS INT) + 3])
                      ELSE []::BIGINT[] END AS hs
                   FROM tk),
             f AS (SELECT doc_id,
@@ -513,24 +526,31 @@ object QueriesCorpus {
   private val oov = Q(
     "text_vocab_oov",
     "Vocabulary coverage / OOV rate: top-16 corpus vocabulary by " +
-      "frequency (tie-broken by token — deterministic), broadcast back " +
-      "against the exploded token stream, per-doc out-of-vocabulary " +
-      "counts and rate. Two bounded shuffles: the vocab groupBy (map-side " +
-      "partial agg collapses to |vocab| rows per partition) and the " +
-      "per-doc count (tokens of a doc are co-located at the scan, so the " +
-      "doc_id groupBy ships pre-aggregated rows). The rate is one IEEE " +
-      "division of exact integers — bit-identical cross-engine, shipped " +
-      "unrounded.",
+      "frequency (tie-broken by token — deterministic), collapsed to ONE " +
+      "16-element array row and broadcast back into the scan, where a " +
+      "per-row HOF filter counts each doc's out-of-vocabulary tokens " +
+      "in place. ONE bounded shuffle total (the vocab groupBy, map-side " +
+      "partials collapsing to |vocab| rows per partition) — the per-doc " +
+      "side never explodes or re-aggregates: the earlier " +
+      "explode→broadcast-join→groupBy(doc_id) shape re-shuffled a " +
+      "(pre-aggregated) row per doc and paid join machinery per token; " +
+      "membership against a 16-element broadcast array is cheaper than " +
+      "either at any corpus size. The rate is one IEEE division of " +
+      "exact integers — bit-identical cross-engine, shipped unrounded.",
     (s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
-      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val vocab = t(s, d, "documents")
+        .select(explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("tok")).limit(16)
-        .select(col("tok"), lit(1).as("in_v"))
-      toks.join(broadcast(vocab), Seq("tok"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_toks"),
-          count(when(col("in_v").isNull, 1)).as("n_oov"))
+        .agg(collect_list(col("tok")).as("vocab"))
+      t(s, d, "documents")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"), col("vocab"))
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_toks"),
+          size(filter(col("toks"),
+            tk => not(array_contains(col("vocab"), tk))))
+            .cast(LongType).as("n_oov"))
         .select(col("doc_id"), col("n_toks"), col("n_oov"),
           (col("n_oov").cast(DoubleType) / col("n_toks")).as("oov_rate"))
         .orderBy("doc_id")
