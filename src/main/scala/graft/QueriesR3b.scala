@@ -234,5 +234,103 @@ object QueriesR3b {
             UNPIVOT (val FOR metric IN (quantity, extendedprice, discount))
             ORDER BY l_orderkey, l_linenumber, metric"""))
 
-  val all: Seq[Q] = Seq(g4, w11, lmScore, bpeApply, a19)
+  // ------------------------- a20: incremental aggregate (MV maintenance)
+
+  private val a20 = Q(
+    "a20_incremental_agg",
+    "Materialized-view delta maintenance: a stored per-(type, day) " +
+      "aggregate is brought current by aggregating ONLY the new batch " +
+      "and full-outer-merging it onto the state — additive measures " +
+      "(count, integer cent sum) merge with coalesce+add, so history is " +
+      "never rescanned. At 100 TB the state side is a table read keyed " +
+      "like the output (here both sides derive from the same fixture " +
+      "scan, split at a cutoff date, because the harness has no stored " +
+      "MV); the merge join's key space is |types|·|days| — tiny " +
+      "regardless of fact volume. Output carries matches_full, the " +
+      "per-group self-check that the merged view equals a full " +
+      "re-aggregation — every row must say true.",
+    (s, d) => {
+      val cut = lit("2024-01-25").cast("timestamp")
+      val ev = t(s, d, "events")
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          round(col("value") * 100, 0).cast(LongType).as("cents"))
+      def agg(df: DataFrame) = df.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      val state = agg(ev.filter(col("day") < cut))
+      val delta = agg(ev.filter(col("day") >= cut))
+      val merged = state.as("s")
+        .join(delta.as("d"), Seq("event_type", "day"), "full_outer")
+        .select(col("event_type"), col("day"),
+          (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+          (coalesce(col("s.cents"), lit(0L)) + coalesce(col("d.cents"), lit(0L)))
+            .as("cents"))
+      val full = agg(ev)
+        .select(col("event_type"), col("day"),
+          col("n").as("fn"), col("cents").as("fcents"))
+      merged.join(full, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("n"), col("cents"),
+          (col("fn") === col("n") && col("fcents") === col("cents"))
+            .as("matches_full"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH ev AS (SELECT event_type,
+                   date_trunc('day', ts) AS day,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+                 state AS (SELECT event_type, day, count(*) AS n,
+                                  CAST(sum(cents) AS BIGINT) AS cents
+                           FROM ev WHERE day < TIMESTAMP '2024-01-25' GROUP BY 1, 2),
+                 delta AS (SELECT event_type, day, count(*) AS n,
+                                  CAST(sum(cents) AS BIGINT) AS cents
+                           FROM ev WHERE day >= TIMESTAMP '2024-01-25' GROUP BY 1, 2),
+                 merged AS (SELECT coalesce(s.event_type, d.event_type) AS event_type,
+                                   coalesce(s.day, d.day) AS day,
+                                   coalesce(s.n, 0) + coalesce(d.n, 0) AS n,
+                                   coalesce(s.cents, 0) + coalesce(d.cents, 0) AS cents
+                            FROM state s FULL OUTER JOIN delta d
+                            ON s.event_type = d.event_type AND s.day = d.day),
+                 full_re AS (SELECT event_type, day, count(*) AS n,
+                                    CAST(sum(cents) AS BIGINT) AS cents
+                             FROM ev GROUP BY 1, 2)
+            SELECT m.event_type, m.day, m.n, CAST(m.cents AS BIGINT) AS cents,
+                   (f.n = m.n AND f.cents = m.cents) AS matches_full
+            FROM merged m JOIN full_re f USING (event_type, day)
+            ORDER BY event_type, day"""))
+
+  // --------------------- curate_length_buckets: inference batch packing
+
+  private val lenBuckets = Q(
+    "curate_length_buckets",
+    "Length-bucketed batching analysis (the serving/inference twin of " +
+      "curate_pack_sequences): documents grouped into pad-to-16 token " +
+      "buckets, per bucket the doc count, token sum, and padding waste " +
+      "— bucket·n_docs − sum_toks, the tokens a fixed-shape batch would " +
+      "burn as padding — plus the waste rate as one exact-int division. " +
+      "Map-only expression work; the groupBy key space is " +
+      "max_len/16 buckets, so partial aggregation collapses everything " +
+      "map-side at any corpus size.",
+    (s, d) => {
+      t(s, d, "documents")
+        .select(size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+        .select(expr("((n_toks + 15) div 16) * 16").as("bucket"), col("n_toks"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sum_toks"),
+          max("n_toks").as("max_toks"))
+        .select(col("bucket"), col("n_docs"), col("sum_toks"), col("max_toks"),
+          (col("bucket") * col("n_docs") - col("sum_toks")).as("pad_waste"),
+          ((col("bucket") * col("n_docs") - col("sum_toks")).cast(DoubleType) /
+            (col("bucket") * col("n_docs")).cast(DoubleType)).as("waste_rate"))
+        .orderBy("bucket")
+    },
+    Some("""WITH b AS (SELECT ((len(string_split(text, ' ')) + 15) // 16) * 16 AS bucket,
+                              len(string_split(text, ' ')) AS n_toks
+                       FROM documents)
+            SELECT bucket, count(*) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+                   max(n_toks) AS max_toks,
+                   bucket * count(*) - CAST(sum(n_toks) AS BIGINT) AS pad_waste,
+                   CAST(bucket * count(*) - sum(n_toks) AS DOUBLE)
+                     / CAST(bucket * count(*) AS DOUBLE) AS waste_rate
+            FROM b GROUP BY bucket ORDER BY bucket"""))
+
+  val all: Seq[Q] = Seq(g4, w11, lmScore, bpeApply, a19, a20, lenBuckets)
 }
