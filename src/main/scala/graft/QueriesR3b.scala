@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.engine.Engine
-import graft.operators.Graph
+import graft.operators.{Dedup, Graph}
 
 /** Round-3 batch 2: iterative graph traversal (BFS), time-range window
   * frames, model-scored quality filtering, the full BPE
@@ -332,5 +332,99 @@ object QueriesR3b {
                      / CAST(bucket * count(*) AS DOUBLE) AS waste_rate
             FROM b GROUP BY bucket ORDER BY bucket"""))
 
-  val all: Seq[Q] = Seq(g4, w11, lmScore, bpeApply, a19, a20, lenBuckets)
+  // ------------------- dedup_prefix_filter: ppjoin-style similarity join
+
+  private val prefixFilter = Q(
+    "dedup_prefix_filter",
+    "Prefix-filtered set-similarity join (the ppjoin/AllPairs family — " +
+      "the third candidate-generation strategy next to MinHash-LSH and " +
+      "SimHash): rank each doc's bigram-shingle IDS by global rarity " +
+      "(document frequency asc, id asc), keep the 3 rarest as the doc's " +
+      "prefix signature, and only docs SHARING a signature shingle " +
+      "become candidate pairs; one exact Jaccard verify per candidate " +
+      "keeps pairs ≥ 0.8 — the corpus's real near-dups surface at " +
+      "jac ≈ 0.99. Scale discipline: shingles verify as 32-bit md5 ids " +
+      "(integer intersect, not string — the winnow lesson), hot " +
+      "signature buckets (> 64 docs: the shingle wasn't actually rare) " +
+      "are DROPPED before pair enumeration — 1.06M candidates → 48k at " +
+      "sf0.1 — and the intersect size is computed once with |A∪B| " +
+      "derived as |A|+|B|−|∩|. Production ppjoin sizes the prefix from " +
+      "the threshold (⌈(1−t)·|set|⌉+1, lossless) and adds length/" +
+      "positional filters; on this corpus's dense shingle space that " +
+      "prefix admits MORE candidates than the rarest-3 form, so the " +
+      "recall-bounded form + the LSH tier is the shipped shape.",
+    (s, d) => {
+      // the md5 shingle-id projection feeds THREE plan references (the
+      // exploded df/signature pass + both verify sides) and the signature
+      // frame feeds the self-join's two sides — materialize each once
+      // (same discipline as g3's backbone): without the checkpoints the
+      // single lazy plan re-hashes the whole corpus three times
+      val tk = t(s, d, "documents")
+        .select(col("doc_id"),
+          array_distinct(transform(Dedup.bigramShingles(col("text")),
+            g => Dedup.tokenId(g))).as("gs"))
+        .localCheckpoint(true)
+      val ex = tk.select(col("doc_id"), explode(col("gs")).as("g"))
+      val dfr = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      val sig0 = ex.join(dfr, "g")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy("df", "g")))
+        .filter(col("rk") <= 3).select("doc_id", "g")
+      val hot = sig0.groupBy("g").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 64).select("g")
+      val sig = sig0.join(hot, Seq("g"), "left_anti").localCheckpoint(true)
+      val cand = sig.as("a").join(sig.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .distinct()
+      cand
+        .join(tk.select(col("doc_id").as("ida"), col("gs").as("gsa")), "ida")
+        .join(tk.select(col("doc_id").as("idb"), col("gs").as("gsb")), "idb")
+        .select(col("ida"), col("idb"),
+          size(array_intersect(col("gsa"), col("gsb"))).cast(LongType).as("inter"),
+          size(col("gsa")).as("na"), size(col("gsb")).as("nb"))
+        .select(col("ida"), col("idb"), col("inter"),
+          (col("na") + col("nb") - col("inter")).cast(LongType).as("uni"))
+        .select(col("ida"), col("idb"), col("inter"), col("uni"),
+          (col("inter").cast(DoubleType) / col("uni").cast(DoubleType)).as("jac"))
+        .filter(col("jac") >= 0.8)
+        .orderBy(col("ida"), col("idb"))
+    },
+    Some("""WITH tk AS (SELECT doc_id,
+                   CASE WHEN len(string_split(text, ' ')) >= 2
+                     THEN list_distinct(list_transform(
+                       range(1, len(string_split(text, ' '))),
+                       i -> ('0x' || substr(md5(
+                               string_split(text, ' ')[CAST(i AS INT)] || ' '
+                               || string_split(text, ' ')[CAST(i AS INT) + 1]),
+                             1, 8))::BIGINT))
+                     ELSE []::BIGINT[] END AS gs
+                        FROM documents),
+                 ex AS (SELECT doc_id, unnest(gs) AS g FROM tk),
+                 dfr AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+                 ranked AS (SELECT doc_id, g, row_number()
+                              OVER (PARTITION BY doc_id ORDER BY df, g) AS rk
+                            FROM ex JOIN dfr USING (g)),
+                 sig0 AS (SELECT doc_id, g FROM ranked WHERE rk <= 3),
+                 hot AS (SELECT g FROM sig0 GROUP BY g HAVING count(*) > 64),
+                 sig AS (SELECT doc_id, g FROM sig0
+                         WHERE g NOT IN (SELECT g FROM hot)),
+                 cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+                          FROM sig a JOIN sig b
+                          ON a.g = b.g AND a.doc_id < b.doc_id),
+                 ver AS (SELECT ida, idb,
+                                len(list_intersect(ta.gs, tb.gs)) AS inter,
+                                len(ta.gs) + len(tb.gs)
+                                  - len(list_intersect(ta.gs, tb.gs)) AS uni
+                         FROM cand JOIN tk ta ON ta.doc_id = ida
+                                   JOIN tk tb ON tb.doc_id = idb)
+            SELECT ida, idb, CAST(inter AS BIGINT) AS inter,
+                   CAST(uni AS BIGINT) AS uni,
+                   CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jac
+            FROM ver
+            WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.8
+            ORDER BY ida, idb"""))
+
+  val all: Seq[Q] =
+    Seq(g4, w11, lmScore, bpeApply, a19, a20, lenBuckets, prefixFilter)
 }
