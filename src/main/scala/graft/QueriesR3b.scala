@@ -425,6 +425,61 @@ object QueriesR3b {
             WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.8
             ORDER BY ida, idb"""))
 
+  // --------------------- text_bpe_train3: multi-round BPE trainer loop
+
+  private val bpeTrain = Q(
+    "text_bpe_train3",
+    "The BPE trainer's OUTER loop (TextAnalysis.bpeTrainMerges): three " +
+      "full count→argmax→apply rounds over the corpus, emitting the " +
+      "merge table a tokenizer ships — (round, pa, pb, cnt), each " +
+      "argmax deterministic (count desc, pair asc). Round-over-round " +
+      "the rewritten corpus is checkpointed (pageRankInt's discipline) " +
+      "so round N+1 counts materialized symbols instead of N stacked " +
+      "corpus rewrites; each round's shuffle is the pair groupBy, " +
+      "bounded by the symbol alphabet² and collapsed map-side. The " +
+      "oracle unrolls the three rounds as chained CTEs — the engine " +
+      "loop is the shape that keeps going to 30k merges (with the " +
+      "word-frequency compression a real trainer adds once distinct " +
+      "words ≪ corpus).",
+    (s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(expr("trim(regexp_replace(w, '(.)', '$1 '))").as("symstr"))
+      graft.operators.TextAnalysis.bpeTrainMerges(words, 3).orderBy("round")
+    },
+    Some("""WITH w0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS symstr
+                        FROM (SELECT unnest(string_split(text, ' ')) AS w
+                              FROM documents)
+                        WHERE len(w) >= 2),
+             p1 AS (SELECT ss[CAST(i AS INT)] AS pa, ss[CAST(i AS INT) + 1] AS pb
+                    FROM (SELECT string_split(symstr, ' ') AS ss,
+                                 unnest(range(1, len(string_split(symstr, ' ')))) AS i
+                          FROM w0)),
+             b1 AS (SELECT pa, pb, count(*) AS cnt FROM p1 GROUP BY pa, pb
+                    ORDER BY cnt DESC, pa, pb LIMIT 1),
+             w1 AS (SELECT replace(symstr, pa || ' ' || pb, pa || pb) AS symstr
+                    FROM w0, b1),
+             p2 AS (SELECT ss[CAST(i AS INT)] AS pa, ss[CAST(i AS INT) + 1] AS pb
+                    FROM (SELECT string_split(symstr, ' ') AS ss,
+                                 unnest(range(1, len(string_split(symstr, ' ')))) AS i
+                          FROM w1)),
+             b2 AS (SELECT pa, pb, count(*) AS cnt FROM p2 GROUP BY pa, pb
+                    ORDER BY cnt DESC, pa, pb LIMIT 1),
+             w2 AS (SELECT replace(symstr, pa || ' ' || pb, pa || pb) AS symstr
+                    FROM w1, b2),
+             p3 AS (SELECT ss[CAST(i AS INT)] AS pa, ss[CAST(i AS INT) + 1] AS pb
+                    FROM (SELECT string_split(symstr, ' ') AS ss,
+                                 unnest(range(1, len(string_split(symstr, ' ')))) AS i
+                          FROM w2)),
+             b3 AS (SELECT pa, pb, count(*) AS cnt FROM p3 GROUP BY pa, pb
+                    ORDER BY cnt DESC, pa, pb LIMIT 1)
+            SELECT 1 AS round, pa, pb, cnt FROM b1
+            UNION ALL SELECT 2, pa, pb, cnt FROM b2
+            UNION ALL SELECT 3, pa, pb, cnt FROM b3
+            ORDER BY round"""))
+
   val all: Seq[Q] =
-    Seq(g4, w11, lmScore, bpeApply, a19, a20, lenBuckets, prefixFilter)
+    Seq(g4, w11, lmScore, bpeApply, a19, a20, lenBuckets, prefixFilter,
+      bpeTrain)
 }

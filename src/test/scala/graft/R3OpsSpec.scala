@@ -42,6 +42,15 @@ class R3OpsSpec extends SparkSpec {
     assert(got === Seq("aa", "a"))
   }
 
+  test("bpeTrainMerges: two rounds on a known corpus pick the right merges") {
+    // "a a b" ×2, "a b" ×1 → round 1 best pair (a,b) cnt 3; after the
+    // merge ("a ab","a ab","ab") round 2 best is (a,ab) cnt 2
+    val words = Seq("a a b", "a a b", "a b").toDF("symstr")
+    val got = graft.operators.TextAnalysis.bpeTrainMerges(words, 2)
+      .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "b", 3L), (2, "a", "ab", 2L)))
+  }
+
   test("w11 range frame: same-timestamp ties all land in each other's frame") {
     // two events with identical epoch for one user: a RANGE frame (unlike
     // ROWS) must include BOTH rows in BOTH windows
