@@ -479,7 +479,40 @@ object QueriesR3b {
             UNION ALL SELECT 3, pa, pb, cnt FROM b3
             ORDER BY round"""))
 
+  // ------------------------- a21: one-pass table statistics (ANALYZE)
+
+  private val a21 = Q(
+    "a21_column_stats",
+    "Statistics collection (the ANALYZE TABLE surface a cost-based " +
+      "optimizer or data-skipping index consumes): per-column min/max, " +
+      "exact NDV for three columns, and null counts — ONE aggregation " +
+      "pass over the table. Multiple exact count-distincts in one agg " +
+      "lower to a single Expand (one row copy per distinct column) + " +
+      "two-phase aggregation, so the table is still scanned once; at " +
+      "100 TB you swap exact NDV for approx_count_distinct partials " +
+      "(mergeable HLL — a12's tier) and collect per-file min/max from " +
+      "parquet footers instead, but the query shape is identical.",
+    (s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_okey"), max("l_orderkey").as("max_okey"),
+        countDistinct(col("l_orderkey")).as("ndv_okey"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+        countDistinct(col("l_partkey")).as("ndv_part"),
+        (count(lit(1)) - count(col("l_shipdate"))).as("nulls_ship"),
+        min("l_returnflag").as("min_flag"), max("l_returnflag").as("max_flag"),
+        countDistinct(col("l_returnflag")).as("ndv_flag")),
+    Some("""SELECT count(*) AS n_rows,
+                   min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+                   count(DISTINCT l_orderkey) AS ndv_okey,
+                   min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                   count(DISTINCT l_partkey) AS ndv_part,
+                   count(*) - count(l_shipdate) AS nulls_ship,
+                   min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag,
+                   count(DISTINCT l_returnflag) AS ndv_flag
+            FROM lineitem"""))
+
   val all: Seq[Q] =
     Seq(g4, w11, lmScore, bpeApply, a19, a20, lenBuckets, prefixFilter,
-      bpeTrain)
+      bpeTrain, a21)
 }
