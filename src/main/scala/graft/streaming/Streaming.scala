@@ -161,6 +161,18 @@ object Streaming {
         col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMs MILLISECOND"))
   }
 
+  /** Stream-static enrichment join: every micro-batch of the stream
+    * broadcast-joins the (small) static dimension — the streaming twin of
+    * the batch enrichment DAG's J1 shape, and the third join form next to
+    * stream-stream ([[clickAfterViewJoin]]) and batch-batch. The static
+    * side is planned per micro-batch, so a dim refreshed on disk is
+    * re-read without restarting the query; no watermark is needed because
+    * the static side holds no stream state.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String = "user_id"): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** File-source streaming read of an events directory with the batch
     * schema — the deployment shape (`readStream` → transform →
     * `writeStream` with checkpointing).

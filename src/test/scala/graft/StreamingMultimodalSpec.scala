@@ -127,6 +127,27 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(rows.toSeq == Seq((10L, 20L)))
   }
 
+  test("stream-static join: each batch enriches against the broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = Streaming.enrichStream(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "view", 2.0),
+        Event(3, ts(2), 9, "view", 3.0)) // no dim row → left join null
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enrich_out").select("event_id", "tier")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+    assert(rows.toSeq ==
+      Seq((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+  }
+
   test("transformWithState: running per-user stats accumulate across batches (RocksDB store)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
