@@ -26,13 +26,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {
+      // Iterative queries localCheckpoint their FINAL frame, whose blocks
+      // outlive the query (the loop frees only intermediate rounds).
+      // Across two passes of the full inventory those leaked blocks add
+      // up to real executor-memory pressure — observed as the iterative
+      // queries running 3× slower inside a full bench than in isolation.
+      // Snapshot the persistent-RDD set (the persistTables cache) before
+      // each query and release whatever the query left behind.
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+        .foreach { case (_, rdd) => rdd.unpersist(blocking = false) }
+      dt
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -25,11 +25,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+        // release each query's leaked final-checkpoint blocks (see
+        // Bench.run) so a full inventory dump doesn't accumulate them
+        val before = spark.sparkContext.getPersistentRDDs.keySet
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => before.contains(id) }
+          .foreach { case (_, rdd) => rdd.unpersist(blocking = false) }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

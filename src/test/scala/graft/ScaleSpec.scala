@@ -43,6 +43,24 @@ class ScaleSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("partitioned parquet layout: a partition predicate prunes at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    val df = (1 to 300).map(i => (i.toLong, s"d${i % 3}", i * 1.0))
+      .toDF("id", "day", "v")
+    graft.sources.Sinks.parquetPartitioned(df, dir, Seq("day"))
+    val back = spark.read.parquet(dir).filter(col("day") === "d1")
+    assert(back.count() === 100)
+    val scan = back.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScan in plan"))
+    // the day predicate must be a PARTITION filter (directory pruning —
+    // never reaches row groups), not a data filter
+    assert(scan.metadata("PartitionFilters").contains("day"),
+      s"day not in PartitionFilters: ${scan.metadata("PartitionFilters")}")
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"expected 1 of 3 partition dirs scanned, got ${scan.selectedPartitions.partitionCount}")
+  }
 }
 
 /** Tiny deterministic orders-like frame for bucketing tests. */
