@@ -55,7 +55,12 @@ object Bench {
     // best-of-2 across two INTERLEAVED full passes: the host shows multi-
     // second stalls (GC / noisy neighbors) that would hit back-to-back
     // runs of one query together; separated passes make the min robust
+    // Force a driver GC between passes: Spark's ContextCleaner frees
+    // dropped broadcasts / shuffle state only when the driver GC notices
+    // the references died — across a 128-query pass that backlog is real
+    // memory pressure on the executors' side of the same JVM.
     val pass1 = names.map(n => n -> run(n)).toMap
+    System.gc()
     val pass2 = names.map(n => n -> run(n)).toMap
     val results = names.map { n =>
       val (t1, t2) = (pass1(n), pass2(n))

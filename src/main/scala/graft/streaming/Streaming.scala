@@ -173,6 +173,60 @@ object Streaming {
                    key: String = "user_id"): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Streaming CDC materialization: a `foreachBatch` sink that upserts
+    * each micro-batch into a parquet state table by key — the
+    * latest-batch row wins per key (within a batch, the row with the
+    * highest `ts` then `event_id` wins, deterministically). The state
+    * table is read at the START of each batch and rewritten via
+    * write-temp-then-swap (the engine's S5 in-place discipline — Spark
+    * cannot read and overwrite one path in a single job), so a crash
+    * mid-batch leaves the previous state intact and the batch replays.
+    * This is the idiomatic lakehouse-less MERGE loop; with a real table
+    * format the swap becomes the format's transactional commit, and the
+    * full-state rewrite becomes a partition-scoped merge.
+    */
+  def upsertBatchIntoParquet(batch: DataFrame, path: String,
+                             key: String = "user_id"): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val latest = batch
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(key)
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val dir = new java.io.File(path)
+    val merged =
+      if (dir.exists()) {
+        val state = spark.read.parquet(path)
+        state.join(latest.select(key), Seq(key), "left_anti")
+          .unionByName(latest)
+      } else latest
+    val tmp = path + ".tmp_swap"
+    merged.write.mode("overwrite").parquet(tmp)
+    val target = new java.io.File(path)
+    // remove old state then promote the temp dir — the temp write has
+    // already fully succeeded, so the non-atomic window is rename-only
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (target.exists()) rm(target)
+    if (!new java.io.File(tmp).renameTo(target))
+      throw new java.io.IOException(s"rename $tmp -> $path failed")
+  }
+
+  /** The deployment shape around [[upsertBatchIntoParquet]]: stream →
+    * foreachBatch upsert → parquet state, with checkpointing.
+    */
+  def upsertStream(events: DataFrame, statePath: String,
+                   checkpoint: String, key: String = "user_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        upsertBatchIntoParquet(batch, statePath, key))
+      .start()
+
   /** File-source streaming read of an events directory with the batch
     * schema — the deployment shape (`readStream` → transform →
     * `writeStream` with checkpointing).

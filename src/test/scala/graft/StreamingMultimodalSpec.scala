@@ -148,6 +148,30 @@ class StreamingMultimodalSpec extends SparkSpec {
       Seq((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
   }
 
+  test("foreachBatch upsert: parquet state converges to latest row per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert_")
+    val (statePath, ckpt) = (s"$base/state", s"$base/ckpt")
+    val q = Streaming.upsertStream(mem.toDF(), statePath, ckpt)
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "view", 2.0), // same user, later → wins batch 1
+        Event(3, ts(1), 2, "view", 3.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(5), 2, "click", 9.0)) // updates user 2
+      mem.addData(Event(5, ts(6), 3, "view", 7.0))  // inserts user 3
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.read.parquet(statePath)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(state.toSeq ==
+      Seq((1L, 2L, 2.0), (2L, 4L, 9.0), (3L, 5L, 7.0)),
+      "state must hold exactly the latest row per user")
+  }
+
   test("transformWithState: running per-user stats accumulate across batches (RocksDB store)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
