@@ -556,7 +556,103 @@ object QueriesR3b {
     },
     Some(Q1Text))
 
+  /** Portable unique ordering key for arg_min/arg_max across engines:
+    * zero-padded epoch micros + event id compare bytewise as digits, so
+    * VARCHAR ordering == (ts, event_id) ordering — DuckDB's arg_max has
+    * no struct-key overload, and a packed BIGINT would overflow.
+    */
+  private def ordKey = concat(
+    lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+    lpad(col("event_id").cast("string"), 10, "0"))
+
+  // ------------------------- w12: calendar gap fill (resample + ffill)
+
+  private val w12 = Q(
+    "w12_gap_fill",
+    "Calendar densification + forward fill (pandas resample().ffill(), " +
+      "the warehouse gaps-and-islands complement): per user, the last " +
+      "observed value each day (max_by on a portable ordering key), a " +
+      "generated daily calendar between the user's first and last day " +
+      "(sequence + explode — rows created ONLY for each user's own " +
+      "span), a left join puncturing the calendar with observations, " +
+      "and last(ignoreNulls) carrying values across the holes. " +
+      "Shuffles: the daily groupBy and one user_id window — the " +
+      "calendar explode is map-side. Output flags observed vs filled " +
+      "days; integer cents end-to-end.",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+          ordKey.as("ok"),
+          round(col("value") * 100, 0).cast(LongType).as("cents"))
+        .groupBy("user_id", "day")
+        .agg(max_by(col("cents"), col("ok")).as("cents"))
+      val cal = daily.groupBy("user_id")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY")))
+            .as("day"))
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("cents"), ignoreNulls = true).over(
+            Window.partitionBy("user_id").orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cents"),
+          col("cents").isNotNull.as("observed"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ok,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+                 daily AS (SELECT user_id, day, arg_max(cents, ok) AS cents
+                           FROM ev GROUP BY 1, 2),
+                 bounds AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+                            FROM daily GROUP BY 1),
+                 cal AS (SELECT user_id,
+                                unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+                         FROM bounds),
+                 j AS (SELECT c.user_id, c.day, d.cents FROM cal c
+                       LEFT JOIN daily d
+                       ON c.user_id = d.user_id AND c.day = d.day)
+            SELECT user_id, day,
+                   last_value(cents IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents,
+                   (cents IS NOT NULL) AS observed
+            FROM j ORDER BY user_id, day"""))
+
+  // ----------------------------- w13: OHLC downsampling (min_by/max_by)
+
+  private val w13 = Q(
+    "w13_ohlc_bars",
+    "Time-series downsampling to OHLC bars: per (user, 6-hour bucket) " +
+      "the first/last (min_by/max_by on the portable ordering key) and " +
+      "min/max of integer cents plus the bar's event count — ONE " +
+      "groupBy, all five aggregates partial-aggregated map-side, the " +
+      "financial-resampling shape at any scale. The bucket is integer " +
+      "epoch-micros division (no window-struct round-trip).",
+    (s, d) =>
+      t(s, d, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 21600000000").as("bucket"),
+          ordKey.as("ok"),
+          round(col("value") * 100, 0).cast(LongType).as("cents"))
+        .groupBy("user_id", "bucket")
+        .agg(min_by(col("cents"), col("ok")).as("open"),
+          max("cents").as("high"), min("cents").as("low"),
+          max_by(col("cents"), col("ok")).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "bucket"),
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ok,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+            SELECT user_id, bucket, arg_min(cents, ok) AS open,
+                   max(cents) AS high, min(cents) AS low,
+                   arg_max(cents, ok) AS close, count(*) AS n
+            FROM ev GROUP BY 1, 2 ORDER BY user_id, bucket"""))
+
   val all: Seq[Q] =
     Seq(g4, w11, lmScore, bpeApply, a19, a20, lenBuckets, prefixFilter,
-      bpeTrain, a21, a22)
+      bpeTrain, a21, a22, w12, w13)
 }
