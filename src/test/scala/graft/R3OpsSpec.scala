@@ -43,10 +43,11 @@ class R3OpsSpec extends SparkSpec {
   }
 
   test("bpeTrainMerges: two rounds on a known corpus pick the right merges") {
-    // "a a b" ×2, "a b" ×1 → round 1 best pair (a,b) cnt 3; after the
-    // merge ("a ab","a ab","ab") round 2 best is (a,ab) cnt 2
-    val words = Seq("a a b", "a a b", "a b").toDF("symstr")
-    val got = graft.operators.TextAnalysis.bpeTrainMerges(words, 2)
+    // word "aab" ×2, "ab" ×1 → round 1 pair counts (a,a)=2, (a,b)=3 →
+    // best (a,b) cnt 3; after the merge ("a ab"×2, "ab") round 2 best
+    // is (a,ab) cnt 2. freq-weighted counts must equal instance counts.
+    val wordFreq = Seq(("a a b", 2L), ("a b", 1L)).toDF("symstr", "freq")
+    val got = graft.operators.TextAnalysis.bpeTrainMerges(wordFreq, 2)
       .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
     assert(got === Seq((1, "a", "b", 3L), (2, "a", "ab", 2L)))
   }
