@@ -155,52 +155,58 @@ object QueriesR3b {
       "classic space-separated-symbols replace('e r' → 'er'): both " +
       "engines' replace() is left-to-right non-overlapping, so merge " +
       "results agree exactly. The argmax is a 1-row frame broadcast " +
-      "into the scan (crossJoin(broadcast) — no driver round-trip, the " +
-      "whole loop stays one lazy plan); pair space stays ≈ alphabet², " +
-      "so both groupBys collapse map-side at any corpus size.",
+      "into the rewrite (crossJoin(broadcast) — no driver round-trip, " +
+      "the whole loop stays one lazy plan). Like text_bpe_train3, the " +
+      "step runs on DISTINCT words with frequencies (one groupBy up " +
+      "front, every count freq-weighted — identical results, " +
+      "vocabulary-sized working set); pair space stays ≈ alphabet², so " +
+      "the pair groupBys collapse map-side at any corpus size.",
     (s, d) => {
-      val words = t(s, d, "documents")
+      val wf = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2) // sequence(1, 0) would count DOWN
-      val best = words
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val best = wf
         .select(explode(transform(
           sequence(lit(1), length(col("w")) - 1),
-          i => col("w").substr(i, lit(2)))).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          i => col("w").substr(i, lit(2)))).as("pair"), col("freq"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
         .select(col("pair").as("bp"))
-      words
+      wf
         .crossJoin(broadcast(best))
         // spread w into space-separated symbols, merge the best pair
         .select(split(expr(
           "replace(trim(regexp_replace(w, '(.)', '$1 '))," +
             " concat(substr(bp, 1, 1), ' ', substr(bp, 2, 1)), bp)"),
-          " ").as("syms"))
+          " ").as("syms"), col("freq"))
         .filter(size(col("syms")) >= 2)
         .select(explode(transform(
           sequence(lit(1), size(col("syms")) - 1),
           i => concat_ws("_", element_at(col("syms"), i),
-            element_at(col("syms"), i + 1)))).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+            element_at(col("syms"), i + 1)))).as("pair"), col("freq"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(20)
     },
-    Some("""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
-                           FROM documents),
-                 ws AS (SELECT w FROM words WHERE len(w) >= 2),
-                 p1 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
-                        FROM (SELECT w, unnest(range(1, len(w))) AS i FROM ws)),
+    Some("""WITH wf AS (SELECT w, count(*) AS freq
+                        FROM (SELECT unnest(string_split(text, ' ')) AS w
+                              FROM documents)
+                        WHERE len(w) >= 2 GROUP BY w),
+                 p1 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+                        FROM (SELECT w, freq, unnest(range(1, len(w))) AS i
+                              FROM wf)),
                  best AS (SELECT pair AS bp FROM p1 GROUP BY pair
-                          ORDER BY count(*) DESC, pair LIMIT 1),
+                          ORDER BY sum(freq) DESC, pair LIMIT 1),
                  merged AS (SELECT string_split(
                               replace(trim(regexp_replace(w, '(.)', '\1 ', 'g')),
                                 substr(bp, 1, 1) || ' ' || substr(bp, 2, 1), bp),
-                              ' ') AS syms
-                            FROM ws, best),
+                              ' ') AS syms, freq
+                            FROM wf, best),
                  p2 AS (SELECT syms[CAST(i AS INT)] || '_' ||
-                               syms[CAST(i AS INT) + 1] AS pair
-                        FROM (SELECT syms, unnest(range(1, len(syms))) AS i
+                               syms[CAST(i AS INT) + 1] AS pair, freq
+                        FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
                               FROM merged WHERE len(syms) >= 2))
-            SELECT pair, count(*) AS cnt FROM p2
+            SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p2
             GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""))
 
   // ----------------------------------------------- a19: unpivot / melt
