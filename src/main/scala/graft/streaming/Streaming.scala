@@ -124,6 +124,29 @@ object Streaming {
       }
   }
 
+  /** NATIVE session windows in streaming: groupBy(session_window) under a
+    * watermark in Append mode — the built-in counterpart to
+    * [[sessionizeEventTime]]'s hand-rolled state machine, and the
+    * streaming twin of the batch query w15_session_window. Spark keeps
+    * per-user open sessions in the state store, merges windows that an
+    * arriving event bridges, and emits a session only once the watermark
+    * passes its end (so downstream sees the same append-only closed-
+    * session log, with eviction managed by the engine instead of
+    * explicit timeout calls). Same merge semantics as batch: an event at
+    * exactly gap distance still merges.
+    */
+  def sessionWindowAgg(events: DataFrame,
+                       gap: String = "30 minutes",
+                       watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("started"),
+        col("session_window.end").as("ended"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup with BOUNDED state: duplicates of a key are
     * dropped while the key can still legally reappear (inside the
     * watermark), and the key's state is evicted once the watermark passes

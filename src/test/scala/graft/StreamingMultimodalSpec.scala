@@ -87,6 +87,30 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(!out.exists(_.user_id == 3))
   }
 
+  test("native session_window stream: closed session emitted once, open withheld") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionWindowAgg(mem.toDF())
+      .writeStream.format("memory").queryName("sw_sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart → one session [ts(0), ts(5)+30min)
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      // a much later event advances the watermark past user 1's session
+      // end (ts(5)+30min); Append emits the closed session, state evicted
+      mem.addData(Event(3, ts(180), 2, "view", 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sw_sessions")
+      .select("user_id", "n_events", "total_value").collect()
+    assert(out.length == 1, s"only the watermark-passed session: ${out.toSeq}")
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L &&
+      out.head.getDouble(2) == 3.0)
+    // user 2's session is still open (watermark hasn't passed it) → withheld
+  }
+
   test("streaming dedup within watermark: dups dropped, output append-only") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
