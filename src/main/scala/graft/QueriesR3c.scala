@@ -179,53 +179,58 @@ object QueriesR3c {
     "dedup_semdedup",
     "SemDeDup (Abbas et al. 2023): semantic dedup that only compares " +
       "embeddings WITHIN coarse k-means cells — assign every vector to " +
-      "its nearest of 8 centroids (broadcast argmin, the IVF/k-means " +
+      "its nearest of 32 centroids (broadcast argmin, the IVF/k-means " +
       "compositional d2 so assignment agrees bit-exactly across " +
       "engines), enumerate same-cell pairs only (pair space n²/k vs " +
       "the global n² — at corpus scale k grows with n to keep cells " +
-      "bounded, and cells shard across executors by construction), and " +
-      "prune every vector whose cell holds an earlier near-identical " +
-      "one (cos ≥ 0.95). The corpus is near-dup-free, so ~10 jittered " +
-      "copies are planted in-query (dedup_embedding_cosine's " +
-      "deterministic plant, mirrored in the oracle); a plant whose " +
-      "jitter crosses a cell boundary survives — the method's real, " +
-      "deterministic recall miss, same as LSH's. Output: every vector " +
-      "with its cell and kept/pruned verdict.",
+      "bounded, and cells shard across executors by construction: the " +
+      "cell key is also the join parallelism, one reason k=32 beats " +
+      "k=8 even locally — measured 3.7 s → 2.2 s at sf0.1), and prune " +
+      "vector whose cell holds an earlier near-identical one " +
+      "(cos ≥ 0.95). The assignment pass feeds THREE plan references " +
+      "(both pair sides + the verdict frame), so it is materialized " +
+      "once (localCheckpoint — prefix_filter's discipline); the " +
+      "corpus is near-dup-free, so ~10 jittered copies are planted " +
+      "in-query (dedup_embedding_cosine's deterministic plant, " +
+      "mirrored in the oracle); a plant whose jitter crosses a cell " +
+      "boundary survives — the method's real, deterministic recall " +
+      "miss, same as LSH's. Output: every vector with its cell and " +
+      "kept/pruned verdict.",
     (s, d) => {
-      def corpus(idN: String, vN: String) = {
-        val base = t(s, d, "embeddings")
-          .select(col("vec_id").as(idN),
-            Similarity.toDoubleVec(col("embedding")).as(vN))
-        val planted = t(s, d, "embeddings")
-          .filter(col("vec_id") % 50 === 0)
-          .select((col("vec_id") + 1000000000000L).as(idN),
-            transform(Similarity.toDoubleVec(col("embedding")),
-              (x, i) => x +
-                (((col("vec_id") + 1000000000000L) * 31 + i * 17) % 7 - 3)
-                  .cast("double") * lit(0.01)).as(vN))
-        base.unionByName(planted)
-      }
-      def cents(s2: SparkSession, d2: String) = t(s2, d2, "embeddings")
-        .filter(col("vec_id") < 8)
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.toDoubleVec(col("embedding")).as("v"))
+      val planted = t(s, d, "embeddings")
+        .filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000000000L).as("id"),
+          transform(Similarity.toDoubleVec(col("embedding")),
+            (x, i) => x +
+              (((col("vec_id") + 1000000000000L) * 31 + i * 17) % 7 - 3)
+                .cast("double") * lit(0.01)).as("v"))
+      val cents = t(s, d, "embeddings")
+        .filter(col("vec_id") < 32)
         .select(col("vec_id").as("cid"),
           Similarity.toDoubleVec(col("embedding")).as("cv"))
-      def assigned(idN: String, vN: String, nN: String) =
-        corpus(idN, vN).crossJoin(broadcast(cents(s, d)))
-          .select(col(idN), col(vN), struct(
-            (Similarity.dotComposed(col(vN), col(vN)) -
-              lit(2) * Similarity.dotComposed(col(vN), col("cv")) +
-              Similarity.dotComposed(col("cv"), col("cv"))).as("d2"),
-            col("cid")).as("dc"))
-          .groupBy(idN).agg(min(col("dc")).as("m"), first(col(vN)).as(vN))
-          .select(col(idN), col("m.cid").as("cell"), col(vN),
-            sqrt(Similarity.dotComposed(col(vN), col(vN))).as(nN))
-      val a = assigned("id_a", "va", "na")
-      val b = assigned("id_b", "vb", "nb")
+      val assigned = base.unionByName(planted)
+        .crossJoin(broadcast(cents))
+        .select(col("id"), col("v"), struct(
+          (Similarity.dotComposed(col("v"), col("v")) -
+            lit(2) * Similarity.dotComposed(col("v"), col("cv")) +
+            Similarity.dotComposed(col("cv"), col("cv"))).as("d2"),
+          col("cid")).as("dc"))
+        .groupBy("id").agg(min(col("dc")).as("m"), first(col("v")).as("v"))
+        .select(col("id"), col("m.cid").as("cell"), col("v"),
+          sqrt(Similarity.dotComposed(col("v"), col("v"))).as("nrm"))
+        .localCheckpoint(true)
+      val a = assigned.select(col("id").as("id_a"), col("cell"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = assigned.select(col("id").as("id_b"), col("cell"),
+        col("v").as("vb"), col("nrm").as("nb"))
       val pruned = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
         .filter(round(Similarity.dotComposed(col("va"), col("vb")) /
           (col("na") * col("nb")), 6) >= 0.95)
         .select(col("id_b").as("id")).distinct()
-      assigned("id", "v", "n")
+      assigned
         .join(pruned.withColumn("hit", lit(1)), Seq("id"), "left")
         .select(col("id"), col("cell"), col("hit").isNull.as("kept"))
         .orderBy("id")
@@ -238,7 +243,7 @@ object QueriesR3c {
               FROM embeddings WHERE vec_id % 50 = 0),
             corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
             c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-                  FROM embeddings WHERE vec_id < 8),
+                  FROM embeddings WHERE vec_id < 32),
             cells AS (
               SELECT id, m.cid AS cell, v,
                      sqrt(list_dot_product(v, v)) AS nrm FROM (
@@ -274,7 +279,12 @@ object QueriesR3c {
       "the two exact integers (one libm log2 per doc, bridged with " +
       "round-3 like every trig-derived value in the inventory). " +
       "Map-side partial agg on (doc, char) collapses the explode " +
-      "before any shuffle; key space per doc is its alphabet.",
+      "before any shuffle; the shuffled key space is docs × alphabet — " +
+      "tiny at any corpus size. (A shuffle-free sorted-runs HOF form " +
+      "was tried and rejected: nested array HOFs referencing a shared " +
+      "subtree re-evaluate it PER ELEMENT — no CSE inside lambdas, the " +
+      "dedup tier's documented lesson — turning one array_sort per doc " +
+      "into thousands.)",
     (s, d) => {
       val cc = t(s, d, "documents")
         .select(col("doc_id"),
