@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.engine.Engine
+import graft.operators.Similarity
+
+/** Round-3 batch 4: corpus-LM quality scoring, Matryoshka embedding
+  * truncation accounting, and the quantile-sketch accuracy bridge.
+  */
+object QueriesR3d {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  // ------------- text_unigram_logprob: corpus-LM document scoring
+
+  private val unigramLp = Q(
+    "text_unigram_logprob",
+    "Unigram language-model scoring — the perplexity-proxy quality gate " +
+      "(CCNet/KenLM pattern, reduced to the LM the corpus itself " +
+      "defines): train = one global token-count pass; score = every " +
+      "doc's mean negative log2 token probability (bits/token — high " +
+      "means rare-token soup, low means boilerplate). Determinism is " +
+      "the entropy query's integer bridge: each DISTINCT token's " +
+      "-log2(cnt/total) is rounded ONCE to exact BIGINT micro-bits in " +
+      "the model table, so per-doc scores are integer sums — " +
+      "accumulation order can never matter. The scoring join is " +
+      "token→model (shuffle join here; at 100 TB the model is " +
+      "vocabulary-sized — broadcast it and scoring is map-only, the " +
+      "curate_contamination discipline). total comes from a 1-row " +
+      "crossJoin(broadcast), not a driver scalar.",
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val cnts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = cnts.agg(sum("cnt").as("total"))
+      val model = cnts.crossJoin(broadcast(total))
+        .select(col("tok"),
+          round(-log2(col("cnt").cast(DoubleType) / col("total").cast(DoubleType))
+            * 1e6, 0).cast(LongType).as("nll_micro"))
+      toks.join(model, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum("nll_micro").as("s_micro"))
+        .select(col("doc_id"), col("n_toks"), col("s_micro"),
+          round(col("s_micro") / (col("n_toks") * lit(1e6)), 3).as("bits_per_tok"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+                 cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+                 tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts),
+                 model AS (SELECT tok,
+                             CAST(round(-log2(CAST(cnt AS DOUBLE)
+                                              / CAST(total AS DOUBLE))
+                                        * 1000000, 0) AS BIGINT) AS nll_micro
+                           FROM cnts, tot),
+                 agg AS (SELECT doc_id, count(*) AS n_toks,
+                                CAST(sum(nll_micro) AS BIGINT) AS s_micro
+                         FROM toks JOIN model USING (tok) GROUP BY doc_id)
+            SELECT doc_id, n_toks, s_micro,
+                   round(s_micro / (n_toks * 1000000.0), 3) AS bits_per_tok
+            FROM agg ORDER BY doc_id"""))
+
+  // --------------- sim_matryoshka: truncated-embedding energy audit
+
+  private val matryoshka = Q(
+    "sim_matryoshka",
+    "Matryoshka (MRL) truncation audit: how much of each embedding's " +
+      "energy the first 16 of 64 dimensions retain, plus the leading " +
+      "component of the renormalized stub — the accounting that decides " +
+      "whether a cheap prefix index (IVF/LSH over 16 dims, full-vector " +
+      "rerank) is viable. Map-only: slice + the same left-fold dot both " +
+      "engines compute bit-identically (dedup_embedding_cosine's " +
+      "bridge), ratios rounded at 6. No shuffle at any corpus size.",
+    (s, d) => {
+      val vec = Similarity.toDoubleVec(col("embedding"))
+      val v16 = slice(vec, 1, 16)
+      val e64 = Similarity.dotComposed(vec, vec)
+      val e16 = Similarity.dotComposed(v16, v16)
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          round(e16 / e64, 6).as("energy_frac"),
+          round(element_at(v16, 1) / sqrt(e16), 6).as("c1_norm"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT vec_id,
+                   round(list_dot_product(v[1:16], v[1:16])
+                         / list_dot_product(v, v), 6) AS energy_frac,
+                   round(v[1] / sqrt(list_dot_product(v[1:16], v[1:16])), 6)
+                     AS c1_norm
+            FROM e ORDER BY vec_id"""))
+
+  // ------------- a24: quantile-sketch accuracy bridge (a12 for quantiles)
+
+  private val a24 = Q(
+    "a24_quantile_sketch",
+    "Mergeable quantile sketches, graded the a12 way: per return flag, " +
+      "percentile_approx (Spark's GK-style sketch — partial-aggregatable " +
+      "and re-mergeable, the 100 TB path where exact percentiles would " +
+      "sort the world) at p50/p90/p99 against the exact interpolated " +
+      "percentile, emitting per-quantile within-1% booleans — " +
+      "constant-true on any engine pair at the sketch's rank error " +
+      "(n/accuracy ≈ 20 rows at sf0.1). The exact values stay internal: " +
+      "cross-engine interpolation arithmetic is not hash-stable, " +
+      "booleans are.",
+    (s, d) => {
+      // even-order half of the table: the EXACT side buffers every value
+      // per group (that's the point being made), so the fixture slice is
+      // kept to what the contrast needs
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+      val ap = li.groupBy("flag")
+        .agg(percentile_approx(col("x"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"))
+      val ex = li.groupBy("flag")
+        .agg(expr("percentile(x, array(0.5D, 0.9D, 0.99D))").as("ex"))
+      val nr = li.groupBy("flag").agg(count(lit(1)).as("n_rows"))
+      def ok(i: Int) =
+        (abs(element_at(col("ap"), i) - element_at(col("ex"), i)) <=
+          lit(0.01) * element_at(col("ex"), i))
+      nr.join(ap, "flag").join(ex, "flag")
+        .select(col("flag"), col("n_rows"),
+          ok(1).as("ok50"), ok(2).as("ok90"), ok(3).as("ok99"))
+        .orderBy("flag")
+    },
+    Some("""SELECT l_returnflag AS flag, count(*) AS n_rows,
+                   true AS ok50, true AS ok90, true AS ok99
+            FROM lineitem WHERE l_orderkey % 2 = 0
+            GROUP BY l_returnflag ORDER BY flag"""))
+
+  val all: Seq[Q] = Seq(unigramLp, matryoshka, a24)
+}
