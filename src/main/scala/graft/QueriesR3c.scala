@@ -214,20 +214,20 @@ object QueriesR3c {
       val assigned = base.unionByName(planted)
         .crossJoin(broadcast(cents))
         .select(col("id"), col("v"), struct(
-          (Similarity.dotComposed(col("v"), col("v")) -
-            lit(2) * Similarity.dotComposed(col("v"), col("cv")) +
-            Similarity.dotComposed(col("cv"), col("cv"))).as("d2"),
+          (Similarity.dot(col("v"), col("v")) -
+            lit(2) * Similarity.dot(col("v"), col("cv")) +
+            Similarity.dot(col("cv"), col("cv"))).as("d2"),
           col("cid")).as("dc"))
         .groupBy("id").agg(min(col("dc")).as("m"), first(col("v")).as("v"))
         .select(col("id"), col("m.cid").as("cell"), col("v"),
-          sqrt(Similarity.dotComposed(col("v"), col("v"))).as("nrm"))
+          sqrt(Similarity.dot(col("v"), col("v"))).as("nrm"))
         .localCheckpoint(true)
       val a = assigned.select(col("id").as("id_a"), col("cell"),
         col("v").as("va"), col("nrm").as("na"))
       val b = assigned.select(col("id").as("id_b"), col("cell"),
         col("v").as("vb"), col("nrm").as("nb"))
       val pruned = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
-        .filter(round(Similarity.dotComposed(col("va"), col("vb")) /
+        .filter(round(Similarity.dot(col("va"), col("vb")) /
           (col("na") * col("nb")), 6) >= 0.95)
         .select(col("id_b").as("id")).distinct()
       assigned

@@ -133,5 +133,58 @@ object QueriesR3d {
             FROM lineitem WHERE l_orderkey % 2 = 0
             GROUP BY l_returnflag ORDER BY flag"""))
 
-  val all: Seq[Q] = Seq(unigramLp, matryoshka, a24)
+  // ---------- curate_mix_temperature: α-temperature source flattening
+
+  private val mixTemp = Q(
+    "curate_mix_temperature",
+    "Temperature-flattened mixing (the multilingual/source-balance " +
+      "sampler: quota ∝ n^α with α = 0.5, upweighting rare strata " +
+      "relative to their raw share — XLM-R's language sampling, applied " +
+      "to the skewed event_type distribution): per-type weights are " +
+      "round(sqrt(n)·1e6) — sqrt is IEEE-correctly-rounded on every " +
+      "platform, and once the weight is an exact BIGINT all downstream " +
+      "arithmetic (weight sum, quota = w·T div W) is integer-exact on " +
+      "both engines. Selection within a type is the content-stable hash " +
+      "rank (curate_domain_mix's reproducibility contract). The quota " +
+      "table is one row per stratum — broadcast; the data-side pass is " +
+      "map + one per-stratum window.",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+      val per = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .withColumn("wt", round(sqrt(col("cnt")) * 1e6, 0).cast(LongType))
+      val sized = per.crossJoin(broadcast(per.agg(sum("wt").as("wsum"))))
+      val quotas = sized
+        .select(col("event_type"), col("cnt"),
+          expr("wt * 1000 div wsum").as("quota"))
+      val w = Window.partitionBy("event_type").orderBy(col("hv"), col("event_id"))
+      ev.join(broadcast(quotas), "event_type")
+        .withColumn("hv",
+          graft.operators.Dedup.tokenId(col("event_id").cast("string")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("quota"))
+        .select(col("event_type"), col("event_id"))
+        .orderBy("event_type", "event_id")
+    },
+    Some("""WITH per AS (SELECT event_type, count(*) AS cnt
+                         FROM events GROUP BY event_type),
+                 pw AS (SELECT event_type, cnt,
+                          CAST(round(sqrt(cnt) * 1000000, 0) AS BIGINT) AS wt
+                        FROM per),
+                 s AS (SELECT CAST(sum(wt) AS BIGINT) AS wsum FROM pw),
+                 q AS (SELECT event_type, wt * 1000 // wsum AS quota
+                       FROM pw, s),
+                 h AS (SELECT event_id, event_type,
+                        ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                          AS hv
+                       FROM events)
+            SELECT event_type, event_id FROM (
+              SELECT h.event_type, h.event_id, q.quota,
+                     row_number() OVER (PARTITION BY h.event_type
+                                        ORDER BY hv, event_id) AS rk
+              FROM h JOIN q USING (event_type))
+            WHERE rk <= quota
+            ORDER BY event_type, event_id"""))
+
+  val all: Seq[Q] = Seq(unigramLp, matryoshka, a24, mixTemp)
 }
