@@ -186,5 +186,61 @@ object QueriesR3d {
             WHERE rk <= quota
             ORDER BY event_type, event_id"""))
 
-  val all: Seq[Q] = Seq(unigramLp, matryoshka, a24, mixTemp)
+  // ------------------ text_dist_drift: token-distribution drift report
+
+  private val distDrift = Q(
+    "text_dist_drift",
+    "Distribution-drift attribution between two corpus slices (the " +
+      "data-monitoring op a production ingest runs between yesterday's " +
+      "and today's crawl): which tokens' relative frequencies moved " +
+      "most. Slices are the doc_id parity halves; drift per token is " +
+      "|pA − pB| ranked WITHOUT any float: pA − pB = (cntA·totB − " +
+      "cntB·totA)/(totA·totB) has a constant positive denominator, so " +
+      "ordering by the exact BIGINT cross product |cntA·totB − " +
+      "cntB·totA| IS ordering by drift — no libm, no rounding, no " +
+      "accumulation anywhere (the JSD scalar was deliberately dropped: " +
+      "30k per-token libm roundings stack failure odds; the integer " +
+      "rank is exact). One full-outer token join (vocabulary-sized), " +
+      "counts broadcastable at scale; top-20 via TakeOrdered.",
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .select((col("doc_id") % 2 === 0).as("inA"),
+          explode(split(col("text"), " ")).as("tok"))
+      val a = toks.filter(col("inA")).groupBy("tok")
+        .agg(count(lit(1)).as("cnt_a"))
+      val b = toks.filter(!col("inA")).groupBy("tok")
+        .agg(count(lit(1)).as("cnt_b"))
+      val joined = a.join(b, Seq("tok"), "full_outer")
+        .select(col("tok"),
+          coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+          coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      val tots = joined.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
+      joined.crossJoin(broadcast(tots))
+        .select(col("tok"), col("cnt_a"), col("cnt_b"),
+          abs(col("cnt_a") * col("tot_b") - col("cnt_b") * col("tot_a"))
+            .as("drift_x"))
+        .orderBy(col("drift_x").desc, col("tok"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT doc_id % 2 = 0 AS in_a,
+                                 unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+                 a AS (SELECT tok, count(*) AS cnt_a FROM toks
+                       WHERE in_a GROUP BY tok),
+                 b AS (SELECT tok, count(*) AS cnt_b FROM toks
+                       WHERE NOT in_a GROUP BY tok),
+                 j AS (SELECT coalesce(a.tok, b.tok) AS tok,
+                              coalesce(cnt_a, 0) AS cnt_a,
+                              coalesce(cnt_b, 0) AS cnt_b
+                       FROM a FULL OUTER JOIN b ON a.tok = b.tok),
+                 t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+                              CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM j)
+            SELECT tok, CAST(cnt_a AS BIGINT) AS cnt_a,
+                   CAST(cnt_b AS BIGINT) AS cnt_b,
+                   CAST(abs(cnt_a * tot_b - cnt_b * tot_a) AS BIGINT)
+                     AS drift_x
+            FROM j, t
+            ORDER BY drift_x DESC, tok LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(unigramLp, matryoshka, a24, mixTemp, distDrift)
 }
