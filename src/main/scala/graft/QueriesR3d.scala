@@ -242,5 +242,55 @@ object QueriesR3d {
             FROM j, t
             ORDER BY drift_x DESC, tok LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(unigramLp, matryoshka, a24, mixTemp, distDrift)
+  // ------------- curate_upsample_epochs: epoch-weighted repetition
+
+  private val upsample = Q(
+    "curate_upsample_epochs",
+    "Epoch-weighted upsampling — the complement of curate_domain_mix's " +
+      "downsampling cap: every source is brought UP to a fixed target " +
+      "row count by repetition (the 'epochs over small high-quality " +
+      "sources' lever in LLM data recipes). Per source: full_epochs = " +
+      "T div cnt replicas of every doc, plus a hash-ranked rem = " +
+      "T mod cnt partial epoch — so output per source is exactly T, " +
+      "selection is content-stable, and every step is integer " +
+      "arithmetic. The replication is explode(sequence(1, epochs)) — " +
+      "map-side row generation, no join amplification; the per-source " +
+      "count table is one partial-agg'd groupBy broadcast back.",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val target = 40L
+      val docs = t(s, d, "documents")
+      val per = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("source").orderBy(col("hv"), col("doc_id"))
+      docs.join(broadcast(per), "source")
+        .withColumn("hv",
+          graft.operators.Dedup.tokenId(col("doc_id").cast("string")))
+        .withColumn("rk", row_number().over(w))
+        .select(col("source"), col("doc_id"),
+          // `div` (integer), not `/` (Column./ is double division)
+          explode(sequence(lit(1L),
+            expr(s"$target div cnt") +
+              when(col("rk") <= lit(target) % col("cnt"), 1L).otherwise(0L)))
+            .as("epoch"))
+        .orderBy("source", "doc_id", "epoch")
+    },
+    Some("""WITH per AS (SELECT source, count(*) AS cnt
+                         FROM documents GROUP BY source),
+                 h AS (SELECT doc_id, source,
+                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          AS hv
+                       FROM documents),
+                 r AS (SELECT h.source, h.doc_id, per.cnt,
+                              row_number() OVER (PARTITION BY h.source
+                                                 ORDER BY hv, doc_id) AS rk
+                       FROM h JOIN per USING (source))
+            SELECT source, doc_id,
+                   unnest(range(1, CAST(40 // cnt
+                     + CASE WHEN rk <= 40 % cnt THEN 1 ELSE 0 END
+                     + 1 AS BIGINT))) AS epoch
+            FROM r
+            ORDER BY source, doc_id, epoch"""))
+
+  val all: Seq[Q] =
+    Seq(unigramLp, matryoshka, a24, mixTemp, distDrift, upsample)
 }
