@@ -109,6 +109,28 @@ class R3eOpsSpec extends SparkSpec {
     }
   }
 
+  test("eval_minhash_err: estimator bounded, error is |est - exact|") {
+    val rows = run("eval_minhash_err")
+      .select("jacc_micro", "est_micro", "err_micro")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (j, e, err) =>
+      assert(j >= 0L && j <= 1000000L)
+      assert(e >= 0L && e <= 1000000L && e % 62500 === 0L)
+      assert(err === math.abs(e - j))
+    }
+  }
+
+  test("dq_rules_report: pk_unique catches the fixture defect, rest pass") {
+    val rows = run("dq_rules_report")
+      .select("rule", "violations", "pass").as[(String, Long, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows.size === 8)
+    rows.foreach { case (_, (v, p)) => assert(p === (v === 0L)) }
+    assert(!rows("pk_unique")._2) // duplicate (orderkey, linenumber) pairs
+    assert(rows("fk_orders_orphans")._2 && rows("quantity_range")._2)
+  }
+
   test("sim_ann_recall: hits in [0,5], recall_pct = 20*hits, 10 queries") {
     val rows = run("sim_ann_recall")
       .select("q_id", "hits", "recall_pct").as[(Long, Long, Long)].collect()
