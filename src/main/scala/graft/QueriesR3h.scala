@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+import graft.engine.Engine
+
+/** Round-3 batch 8: event-stream marketing attribution (first/last/
+  * linear credit models over the touch→conversion mapping) and a
+  * k-anonymity privacy audit with a real generalization step.
+  */
+object QueriesR3h {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  // ---------------- w16_attribution: multi-model conversion credit
+
+  private val attribution = Q(
+    "w16_attribution",
+    "Marketing attribution over the event stream: every click/view is " +
+      "mapped to the NEXT purchase by the same user within 7 days via a " +
+      "forward-looking min(struct) carry — the as-of-forward shape, ONE " +
+      "user_id shuffle, never a touch×conversion pair join — then three " +
+      "credit models are settled per channel: first-touch and last-touch " +
+      "(min/max struct per conversion), and linear (conversion cents " +
+      "integer-divided across its n touches — deterministic floor, no " +
+      "float fan-out). All money stays integer cents end to end, so " +
+      "per-channel sums are accumulation-order-proof at any scale.",
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ep"),
+          round(col("value") * 100, 0).cast(LongType).as("cents"))
+      val wNext = Window.partitionBy("user_id")
+        .orderBy(col("ep"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val touches = ev
+        .withColumn("conv",
+          min(when(col("event_type") === "purchase",
+            struct(col("ep").as("cep"), col("event_id").as("cid"),
+              col("cents").as("ccents")))).over(wNext))
+        .filter(col("event_type") =!= "purchase" && col("conv").isNotNull &&
+          col("conv.cep") - col("ep") <= 604800000000L)
+        .select(col("event_type").as("channel"), col("ep"), col("event_id"),
+          col("conv.cid").as("conv_id"), col("conv.ccents").as("conv_cents"))
+      val perConv = touches.groupBy("conv_id").agg(
+        count(lit(1)).as("n"),
+        min(struct(col("ep"), col("event_id"), col("channel"))).as("fi"),
+        max(struct(col("ep"), col("event_id"), col("channel"))).as("la"),
+        min("conv_cents").as("cents"))
+      val firstC = perConv.groupBy(col("fi.channel").as("channel"))
+        .agg(sum("cents").as("first_cents"))
+      val lastC = perConv.groupBy(col("la.channel").as("channel"))
+        .agg(sum("cents").as("last_cents"))
+      val linC = touches
+        .join(perConv.select("conv_id", "n", "cents"), "conv_id")
+        .select(col("channel"), expr("cents div n").as("lc"))
+        .groupBy("channel").agg(sum("lc").as("linear_cents"))
+      touches.groupBy("channel").agg(count(lit(1)).as("touches"))
+        .join(firstC, Seq("channel"), "left")
+        .join(lastC, Seq("channel"), "left")
+        .join(linC, Seq("channel"), "left")
+        .na.fill(0L, Seq("first_cents", "last_cents", "linear_cents"))
+        .orderBy("channel")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS ep,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events
+              WHERE event_type IN ('click', 'view', 'purchase')),
+            wc AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase' THEN
+                       struct_pack(cep := ep, cid := event_id,
+                                   ccents := cents) END)
+                     OVER (PARTITION BY user_id ORDER BY ep, event_id
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS conv
+              FROM ev),
+            touches AS (
+              SELECT event_type AS channel, ep, event_id,
+                     conv.cid AS conv_id, conv.ccents AS conv_cents
+              FROM wc
+              WHERE event_type <> 'purchase' AND conv IS NOT NULL
+                AND conv.cep - ep <= 604800000000),
+            perconv AS (
+              SELECT conv_id, count(*) AS n,
+                     min(struct_pack(ep := ep, id := event_id,
+                                     ch := channel)) AS fi,
+                     max(struct_pack(ep := ep, id := event_id,
+                                     ch := channel)) AS la,
+                     min(conv_cents) AS cents
+              FROM touches GROUP BY 1),
+            firstc AS (SELECT fi.ch AS channel,
+                              CAST(sum(cents) AS BIGINT) AS first_cents
+                       FROM perconv GROUP BY 1),
+            lastc AS (SELECT la.ch AS channel,
+                             CAST(sum(cents) AS BIGINT) AS last_cents
+                      FROM perconv GROUP BY 1),
+            linc AS (SELECT t.channel,
+                            CAST(sum(p.cents // p.n) AS BIGINT)
+                              AS linear_cents
+                     FROM touches t JOIN perconv p USING (conv_id)
+                     GROUP BY 1),
+            cnt AS (SELECT channel, count(*) AS touches
+                    FROM touches GROUP BY 1)
+            SELECT c.channel AS channel, touches,
+                   coalesce(first_cents, 0) AS first_cents,
+                   coalesce(last_cents, 0) AS last_cents,
+                   coalesce(linear_cents, 0) AS linear_cents
+            FROM cnt c
+            LEFT JOIN firstc USING (channel)
+            LEFT JOIN lastc USING (channel)
+            LEFT JOIN linc USING (channel)
+            ORDER BY channel"""))
+
+  // ---------------- dq_k_anonymity: privacy audit with generalization
+
+  private val kAnon = Q(
+    "dq_k_anonymity",
+    "k-anonymity audit (k=5) over the quasi-identifier (nation, market " +
+      "segment): every QI group smaller than k re-identifies its " +
+      "members, so undersized groups take ONE generalization step — the " +
+      "segment coarsens to '*' and the survivors regroup per nation — " +
+      "and the report shows both levels with an `anonymous` verdict per " +
+      "row (a nation can stay at-risk even fully generalized; the " +
+      "report says so rather than hiding it). Two groupBys over the QI " +
+      "key space — group counts, not rows, cross the second shuffle — " +
+      "the same ladder walks deeper hierarchies (city→region→country) " +
+      "at 100 TB unchanged.",
+    (s, d) => {
+      val k = 5L
+      val g = t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"))
+      val ok = g.filter(col("n") >= k)
+        .select(col("c_nationkey"), col("segment"), col("n"),
+          lit(0L).as("level"))
+      val gen = g.filter(col("n") < k)
+        .groupBy("c_nationkey")
+        .agg(sum("n").as("n"))
+        .select(col("c_nationkey"), lit("*").as("segment"), col("n"),
+          lit(1L).as("level"))
+      ok.unionByName(gen)
+        .select(col("c_nationkey"), col("segment"), col("n"), col("level"),
+          (col("n") >= k).as("anonymous"))
+        .orderBy("c_nationkey", "level", "segment")
+    },
+    Some("""WITH g AS (
+              SELECT c_nationkey, c_mktsegment AS segment,
+                     count(*) AS n
+              FROM customer GROUP BY 1, 2),
+            ok AS (SELECT c_nationkey, segment, n, CAST(0 AS BIGINT)
+                     AS level FROM g WHERE n >= 5),
+            gen AS (SELECT c_nationkey, '*' AS segment,
+                           CAST(sum(n) AS BIGINT) AS n,
+                           CAST(1 AS BIGINT) AS level
+                    FROM g WHERE n < 5 GROUP BY 1)
+            SELECT c_nationkey, segment, n, level, n >= 5 AS anonymous
+            FROM (SELECT * FROM ok UNION ALL SELECT * FROM gen)
+            ORDER BY c_nationkey, level, segment"""))
+
+  val all: Seq[Q] = Seq(attribution, kAnon)
+}
