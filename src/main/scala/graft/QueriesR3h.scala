@@ -163,5 +163,104 @@ object QueriesR3h {
             FROM (SELECT * FROM ok UNION ALL SELECT * FROM gen)
             ORDER BY c_nationkey, level, segment"""))
 
-  val all: Seq[Q] = Seq(attribution, kAnon)
+  // ---------------- text_textrank: graph-ranked keyword extraction
+
+  private val textrank = Q(
+    "text_textrank",
+    "TextRank keyword extraction (Mihalcea & Tarau 2004): adjacent-token " +
+      "co-occurrence builds an undirected word graph over stable " +
+      "md5-prefix token ids (map-side, no vocabulary window), and the " +
+      "shared integer-arithmetic PageRank operator ranks it — corpus-" +
+      "level keywords are the top-20 nodes. Composition of two existing " +
+      "scale paths: the edge list is one dedup shuffle, each of the 5 " +
+      "rounds two more, and ranks are exact integers so the oracle's " +
+      "unrolled-SQL replay hash-matches bit for bit. TakeOrdered " +
+      "(orderBy+limit) picks the top 20 without a global sort " +
+      "materialization.",
+    (s, d) => {
+      import graft.operators.{Dedup, Graph}
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val pairs = docs.select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      val fwd = pairs.select(Dedup.tokenId(col("a")).as("src"),
+        Dedup.tokenId(col("b")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val words = docs.select(explode(col("toks")).as("tok")).distinct()
+        .select(Dedup.tokenId(col("tok")).as("node"), col("tok"))
+        .groupBy("node").agg(min("tok").as("word"))
+      Graph.pageRankInt(edges, 5)
+        .join(words, "node")
+        .orderBy(desc("rank"), col("word"))
+        .limit(20)
+        .select("word", "rank")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                          FROM documents),
+            idx AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+                    FROM toks WHERE len(l) >= 2),
+            pr AS (SELECT l[i] AS a, l[i+1] AS b FROM idx
+                   WHERE l[i] <> l[i+1]),
+            fwd AS (SELECT ('0x' || substr(md5(a), 1, 8))::BIGINT AS src,
+                           ('0x' || substr(md5(b), 1, 8))::BIGINT AS dst
+                    FROM pr),
+            edges AS (SELECT src, dst FROM fwd UNION
+                      SELECT dst, src FROM fwd),
+            nodes AS (SELECT src AS node FROM edges UNION
+                      SELECT dst FROM edges),
+            outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            words AS (SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT
+                               AS node,
+                             min(tok) AS word
+                      FROM (SELECT DISTINCT unnest(string_split(text, ' '))
+                              AS tok
+                            FROM documents
+                            WHERE len(string_split(text, ' ')) >= 2)
+                      GROUP BY 1),
+            r0 AS (SELECT node, 1000000 AS rank FROM nodes),
+            r1 AS (SELECT n.node,
+                          150000 + (850 * coalesce(sum(r.rank // o.deg), 0)) // 1000 AS rank
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r0 r ON r.node = e.src
+                   LEFT JOIN outdeg o ON o.src = e.src
+                   GROUP BY n.node),
+            r2 AS (SELECT n.node,
+                          150000 + (850 * coalesce(sum(r.rank // o.deg), 0)) // 1000 AS rank
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r1 r ON r.node = e.src
+                   LEFT JOIN outdeg o ON o.src = e.src
+                   GROUP BY n.node),
+            r3 AS (SELECT n.node,
+                          150000 + (850 * coalesce(sum(r.rank // o.deg), 0)) // 1000 AS rank
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r2 r ON r.node = e.src
+                   LEFT JOIN outdeg o ON o.src = e.src
+                   GROUP BY n.node),
+            r4 AS (SELECT n.node,
+                          150000 + (850 * coalesce(sum(r.rank // o.deg), 0)) // 1000 AS rank
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r3 r ON r.node = e.src
+                   LEFT JOIN outdeg o ON o.src = e.src
+                   GROUP BY n.node),
+            r5 AS (SELECT n.node,
+                          150000 + (850 * coalesce(sum(r.rank // o.deg), 0)) // 1000 AS rank
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r4 r ON r.node = e.src
+                   LEFT JOIN outdeg o ON o.src = e.src
+                   GROUP BY n.node)
+            SELECT word, CAST(rank AS BIGINT) AS rank
+            FROM r5 JOIN words USING (node)
+            ORDER BY rank DESC, word LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(attribution, kAnon, textrank)
 }
