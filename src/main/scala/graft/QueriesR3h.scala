@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
@@ -8,8 +8,10 @@ import org.apache.spark.sql.types.LongType
 import graft.engine.Engine
 
 /** Round-3 batch 8: event-stream marketing attribution (first/last/
-  * linear credit models over the touch→conversion mapping) and a
-  * k-anonymity privacy audit with a real generalization step.
+  * linear credit models over the touch→conversion mapping), a
+  * k-anonymity privacy audit with a real generalization step, TextRank
+  * keywords over the word co-occurrence graph, and 16-bit PCM audio
+  * statistics parsed from raw WAV bytes.
   */
 object QueriesR3h {
 
@@ -262,5 +264,66 @@ object QueriesR3h {
             FROM r5 JOIN words USING (node)
             ORDER BY rank DESC, word LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(attribution, kAnon, textrank)
+  // ---------------- mm_pcm_stats: audio sample statistics from bytes
+
+  private val pcmStats = Q(
+    "mm_pcm_stats",
+    "Audio-column statistics computed from RAW BYTES, no UDF: each doc " +
+      "synthesizes a genuine 44-byte WAV/RIFF header plus 32 signed " +
+      "16-bit little-endian PCM samples, and the stats side reads ONLY " +
+      "the binary payload — per-sample bytes reassembled explicitly " +
+      "(low + 256·high, two's-complement above 0x7FFF), sample count " +
+      "derived from the byte length, sample rate from the fmt chunk. " +
+      "DC sum, peak, and energy are exact BIGINTs. The oracle computes " +
+      "the same stats straight from the synthesis formula, so the " +
+      "graded check is that build→parse round-trips the PCM layout " +
+      "exactly — the contract a real decode kernel (FFI) would drop " +
+      "into. Map-only at any scale.",
+    (s, d) => {
+      import graft.operators.Multimodal
+      def hexLe2(v: Column) = concat(
+        lpad(hex(v % 256), 2, "0"),
+        lpad(hex(shiftright(v, 8) % 256), 2, "0"))
+      val sr = (lit(8000) + (col("doc_id") % 5) * 8820).cast("int")
+      def u(i: Int): Column = (col("doc_id") * 31 + lit(i * i * 7)) % 65536
+      val media = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(Multimodal.wavHeaderBytes(sr),
+            unhex(concat((0 until 32).map(i => hexLe2(u(i))): _*)))
+            .as("payload"))
+      def byteAt(off: Int): Column =
+        conv(hex(substring(col("payload"), off, 1)), 16, 10).cast(LongType)
+      val samples = (0 until 32).map { i =>
+        val uu = byteAt(45 + 2 * i) + byteAt(46 + 2 * i) * 256
+        when(uu >= 32768, uu - 65536).otherwise(uu)
+      }
+      media.select(col("doc_id"),
+        Multimodal.wavSampleRate(col("payload")).as("sample_rate"),
+        ((octet_length(col("payload")) - 44) / 2).cast(LongType)
+          .as("n_samples"),
+        samples.reduce(_ + _).as("dc_sum"),
+        greatest(samples.map(abs): _*).as("peak"),
+        samples.map(x => x * x).reduce(_ + _).as("energy"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH s AS (SELECT doc_id,
+                              8000 + (doc_id % 5) * 8820 AS sr
+                       FROM documents),
+            samp AS (SELECT doc_id,
+                            (doc_id * 31 + i*i*7) % 65536 AS u
+                     FROM s CROSS JOIN
+                       (SELECT unnest(range(0, 32)) AS i)),
+            sgn AS (SELECT doc_id,
+                           CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
+                             AS v
+                    FROM samp)
+            SELECT s.doc_id AS doc_id, CAST(sr AS INT) AS sample_rate,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum(v) AS BIGINT) AS dc_sum,
+                   CAST(max(abs(v)) AS BIGINT) AS peak,
+                   CAST(sum(v * v) AS BIGINT) AS energy
+            FROM sgn JOIN s USING (doc_id)
+            GROUP BY s.doc_id, sr ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(attribution, kAnon, textrank, pcmStats)
 }
