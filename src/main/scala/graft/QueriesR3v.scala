@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.engine.Engine
+
+/** Round-3 batch 22: pairwise Welch t-tests, sparse TF-vector cosine via
+  * the inverted index (DIMSUM-style df cap), and RFM segmentation with
+  * broadcast percentile breakpoints.
+  */
+object QueriesR3v {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  // ------------- stat_welch_ttest: all-pairs Welch's unequal-variance t
+
+  private val welch = Q(
+    "stat_welch_ttest",
+    "Welch's unequal-variance t-test between every pair of event types " +
+      "on the value metric — the A/B readout that doesn't assume equal " +
+      "variances. One shuffle computes n/mean/var per type (5 rows); " +
+      "the pair matrix is a broadcast self-join of that tiny aggregate, " +
+      "so the fact table is scanned exactly once no matter how many " +
+      "groups are compared. t and the Welch-Satterthwaite df rounded " +
+      "to 4 (variance accumulation order differs across engines).",
+    (s, d) => {
+      val g = t(s, d, "events").groupBy("event_type")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          avg("value").as("m"), var_samp("value").as("v"))
+      val a = g.select(col("event_type").as("type_a"), col("n").as("na"),
+        col("m").as("ma"), col("v").as("va"))
+      val b = g.select(col("event_type").as("type_b"), col("n").as("nb"),
+        col("m").as("mb"), col("v").as("vb"))
+      val se2 = col("va") / col("na") + col("vb") / col("nb")
+      a.crossJoin(broadcast(b))
+        .filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+          round((col("ma") - col("mb")) / sqrt(se2), 4).as("t_stat"),
+          round(se2 * se2 /
+            (pow(col("va") / col("na"), 2) / (col("na") - 1) +
+             pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 4).as("df"))
+        .orderBy("type_a", "type_b")
+    },
+    Some("""WITH g AS (SELECT event_type,
+                              CAST(count(*) AS BIGINT) AS n,
+                              avg(value) AS m, var_samp(value) AS v
+                       FROM events GROUP BY 1)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.n AS na, b.n AS nb,
+                   round((a.m - b.m) /
+                         sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+                   round(pow(a.v / a.n + b.v / b.n, 2) /
+                         (pow(a.v / a.n, 2) / (a.n - 1) +
+                          pow(b.v / b.n, 2) / (b.n - 1)), 4) AS df
+            FROM g a CROSS JOIN g b
+            WHERE a.event_type < b.event_type
+            ORDER BY type_a, type_b"""))
+
+  // ------------- sim_sparse_cosine: TF-vector cosine via inverted index
+
+  private val sparseCosine = Q(
+    "sim_sparse_cosine",
+    "Document-pair cosine over sparse TF vectors WITHOUT embeddings: " +
+      "postings (doc, token, tf) self-join on the token, integer dot " +
+      "products accumulate per pair, and norms join in at the end — " +
+      "the inverted-index shape of DIMSUM. The scale guard is the df " +
+      "cap: tokens appearing in more than 50 docs are dropped before " +
+      "the self-join (a stopword posting is quadratic and contributes " +
+      "near-zero discrimination), bounding per-token pair fan-out at " +
+      "df^2; at 100 TB the same cap plus DIMSUM's probabilistic " +
+      "posting sampling keeps the join linear-ish. Dot stays BIGINT-" +
+      "exact; only the final cosine rounds.",
+    (s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val norm = tf.groupBy("doc_id")
+        .agg(sqrt(sum(col("tf") * col("tf"))).as("nrm"))
+      val kept = tf.withColumn("df",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("tok")))
+        .filter(col("df") <= 50)
+      val pairs = kept.select(col("doc_id").as("doc_a"), col("tok"),
+          col("tf").as("tf_a"))
+        .join(kept.select(col("doc_id").as("doc_b"), col("tok"),
+          col("tf").as("tf_b")), Seq("tok"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(col("tf_a") * col("tf_b")).cast(LongType).as("dot"))
+      pairs
+        .join(norm.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
+          "doc_a")
+        .join(norm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("dot"),
+          round(col("dot") / (col("na") * col("nb")), 6).as("cos"))
+        .orderBy(desc("cos"), col("doc_a"), col("doc_b")).limit(20)
+    },
+    Some("""WITH tf AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+            tfc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                    FROM tf GROUP BY 1, 2),
+            nrm AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS BIGINT))
+                      AS nrm
+                    FROM tfc GROUP BY 1),
+            kept AS (SELECT * FROM (
+                       SELECT *, CAST(count(*) OVER (PARTITION BY tok)
+                                   AS BIGINT) AS df
+                       FROM tfc)
+                     WHERE df <= 50),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+              FROM kept a JOIN kept b USING (tok)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, dot,
+                   round(dot / (na.nrm * nb.nrm), 6) AS cos
+            FROM pairs
+            JOIN nrm na ON na.doc_id = doc_a
+            JOIN nrm nb ON nb.doc_id = doc_b
+            ORDER BY cos DESC, doc_a, doc_b LIMIT 20"""))
+
+  // ------------- w23_rfm: RFM segmentation, breakpoints broadcast
+
+  private val rfm = Q(
+    "w23_rfm",
+    "RFM customer segmentation: recency (days since the customer's last " +
+      "order, vs the corpus max date), frequency (order count) and " +
+      "monetary (lifetime cents, BIGINT-exact) quartile-scored via " +
+      "percentile breakpoints computed ONCE as a 9-value aggregate and " +
+      "broadcast back — no global ntile (a single-partition window at " +
+      "scale); scoring is a map-side CASE against the broadcast " +
+      "boundaries. At 100 TB the exact percentile becomes " +
+      "approx_percentile (t-digest) with the same downstream shape. " +
+      "Output: the 4x4x4 segment grid with customer counts and total " +
+      "cents, recency scored so LOWER days = better (4).",
+    (s, d) => {
+      val maxD = t(s, d, "orders").agg(max(to_date(col("o_orderdate")))
+        .as("mx"))
+      val cust = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).cast(LongType).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast(LongType))
+            .cast(LongType).as("cents"))
+        .crossJoin(broadcast(maxD))
+        .select(col("o_custkey"),
+          datediff(col("mx"), col("last_d")).cast(LongType).as("rec"),
+          col("freq"), col("cents"))
+      val bp = cust.agg(
+        expr("percentile(rec, array(0.25, 0.5, 0.75))").as("rb"),
+        expr("percentile(freq, array(0.25, 0.5, 0.75))").as("fb"),
+        expr("percentile(cents, array(0.25, 0.5, 0.75))").as("mb"))
+      def score(c: org.apache.spark.sql.Column, b: String) =
+        lit(1L) + (c > element_at(col(b), 1)).cast(LongType) +
+          (c > element_at(col(b), 2)).cast(LongType) +
+          (c > element_at(col(b), 3)).cast(LongType)
+      cust.crossJoin(broadcast(bp))
+        .select(col("o_custkey"), col("cents"),
+          (lit(5L) - score(col("rec"), "rb")).as("r_score"),
+          score(col("freq"), "fb").as("f_score"),
+          score(col("cents"), "mb").as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).cast(LongType).as("total_cents"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+    Some("""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx
+                        FROM orders),
+            cust AS (
+              SELECT o_custkey,
+                     CAST(date_diff('day',
+                       max(CAST(o_orderdate AS DATE)),
+                       (SELECT mx FROM mx)) AS BIGINT) AS rec,
+                     CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            bp AS (SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS rb,
+                          quantile_cont(freq, [0.25, 0.5, 0.75]) AS fb,
+                          quantile_cont(cents, [0.25, 0.5, 0.75]) AS mb
+                   FROM cust),
+            scored AS (
+              SELECT o_custkey, cents,
+                     5 - (1 + CAST(rec > rb[1] AS BIGINT)
+                            + CAST(rec > rb[2] AS BIGINT)
+                            + CAST(rec > rb[3] AS BIGINT)) AS r_score,
+                     1 + CAST(freq > fb[1] AS BIGINT)
+                       + CAST(freq > fb[2] AS BIGINT)
+                       + CAST(freq > fb[3] AS BIGINT) AS f_score,
+                     1 + CAST(cents > mb[1] AS BIGINT)
+                       + CAST(cents > mb[2] AS BIGINT)
+                       + CAST(cents > mb[3] AS BIGINT) AS m_score
+              FROM cust, bp)
+            SELECT r_score, f_score, m_score,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  val all: Seq[Q] = Seq(welch, sparseCosine, rfm)
+}
