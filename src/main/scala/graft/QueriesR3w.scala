@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.engine.Engine
+import graft.operators.Graph
+
+/** Round-3 batch 23: schema-wide referential-integrity audit, cohortized
+  * time-to-convert quantiles, and bounded-round 3-core graph peeling.
+  */
+object QueriesR3w {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  // ------------- dq_ref_integrity: the whole star schema's FK audit
+
+  private val refIntegrity = Q(
+    "dq_ref_integrity",
+    "Schema-wide referential-integrity audit — every FK edge of the star " +
+      "schema in one report: per relationship, child rows, distinct " +
+      "child keys, orphan rows (child key missing from the parent) and " +
+      "unreferenced parents (parent row no child ever points at). Each " +
+      "relationship aggregates the child to its DISTINCT keys first " +
+      "(one key shuffle over pre-shrunk data), then one anti-join each " +
+      "way; the 7 per-edge reports are single rows unioned at the end, " +
+      "so cost scales with the tables, never the report. The fixture " +
+      "audits non-trivially: 257 orders carry no lineitems and 1350 " +
+      "customers never appear in events — coverage gaps a naive " +
+      "orphans-only check would miss.",
+    (s, d) => {
+      def rel(relName: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame = {
+        val ckeys = child.groupBy(col(ck).as("k"))
+          .agg(count(lit(1)).as("rows_per_key"))
+        val pkeys = parent.select(col(pk).as("k")).distinct()
+        val orphans = ckeys.join(pkeys, Seq("k"), "left_anti")
+          .agg(coalesce(sum("rows_per_key"), lit(0L)).cast(LongType)
+            .as("orphan_rows"))
+        val unref = pkeys.join(ckeys, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("unref_parents"))
+        val totals = ckeys.agg(
+          sum("rows_per_key").cast(LongType).as("child_rows"),
+          count(lit(1)).as("child_keys"))
+        totals.crossJoin(orphans).crossJoin(unref)
+          .select(lit(relName).as("rel"), col("child_rows"),
+            col("child_keys"), col("orphan_rows"), col("unref_parents"))
+      }
+      val li = t(s, d, "lineitem"); val od = t(s, d, "orders")
+      val cu = t(s, d, "customer")
+      rel("customer.c_nationkey->nation", cu, "c_nationkey",
+          t(s, d, "nation"), "n_nationkey")
+        .unionAll(rel("events.user_id->customer", t(s, d, "events"),
+          "user_id", cu, "c_custkey"))
+        .unionAll(rel("lineitem.l_orderkey->orders", li, "l_orderkey",
+          od, "o_orderkey"))
+        .unionAll(rel("lineitem.l_partkey->part", li, "l_partkey",
+          t(s, d, "part"), "p_partkey"))
+        .unionAll(rel("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          t(s, d, "supplier"), "s_suppkey"))
+        .unionAll(rel("nation.n_regionkey->region", t(s, d, "nation"),
+          "n_regionkey", t(s, d, "region"), "r_regionkey"))
+        .unionAll(rel("orders.o_custkey->customer", od, "o_custkey",
+          cu, "c_custkey"))
+        .orderBy("rel")
+    },
+    Some {
+      def rel(relName: String, child: String, ck: String,
+              parent: String, pk: String): String =
+        s"""SELECT '$relName' AS rel,
+               (SELECT CAST(count(*) AS BIGINT) FROM $child) AS child_rows,
+               (SELECT CAST(count(DISTINCT $ck) AS BIGINT) FROM $child)
+                 AS child_keys,
+               (SELECT CAST(count(*) AS BIGINT) FROM $child
+                WHERE $ck NOT IN (SELECT $pk FROM $parent)) AS orphan_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM $parent
+                WHERE $pk NOT IN (SELECT $ck FROM $child))
+                 AS unref_parents"""
+      Seq(
+        rel("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        rel("events.user_id->customer", "events", "user_id",
+          "customer", "c_custkey"),
+        rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        rel("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        rel("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        rel("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"))
+        .mkString("", " UNION ALL ", " ORDER BY rel")
+    })
+
+  // ------------- seq_time_to_convert: cohortized conversion latency
+
+  private val timeToConvert = Q(
+    "seq_time_to_convert",
+    "Signup→purchase conversion latency by weekly signup cohort: each " +
+      "user's FIRST signup, their first purchase strictly after it, and " +
+      "per cohort the conversion count plus median/p90 hours-to-convert " +
+      "(exact percentile; approx_percentile is the drop-in at 100 TB). " +
+      "Two conditional min-aggregates in ONE user-keyed pass (no self-" +
+      "join: min(ts) FILTER signup, then min(purchase ts past it) via " +
+      "a second keyed agg), then a tiny cohort rollup. Latency seconds " +
+      "stay integer until the final /3600 rounding.",
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("sec").as("s_sec"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(col("sec") > col("s_sec"))
+        .groupBy("user_id").agg(min(col("sec") - col("s_sec")).as("lat"))
+      su.join(conv, Seq("user_id"), "left")
+        .select(
+          date_format(date_trunc("week",
+            to_timestamp(col("s_sec"))), "yyyy-MM-dd").as("cohort_week"),
+          col("lat"))
+        .groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_signups"),
+          count(col("lat")).as("n_converted"),
+          round(expr("percentile(lat / 3600.0, 0.5)"), 4).as("med_hours"),
+          round(expr("percentile(lat / 3600.0, 0.9)"), 4).as("p90_hours"))
+        .orderBy("cohort_week")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type,
+                               epoch_us(ts) // 1000000 AS sec, ts
+                        FROM events),
+            su AS (SELECT user_id, min(sec) AS s_sec, min(ts) AS s_ts
+                   FROM ev WHERE event_type = 'signup' GROUP BY 1),
+            conv AS (SELECT e.user_id,
+                            min(e.sec - su.s_sec) AS lat
+                     FROM ev e JOIN su USING (user_id)
+                     WHERE e.event_type = 'purchase' AND e.sec > su.s_sec
+                     GROUP BY 1)
+            SELECT strftime(date_trunc('week', su.s_ts), '%Y-%m-%d')
+                     AS cohort_week,
+                   CAST(count(*) AS BIGINT) AS n_signups,
+                   CAST(count(conv.lat) AS BIGINT) AS n_converted,
+                   round(quantile_cont(conv.lat / 3600.0, 0.5), 4)
+                     AS med_hours,
+                   round(quantile_cont(conv.lat / 3600.0, 0.9), 4)
+                     AS p90_hours
+            FROM su LEFT JOIN conv USING (user_id)
+            GROUP BY 1 ORDER BY 1"""))
+
+  // ------------- g6_kcore: bounded-round 3-core peeling
+
+  private val kcore = Q(
+    "g6_kcore",
+    "3-core of the co-purchase backbone by iterative peeling: drop " +
+      "every node with degree < 3, recompute degrees over the survivors, " +
+      "repeat — the standard k-core algorithm, run for a FIXED 6 rounds " +
+      "so the oracle stays expressible (same bounded-round contract as " +
+      "g1's pagerank iterations; the peel is monotone, so extra rounds " +
+      "past the fixpoint are no-ops and the answer IS the true 3-core " +
+      "once converged). Each round is one degree aggregation + one semi-" +
+      "join filter of the localCheckpoint'ed edge list — never a pair " +
+      "blowup; the backbone cap (g3's top-2000 edges) bounds every " +
+      "round's work at any corpus size.",
+    (s, d) => {
+      val e0 = Graph
+        .coPurchasePairs(t(s, d, "orders"), t(s, d, "lineitem"), 20)
+        .orderBy(col("n_shared").desc, col("a"), col("b"))
+        .limit(2000)
+        .select("a", "b")
+        .localCheckpoint(true)
+      var edges = e0
+      def undirected(e: DataFrame): DataFrame =
+        e.select(col("a").as("v"), col("b").as("w"))
+          .unionAll(e.select(col("b").as("v"), col("a").as("w")))
+      var round = 0
+      while (round < 6) {
+        val alive = undirected(edges).groupBy("v")
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 3)
+          .select("v")
+        edges = edges
+          .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          .select("a", "b")
+          .localCheckpoint(true)
+        round += 1
+      }
+      undirected(edges).groupBy(col("v").as("node"))
+        .agg(count(lit(1)).as("core_deg"))
+        .orderBy("node")
+    },
+    Some {
+      // every CTE that later stages reference more than once is
+      // MATERIALIZED — DuckDB inlines plain CTEs, and 6 peel rounds
+      // each referencing the previous 3× would expand the backbone
+      // scan 3^6 times (observed: file-handle exhaustion, not just
+      // slowness)
+      val backbone =
+        """WITH ed AS MATERIALIZED (
+                SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            cap AS (SELECT c, list_sort(list(DISTINCT s))[1:20] AS ss
+                    FROM ed GROUP BY c),
+            pr AS (SELECT unnest(flatten(list_transform(range(1, len(ss)),
+                     i -> list_transform(range(i + 1, len(ss) + 1),
+                       j -> {'a': ss[i], 'b': ss[j]})))) AS p
+                   FROM cap WHERE len(ss) >= 2),
+            e0 AS MATERIALIZED (
+                SELECT a, b FROM (SELECT p.a AS a, p.b AS b,
+                                         count(*) AS n
+                                  FROM pr GROUP BY p.a, p.b
+                                  ORDER BY n DESC, a, b LIMIT 2000))"""
+      val rounds = (1 to 6).map { r =>
+        val prev = s"e${r - 1}"
+        s"""al$r AS MATERIALIZED (SELECT v FROM (
+                SELECT v, count(*) AS deg FROM (
+                  SELECT a AS v FROM $prev
+                  UNION ALL SELECT b AS v FROM $prev) GROUP BY v)
+              WHERE deg >= 3),
+            e$r AS MATERIALIZED (SELECT a, b FROM $prev
+                    WHERE a IN (SELECT v FROM al$r)
+                      AND b IN (SELECT v FROM al$r))"""
+      }.mkString(",\n", ",\n", "")
+      backbone + rounds +
+        """
+            SELECT v AS node, CAST(count(*) AS BIGINT) AS core_deg
+            FROM (SELECT a AS v FROM e6 UNION ALL SELECT b AS v FROM e6)
+            GROUP BY v ORDER BY node"""
+    })
+
+  val all: Seq[Q] = Seq(refIntegrity, timeToConvert, kcore)
+}
