@@ -192,4 +192,53 @@ object Graph {
       } finally nodes.unpersist(blocking = false)
     } finally edges.unpersist(blocking = false)
   }
+  /** HITS hubs & authorities (Kleinberg) over a DIRECTED bipartite edge
+    * list, in INTEGER arithmetic with per-round max-normalization so
+    * every round is bit-exact across engines and partition orders (the
+    * same determinism contract as [[pageRankInt]] — float HITS
+    * normalizes by an L2 norm whose accumulation order can't be
+    * hash-graded). Round r: raw_auth = Σ hub over in-edges, then
+    * auth = raw·Scale div max(raw); hubs update from the NORMALIZED
+    * auths symmetrically. The max is a 1-row aggregate broadcast back —
+    * never a driver scalar. Two keyed shuffles per half-round; rounds
+    * localCheckpoint'ed and freed like pageRankInt.
+    */
+  def hitsInt(edgesIn: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"hitsInt needs rounds >= 1, got $rounds")
+    import Iterate.checkpointRdd
+    val edges = edgesIn.toDF("src", "dst").distinct().cache()
+    try {
+      var hubs = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(Scale).as("score"))
+        .localCheckpoint(true)
+      var auths: DataFrame = null
+      var cps: List[DataFrame] = List(hubs)
+      for (_ <- 1 to rounds) {
+        val rawA = edges
+          .join(hubs.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum("score").as("raw"))
+        val maxA = rawA.agg(max("raw").as("mx"))
+        val a = rawA.crossJoin(broadcast(maxA))
+          .select(col("node"), expr(s"(raw * $Scale) div mx").as("score"))
+          .localCheckpoint(true)
+        val rawH = edges
+          .join(a.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(sum("score").as("raw"))
+        val maxH = rawH.agg(max("raw").as("mx"))
+        val h = rawH.crossJoin(broadcast(maxH))
+          .select(col("node"), expr(s"(raw * $Scale) div mx").as("score"))
+          .localCheckpoint(true)
+        cps.foreach(c => checkpointRdd(c).foreach(_.unpersist(blocking = false)))
+        cps = List(a, h)
+        auths = a
+        hubs = h
+      }
+      hubs.select(lit("hub").as("side"), col("node"), col("score"))
+        .unionByName(auths.select(lit("authority").as("side"), col("node"),
+          col("score")))
+    } finally edges.unpersist(blocking = false)
+  }
+
 }
