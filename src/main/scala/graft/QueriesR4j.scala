@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+import graft.engine.Engine
+import graft.operators.Similarity
+
+/** Round-3 batch 36: PSI drift between time periods, tie-aware Spearman
+  * rank correlation, and one distributed power-iteration step on the
+  * embedding Gram matrix.
+  */
+object QueriesR4j {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  // ------------- stat_psi_drift: population stability index
+
+  private val psiDrift = Q(
+    "stat_psi_drift",
+    "Population Stability Index between the pre-1998 baseline and the " +
+      "post-1998 current period of order prices — the model-monitoring " +
+      "drift gate every scoring pipeline runs before trusting a " +
+      "feature: fixed-width 25k bins (cross-engine exact, no " +
+      "percentile-interpolation drift), Laplace-smoothed shares " +
+      "(+0.5 per observed bin, so empty-on-one-side bins stay " +
+      "finite and deterministic), per-bin contribution " +
+      "(p_cur − p_base)·ln(p_cur/p_base), and the headline PSI as a " +
+      "broadcast scalar join-back. One groupBy on the bin (bounded " +
+      "key space) — the whole audit is a single shuffle of bin " +
+      "counts at any scale.",
+    (s, d) => {
+      val binned = t(s, d, "orders")
+        .select(floor(col("o_totalprice") / 25000.0).cast(LongType)
+          .as("bin"),
+          (to_date(col("o_orderdate")) < lit("1998-01-01")).as("is_base"))
+      val grp = binned.groupBy("bin")
+        .agg(sum(col("is_base").cast(LongType)).cast(LongType).as("n_base"),
+          sum((!col("is_base")).cast(LongType)).cast(LongType).as("n_cur"))
+      val tot = grp.agg(sum("n_base").cast(LongType).as("nb_tot"),
+        sum("n_cur").cast(LongType).as("nc_tot"),
+        count(lit(1)).as("k"))
+      val pb = (col("n_base").cast("double") + 0.5) /
+        (col("nb_tot").cast("double") + col("k").cast("double") * 0.5)
+      val pc = (col("n_cur").cast("double") + 0.5) /
+        (col("nc_tot").cast("double") + col("k").cast("double") * 0.5)
+      val contrib = grp.crossJoin(broadcast(tot))
+        .withColumn("p_base", round(pb, 6))
+        .withColumn("p_cur", round(pc, 6))
+        .withColumn("psi_contrib", round((pc - pb) * log(pc / pb), 6))
+      val total = contrib.agg(round(sum((pc - pb) * log(pc / pb)), 6)
+        .as("psi_total"))
+      contrib.crossJoin(broadcast(total))
+        .select("bin", "n_base", "n_cur", "p_base", "p_cur",
+          "psi_contrib", "psi_total")
+        .orderBy("bin")
+    },
+    Some("""WITH binned AS (
+              SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+                     CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                       AS is_base
+              FROM orders),
+            grp AS (
+              SELECT bin,
+                     CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_base,
+                     CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END)
+                       AS BIGINT) AS n_cur
+              FROM binned GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(n_base) AS BIGINT) AS nb_tot,
+                     CAST(sum(n_cur) AS BIGINT) AS nc_tot,
+                     CAST(count(*) AS BIGINT) AS k
+              FROM grp),
+            c AS (
+              SELECT bin, n_base, n_cur,
+                     (CAST(n_base AS DOUBLE) + 0.5) /
+                       (CAST(nb_tot AS DOUBLE) + 0.5 * k) AS pbx,
+                     (CAST(n_cur AS DOUBLE) + 0.5) /
+                       (CAST(nc_tot AS DOUBLE) + 0.5 * k) AS pcx
+              FROM grp, tot),
+            ttl AS (
+              SELECT round(sum((pcx - pbx) * ln(pcx / pbx)), 6)
+                AS psi_total FROM c)
+            SELECT bin, n_base, n_cur,
+                   round(pbx, 6) AS p_base, round(pcx, 6) AS p_cur,
+                   round((pcx - pbx) * ln(pcx / pbx), 6) AS psi_contrib,
+                   psi_total
+            FROM c, ttl ORDER BY bin"""))
+
+  // ------------- stat_spearman: tie-aware rank correlation
+
+  private val spearman = Q(
+    "stat_spearman",
+    "Spearman rank correlation between quantity and extended price per " +
+      "return flag, with FULL tie handling: average ranks carried in " +
+      "doubled integer units (2·rank + tie_count − 1) so every rank " +
+      "sum, square sum, and cross sum is an exact BIGINT — the only " +
+      "floating-point work is the final Pearson combination over six " +
+      "scalars (doubles are affine-invariant, so doubled ranks leave " +
+      "rho untouched). A t-statistic comes along for free. Ranks are " +
+      "per-flag windows — one hash shuffle on the group key; at 100 TB " +
+      "you'd pre-bin values, identical plan shape.",
+    (s, d) => {
+      val base = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      def dr(c: String): org.apache.spark.sql.Column =
+        (lit(2L) * rank().over(Window.partitionBy("flag").orderBy(c)) +
+          count(lit(1)).over(Window.partitionBy("flag", c)) - 1L)
+          .cast(LongType)
+      val ranked = base
+        .withColumn("rx", dr("x"))
+        .withColumn("ry", dr("y"))
+      val agg = ranked.groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum("rx").cast(LongType).as("sx"),
+          sum("ry").cast(LongType).as("sy"),
+          sum(col("rx") * col("rx")).cast(LongType).as("sxx"),
+          sum(col("ry") * col("ry")).cast(LongType).as("syy"),
+          sum(col("rx") * col("ry")).cast(LongType).as("sxy"))
+      val nD = col("n").cast("double")
+      val num = nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val denX = nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val denY = nD * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      val rho = num / sqrt(denX * denY)
+      agg.select(col("flag"), col("n"),
+        round(rho, 6).as("rho"),
+        round(rho * sqrt((nD - 2.0) / (lit(1.0) - rho * rho)), 6).as("t_stat"))
+        .orderBy("flag")
+    },
+    Some("""WITH base AS (
+              SELECT l_returnflag AS flag, l_quantity AS x,
+                     l_extendedprice AS y
+              FROM lineitem),
+            ranked AS (
+              SELECT flag,
+                     CAST(2 * rank() OVER (PARTITION BY flag ORDER BY x)
+                          + count(*) OVER (PARTITION BY flag, x) - 1
+                       AS BIGINT) AS rx,
+                     CAST(2 * rank() OVER (PARTITION BY flag ORDER BY y)
+                          + count(*) OVER (PARTITION BY flag, y) - 1
+                       AS BIGINT) AS ry
+              FROM base),
+            agg AS (
+              SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(rx) AS BIGINT) AS sx,
+                     CAST(sum(ry) AS BIGINT) AS sy,
+                     CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                     CAST(sum(ry * ry) AS BIGINT) AS syy,
+                     CAST(sum(rx * ry) AS BIGINT) AS sxy
+              FROM ranked GROUP BY 1)
+            SELECT flag, n,
+                   round((CAST(n AS DOUBLE) * sxy -
+                          CAST(sx AS DOUBLE) * sy) /
+                     sqrt((CAST(n AS DOUBLE) * sxx -
+                           CAST(sx AS DOUBLE) * sx) *
+                          (CAST(n AS DOUBLE) * syy -
+                           CAST(sy AS DOUBLE) * sy)), 6) AS rho,
+                   round(((CAST(n AS DOUBLE) * sxy -
+                           CAST(sx AS DOUBLE) * sy) /
+                     sqrt((CAST(n AS DOUBLE) * sxx -
+                           CAST(sx AS DOUBLE) * sx) *
+                          (CAST(n AS DOUBLE) * syy -
+                           CAST(sy AS DOUBLE) * sy))) *
+                     sqrt((CAST(n AS DOUBLE) - 2.0) /
+                       (1.0 - ((CAST(n AS DOUBLE) * sxy -
+                                CAST(sx AS DOUBLE) * sy) /
+                         sqrt((CAST(n AS DOUBLE) * sxx -
+                               CAST(sx AS DOUBLE) * sx) *
+                              (CAST(n AS DOUBLE) * syy -
+                               CAST(sy AS DOUBLE) * sy))) *
+                              ((CAST(n AS DOUBLE) * sxy -
+                                CAST(sx AS DOUBLE) * sy) /
+                         sqrt((CAST(n AS DOUBLE) * sxx -
+                               CAST(sx AS DOUBLE) * sx) *
+                              (CAST(n AS DOUBLE) * syy -
+                               CAST(sy AS DOUBLE) * sy))))), 6)
+                     AS t_stat
+            FROM agg ORDER BY flag"""))
+
+  // ------------- ml_pca_power: one power-iteration step on XᵀX
+
+  private val pcaPower = Q(
+    "ml_pca_power",
+    "One distributed power-iteration step toward the top principal " +
+      "direction of the embedding corpus: w = Xᵀ(X·v₀) with the fixed " +
+      "deterministic start v₀ = 1/√d — the matrix-free PCA kernel " +
+      "(Halko et al.): never materialize the d×d Gram, just one " +
+      "map-side dot per row then a posexplode + groupBy on the " +
+      "dimension index (d groups — bounded shuffle at any corpus " +
+      "size). Outputs the unit-normalized iterate and the Rayleigh " +
+      "quotient λ₀ = Σ(x·v₀)² as the eigenvalue lower bound; the " +
+      "norm and λ₀ are broadcast scalar join-backs.",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          Similarity.toDoubleVec(col("embedding")).as("v"))
+        .withColumn("dot",
+          aggregate(col("v"), lit(0.0), (acc, x) => acc + x) / 8.0)
+      val lam = e.agg(sum(col("dot") * col("dot")).as("lambda0"))
+      val w = e
+        .select(col("dot"), posexplode(col("v")).as(Seq("j0", "x")))
+        .groupBy((col("j0") + 1).cast(LongType).as("dim"))
+        .agg(sum(col("x") * col("dot")).as("w_raw"))
+      val nrm = w.agg(sqrt(sum(col("w_raw") * col("w_raw"))).as("nrm"))
+      w.crossJoin(broadcast(nrm)).crossJoin(broadcast(lam))
+        .select(col("dim"), round(col("w_raw"), 6).as("w_raw"),
+          round(col("w_raw") / col("nrm"), 6).as("w_unit"),
+          round(col("lambda0"), 6).as("lambda0"))
+        .orderBy("dim")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            dt AS (
+              SELECT vec_id, v, list_sum(v) / 8.0 AS dot FROM e),
+            lam AS (SELECT sum(dot * dot) AS lambda0 FROM dt),
+            ex AS (
+              SELECT dot, unnest(v) AS x,
+                     unnest(range(1, len(v) + 1)) AS j
+              FROM dt),
+            w AS (
+              SELECT CAST(j AS BIGINT) AS dim, sum(x * dot) AS w_raw
+              FROM ex GROUP BY 1),
+            nr AS (SELECT sqrt(sum(w_raw * w_raw)) AS nrm FROM w)
+            SELECT dim, round(w_raw, 6) AS w_raw,
+                   round(w_raw / nrm, 6) AS w_unit,
+                   round(lambda0, 6) AS lambda0
+            FROM w, nr, lam ORDER BY dim"""))
+
+  val all: Seq[Q] = Seq(psiDrift, spearman, pcaPower)
+}
