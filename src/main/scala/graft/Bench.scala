@@ -20,6 +20,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // size-first AQE coalescing (see Engine.session); the 8m advisory is
+      // local[32]-at-sf0.1 tuning — sub-8m shuffles collapse to one task,
+      // cutting per-stage scheduling floor. On a cluster leave the 64m
+      // default: the same conf then yields normal production partitioning.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -24,8 +24,11 @@ object QueriesR3w {
       "child keys, orphan rows (child key missing from the parent) and " +
       "unreferenced parents (parent row no child ever points at). Each " +
       "relationship aggregates the child to its DISTINCT keys first " +
-      "(one key shuffle over pre-shrunk data), then one anti-join each " +
-      "way; the 7 per-edge reports are single rows unioned at the end, " +
+      "(one key shuffle over pre-shrunk data), then ONE full-outer join " +
+      "of child-key and parent-key sets feeds a single 1-row aggregate " +
+      "computing totals, orphans and unreferenced parents together — " +
+      "no anti-joins, no crossJoins, one pass per edge; the 7 per-edge " +
+      "reports are single rows unioned at the end, " +
       "so cost scales with the tables, never the report. The fixture " +
       "audits non-trivially: 257 orders carry no lineitems and 1350 " +
       "customers never appear in events — coverage gaps a naive " +
@@ -36,15 +39,19 @@ object QueriesR3w {
         val ckeys = child.groupBy(col(ck).as("k"))
           .agg(count(lit(1)).as("rows_per_key"))
         val pkeys = parent.select(col(pk).as("k")).distinct()
-        val orphans = ckeys.join(pkeys, Seq("k"), "left_anti")
-          .agg(coalesce(sum("rows_per_key"), lit(0L)).cast(LongType)
-            .as("orphan_rows"))
-        val unref = pkeys.join(ckeys, Seq("k"), "left_anti")
-          .agg(count(lit(1)).as("unref_parents"))
-        val totals = ckeys.agg(
-          sum("rows_per_key").cast(LongType).as("child_rows"),
-          count(lit(1)).as("child_keys"))
-        totals.crossJoin(orphans).crossJoin(unref)
+          .withColumn("in_parent", lit(1))
+        // both sides arrive partitioned on k, so the full-outer join adds
+        // no exchange; every report column falls out of one 1-row agg
+        ckeys.join(pkeys, Seq("k"), "full_outer")
+          .agg(
+            coalesce(sum("rows_per_key"), lit(0L)).cast(LongType)
+              .as("child_rows"),
+            count(col("rows_per_key")).as("child_keys"),
+            coalesce(sum(when(col("in_parent").isNull,
+              col("rows_per_key"))), lit(0L)).cast(LongType)
+              .as("orphan_rows"),
+            count(when(col("rows_per_key").isNull, lit(1)))
+              .as("unref_parents"))
           .select(lit(relName).as("rel"), col("child_rows"),
             col("child_keys"), col("orphan_rows"), col("unref_parents"))
       }
@@ -162,10 +169,15 @@ object QueriesR3w {
       "g1's pagerank iterations; the peel is monotone, so extra rounds " +
       "past the fixpoint are no-ops and the answer IS the true 3-core " +
       "once converged). Each round is one degree aggregation + one semi-" +
-      "join filter of the localCheckpoint'ed edge list — never a pair " +
-      "blowup; the backbone cap (g3's top-2000 edges) bounds every " +
-      "round's work at any corpus size.",
+      "join filter of the edge list — never a pair blowup; the backbone " +
+      "cap (g3's top-2000 edges) bounds every round's work at any corpus " +
+      "size. Checkpoint cadence: every SECOND round (a round references " +
+      "its predecessor 3×, so a 2-round lazy span keeps plan size at 9 " +
+      "references while halving the blocking materialization jobs — the " +
+      "round-3 bench showed the per-round eager cadence costing 10× the " +
+      "actual compute on this 2000-row backbone).",
     (s, d) => {
+      import graft.operators.Iterate.checkpointRdd
       val e0 = Graph
         .coPurchasePairs(t(s, d, "orders"), t(s, d, "lineitem"), 20)
         .orderBy(col("n_shared").desc, col("a"), col("b"))
@@ -173,21 +185,27 @@ object QueriesR3w {
         .select("a", "b")
         .localCheckpoint(true)
       var edges = e0
+      var lastCp = e0
       def undirected(e: DataFrame): DataFrame =
         e.select(col("a").as("v"), col("b").as("w"))
           .unionAll(e.select(col("b").as("v"), col("a").as("w")))
-      var round = 0
-      while (round < 6) {
+      for (round <- 1 to 6) {
         val alive = undirected(edges).groupBy("v")
           .agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 3)
           .select("v")
-        edges = edges
+        val next = edges
           .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
           .select("a", "b")
-          .localCheckpoint(true)
-        round += 1
+        if (round % 2 == 0) {
+          val cp = next.localCheckpoint(true)
+          checkpointRdd(lastCp).foreach(_.unpersist(blocking = false))
+          lastCp = cp
+          edges = cp
+        } else {
+          edges = next
+        }
       }
       undirected(edges).groupBy(col("v").as("node"))
         .agg(count(lit(1)).as("core_deg"))

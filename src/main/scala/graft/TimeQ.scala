@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only single-query timer: `runMain graft.TimeQ <sfDir> q1,q2,...`
+  * mirrors Bench.run's methodology (noop sink, persistTables warm cache,
+  * leaked-checkpoint cleanup, best-of-2) for one or a few queries, so a
+  * perf fix can be measured in isolation without a full inventory pass.
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // dev knob: SPARK_EXTRA_CONF="k=v;k=v" for conf experiments
+    sys.env.get("SPARK_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def run(name: String): Double = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+        .foreach { case (_, rdd) => rdd.unpersist(blocking = false) }
+      dt
+    }
+
+    graft.engine.Engine.persistTables(spark, sfDir)
+    names.foreach(run) // warm-up pass
+    val t = names.map(n => n -> run(n))
+    t.foreach { case (n, s) => println(f"[timeq] $n%-28s $s%.3f s") }
+    spark.stop()
+  }
+}

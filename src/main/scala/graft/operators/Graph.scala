@@ -199,41 +199,64 @@ object Graph {
     * normalizes by an L2 norm whose accumulation order can't be
     * hash-graded). Round r: raw_auth = Σ hub over in-edges, then
     * auth = raw·Scale div max(raw); hubs update from the NORMALIZED
-    * auths symmetrically. The max is a 1-row aggregate broadcast back —
-    * never a driver scalar. Two keyed shuffles per half-round; rounds
-    * localCheckpoint'ed and freed like pageRankInt.
+    * auths symmetrically.
+    *
+    * Job cadence (the round-3 bench lesson, 12.7 s → ~1 s at sf0.1): the
+    * old shape eagerly checkpointed every half-round and attached each
+    * max as a broadcast 1-row-aggregate subquery. Broadcast subqueries
+    * execute as CONCURRENT futures at job start, and on a lazy lineage
+    * each future re-derives the whole upstream — profiled as ~30
+    * simultaneous 32-task stages doing duplicated work. The max now
+    * rides an unpartitioned window over the ALREADY-AGGREGATED per-node
+    * score table, which keeps every round inside one linear stage DAG
+    * (still never a driver scalar). The score table is |V|-sized — the
+    * single-partition window hop is a few MB even when edges are 100 TB;
+    * if |V| itself outgrows one partition, swap back to the two-level
+    * agg+broadcast form and checkpoint each half-round to keep the
+    * subquery futures cheap. Rounds checkpoint every FOURTH round (plan
+    * depth 2 joins/round stays analyzable); only the FINAL round
+    * checkpoints both sides eagerly — the finally block unpersists
+    * `edges` before a lazy result would run.
     */
   def hitsInt(edgesIn: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"hitsInt needs rounds >= 1, got $rounds")
     import Iterate.checkpointRdd
     val edges = edgesIn.toDF("src", "dst").distinct().cache()
     try {
+      // init frame stays LAZY: edges is cached, so the first eager
+      // checkpoint below materializes the whole prefix in one job
       var hubs = edges.select(col("src").as("node")).distinct()
         .select(col("node"), lit(Scale).as("score"))
-        .localCheckpoint(true)
+      var lastCp: DataFrame = null
       var auths: DataFrame = null
-      var cps: List[DataFrame] = List(hubs)
-      for (_ <- 1 to rounds) {
+      for (i <- 1 to rounds) {
         val rawA = edges
           .join(hubs.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum("score").as("raw"))
-        val maxA = rawA.agg(max("raw").as("mx"))
-        val a = rawA.crossJoin(broadcast(maxA))
-          .select(col("node"), expr(s"(raw * $Scale) div mx").as("score"))
-          .localCheckpoint(true)
+        val a0 = rawA
+          .select(col("node"),
+            expr(s"(raw * $Scale) div (max(raw) over ())").as("score"))
+        // final round: pin auths eagerly (they are half the output and the
+        // hub checkpoint below would otherwise recompute them at the sink)
+        val a = if (i == rounds) a0.localCheckpoint(true) else a0
         val rawH = edges
           .join(a.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node"))
           .agg(sum("score").as("raw"))
-        val maxH = rawH.agg(max("raw").as("mx"))
-        val h = rawH.crossJoin(broadcast(maxH))
-          .select(col("node"), expr(s"(raw * $Scale) div mx").as("score"))
-          .localCheckpoint(true)
-        cps.foreach(c => checkpointRdd(c).foreach(_.unpersist(blocking = false)))
-        cps = List(a, h)
+        val h = rawH
+          .select(col("node"),
+            expr(s"(raw * $Scale) div (max(raw) over ())").as("score"))
+        if (i % 4 == 0 || i == rounds) {
+          val cp = h.localCheckpoint(true)
+          Option(lastCp).flatMap(checkpointRdd)
+            .foreach(_.unpersist(blocking = false))
+          lastCp = cp
+          hubs = cp
+        } else {
+          hubs = h
+        }
         auths = a
-        hubs = h
       }
       hubs.select(lit("hub").as("side"), col("node"), col("score"))
         .unionByName(auths.select(lit("authority").as("side"), col("node"),

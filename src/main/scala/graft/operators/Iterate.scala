@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 /** Shared plumbing for iterative DataFrame loops
   * ([[Dedup.connectedComponents]], [[Graph.pageRankInt]]).
   */
-private[operators] object Iterate {
+private[graft] object Iterate {
 
   /** The localCheckpoint'ed frame's underlying RDD. Dataset.unpersist()
     * does NOT free checkpoint blocks (they are plain persisted RDDs, not

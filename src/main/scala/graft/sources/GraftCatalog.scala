@@ -31,10 +31,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * not a bespoke reader. Read-only by design (the fixtures are
   * immutable): create/alter/drop throw `UnsupportedOperationException`.
   *
-  * `events.parquet` carries TIMESTAMP(NANOS), which Spark's µs
-  * TimestampType rejects; like [[graft.engine.Engine.table]], loading it
-  * turns on `nanosAsLong` and surfaces `ts` as epoch-nanos BIGINT
-  * (rebuild a timestamp with `timestamp_micros(ts div 1000)`).
+  * `events.parquet` has shipped both TIMESTAMP(NANOS) and timestamp[us]
+  * across fixture regenerations. Loading `events` turns on `nanosAsLong`
+  * so a nanos file can't fail inference; the catalog then surfaces `ts`
+  * at its inferred type — BIGINT epoch-nanos for nanos files (rebuild a
+  * timestamp with `timestamp_micros(ts div 1000)`), a plain timestamp
+  * for µs files. Consumers must branch on the schema, never assume one
+  * physical encoding (see [[graft.engine.Engine.table]]).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -104,8 +107,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val spark = SparkSession.active
-    // events ships TIMESTAMP(NANOS): schema inference under nanosAsLong
-    // maps it to LongType; every other table infers as-is
+    // events has shipped TIMESTAMP(NANOS) in some fixture generations:
+    // nanosAsLong lets inference map that to LongType instead of throwing,
+    // and is a no-op for µs files; every other table infers as-is
     if (ident.name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = new java.io.File(new java.io.File(root, ident.namespace.head),

