@@ -196,7 +196,11 @@ object QueriesR3h {
       val words = docs.select(explode(col("toks")).as("tok")).distinct()
         .select(Dedup.tokenId(col("tok")).as("node"), col("tok"))
         .groupBy("node").agg(min("tok").as("word"))
-      Graph.pageRankInt(edges, 5)
+      // the word graph is VOCAB-bounded — tiny at any corpus scale — so
+      // the cached edge list gets 4 partitions, not the session's 32:
+      // every pagerank round then runs 4-task stages instead of 32
+      // near-empty ones (see pageRankInt's parts doc)
+      Graph.pageRankInt(edges, 5, parts = 4)
         .join(words, "node")
         .orderBy(desc("rank"), col("word"))
         .limit(20)

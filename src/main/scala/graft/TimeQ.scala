@@ -27,8 +27,18 @@ object TimeQ {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages += 1; tasks += sc.stageInfo.numTasks
+      }
+    })
+    def run(name: String): (Double, Int, Int, Int) = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
+      val (j0, s0, k0) = (jobs, stages, tasks)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -36,13 +46,14 @@ object TimeQ {
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => before.contains(id) }
         .foreach { case (_, rdd) => rdd.unpersist(blocking = false) }
-      dt
+      (dt, jobs - j0, stages - s0, tasks - k0)
     }
 
     graft.engine.Engine.persistTables(spark, sfDir)
     names.foreach(run) // warm-up pass
     val t = names.map(n => n -> run(n))
-    t.foreach { case (n, s) => println(f"[timeq] $n%-28s $s%.3f s") }
+    t.foreach { case (n, (s, j, st, tk)) =>
+      println(f"[timeq] $n%-28s $s%.3f s  jobs=$j%3d stages=$st%4d tasks=$tk%5d") }
     spark.stop()
   }
 }

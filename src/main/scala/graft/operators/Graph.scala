@@ -121,8 +121,15 @@ object Graph {
     *
     * @param edgesIn two-column (src, dst) directed edge frame; dedup'd
     *                internally.
+    * @param parts   partition count for the cached fused edge list; 0 =
+    *                session shuffle parallelism. Size it to the GRAPH,
+    *                not the corpus: a vocab-bounded word graph stays tiny
+    *                at any corpus scale, and a 32-way cached partitioning
+    *                makes every round pay 32 near-empty tasks per stage
+    *                (AQE can coalesce shuffles, never a cached RDD's
+    *                partitioning).
     */
-  def pageRankInt(edgesIn: DataFrame, iters: Int): DataFrame = {
+  def pageRankInt(edgesIn: DataFrame, iters: Int, parts: Int = 0): DataFrame = {
     require(iters >= 1, s"pageRankInt needs iters >= 1, got $iters")
     import Iterate.checkpointRdd
     import org.apache.spark.sql.expressions.Window
@@ -133,8 +140,8 @@ object Graph {
     // single lineage avoids the double scan a groupBy-join fuse costs
     // (the previous shape computed the upstream edge join twice and
     // shuffled it twice: distinct on (src,dst), then repartition(src))
-    val edges = edgesIn.toDF("src", "dst")
-      .repartition(col("src"))
+    val edges = (if (parts > 0) edgesIn.toDF("src", "dst").repartition(parts, col("src"))
+                 else edgesIn.toDF("src", "dst").repartition(col("src")))
       .dropDuplicates("src", "dst")
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .cache()
@@ -156,9 +163,10 @@ object Graph {
             Seq("node"), "left_anti")
           .select(col("node"), lit(Scale * 15 / 100).as("rank"))
           .localCheckpoint(true)
-        var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
-          .localCheckpoint(true)
-        var lastCp = ranks
+        // init ranks stays LAZY (nodes is cached): the first eager
+        // checkpoint materializes the whole prefix in one job
+        var ranks: DataFrame = nodes.select(col("node"), lit(Scale).as("rank"))
+        var lastCp: DataFrame = null
         for (i <- 1 to iters) {
           val contribs = edges
             .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -168,20 +176,21 @@ object Graph {
               expr(s"${Scale * 15 / 100} + (850 * incoming) div 1000")
                 .as("rank"))
             .unionByName(noIn)
-          // checkpoint every SECOND round: with a fixed round count there
-          // is no per-round driver read, so letting the lineage span two
-          // rounds halves the materialization jobs while keeping plan
-          // depth (and re-analysis cost) bounded — the unbounded-rounds
-          // loop in Dedup.connectedComponents can't do this because its
-          // fixpoint check forces a job every round anyway. The FINAL
-          // round MUST checkpoint eagerly too: the finally blocks below
-          // unpersist edges/nodes before a lazy return value would ever
-          // run, so skipping it re-derives the whole fused-edge pipeline
-          // uncached at the caller's sink (measured as a regression, not
-          // a saving)
-          if (i % 2 == 0 || i == iters) {
+          // checkpoint every FOURTH round: with a fixed round count there
+          // is no per-round driver read, so the lineage spans up to four
+          // rounds (one join + one agg each — plan depth 8, analyzable)
+          // and a 5-round run pays TWO blocking materializations instead
+          // of five — the unbounded-rounds loop in
+          // Dedup.connectedComponents can't do this because its fixpoint
+          // check forces a job every round anyway. The FINAL round MUST
+          // checkpoint eagerly too: the finally blocks below unpersist
+          // edges/nodes before a lazy return value would ever run, so
+          // skipping it re-derives the whole fused-edge pipeline uncached
+          // at the caller's sink (measured as a regression, not a saving)
+          if (i % 4 == 0 || i == iters) {
             val cp = next.localCheckpoint(true)
-            checkpointRdd(lastCp).foreach(_.unpersist(blocking = false))
+            Option(lastCp).flatMap(checkpointRdd)
+              .foreach(_.unpersist(blocking = false))
             lastCp = cp
             ranks = cp
           } else {
