@@ -76,18 +76,32 @@ object QueriesR3j {
       "cosine = c_ab/sqrt(c_a·c_b) ranks the top-20 associations — the " +
       "classic 'bought together' job. The pair space is quadratic only " +
       "in BASKET size (bounded ~7 here, bounded by cart size anywhere), " +
-      "so the join output stays linear in orders; counts join back via " +
-      "two hash joins on the part key. Cosine is one sqrt + one divide " +
-      "over exact BIGINT counts — bit-identical trees on both engines.",
+      "so the pair output stays linear in orders. Pairs are enumerated " +
+      "INSIDE each basket row — one order-key groupBy collects the " +
+      "(deduped, sorted) item set and two chained generators emit each " +
+      "a<b pair once, the coPurchasePairs shape — instead of a " +
+      "self-join that scans and shuffles the item table twice. Counts " +
+      "join back via two hash joins on the part key; cosine is one " +
+      "sqrt + one divide over exact BIGINT counts — bit-identical " +
+      "trees on both engines.",
     (s, d) => {
       val items = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val cnt = items.groupBy("pk").agg(count(lit(1)).as("c"))
-      val pairs = items.as("x")
-        .join(items.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      // per-part counts over DISTINCT (ok, pk): collect_set dedups inside
+      // the basket, so cnt needs its own distinct aggregation
+      val cnt = items.distinct().groupBy("pk").agg(count(lit(1)).as("c"))
+      // CPU-heavy generator + pair agg: pin the basket exchange to the
+      // session's full parallelism — size-first AQE coalescing would run
+      // the ~20 MB pair stream on 2 cores (same rationale as
+      // stat_spearman's pinned rank exchange)
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val pairs = items.repartition(parts, col("ok")).groupBy("ok")
+        .agg(array_sort(collect_set(col("pk"))).as("ps"))
+        .filter(size(col("ps")) >= 2)
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+        .select(col("a"),
+          explode(slice(col("ps"), col("i") + 2, size(col("ps")))).as("b"))
+        .groupBy("a", "b")
         .agg(count(lit(1)).as("cab"))
       pairs
         .join(cnt.select(col("pk").as("a"), col("c").as("ca")), "a")

@@ -101,20 +101,45 @@ object QueriesR4j {
       "sum, square sum, and cross sum is an exact BIGINT — the only " +
       "floating-point work is the final Pearson combination over six " +
       "scalars (doubles are affine-invariant, so doubled ranks leave " +
-      "rho untouched). A t-statistic comes along for free. Ranks are " +
-      "per-flag windows — one hash shuffle on the group key; at 100 TB " +
-      "you'd pre-bin values, identical plan shape.",
+      "rho untouched). A t-statistic comes along for free. Ranking is " +
+      "TWO-LEVEL: rows rank within (flag, value-bucket) windows and a " +
+      "broadcast bucket-count rollup supplies each bucket's global " +
+      "offset — min_rank = offset + within_rank — so the sort " +
+      "parallelism is flags×buckets instead of one partition per flag " +
+      "(a 3-key flag window serializes the whole table through 3 " +
+      "tasks; this is the distributed-ranking pattern that holds at " +
+      "100 TB, where per-flag windows cannot).",
     (s, d) => {
       val base = t(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"),
           col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-      def dr(c: String): org.apache.spark.sql.Column =
-        (lit(2L) * rank().over(Window.partitionBy("flag").orderBy(c)) +
-          count(lit(1)).over(Window.partitionBy("flag", c)) - 1L)
-          .cast(LongType)
-      val ranked = base
-        .withColumn("rx", dr("x"))
-        .withColumn("ry", dr("y"))
+      // doubled average rank of value v in flag f:
+      //   2*min_rank + ties - 1, min_rank = bucket_offset + rank_in_bucket
+      def dr(base: DataFrame, c: String, width: Double): DataFrame = {
+        val withB = base.withColumn("bk", floor(col(c) / width))
+        val offsets = withB.groupBy("flag", "bk")
+          .agg(count(lit(1)).as("nb"))
+          .withColumn("off",
+            coalesce(sum("nb").over(Window.partitionBy("flag")
+              .orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select("flag", "bk", "off")
+        val wIn = Window.partitionBy("flag", "bk").orderBy(c)
+        val wTie = Window.partitionBy("flag", "bk", c)
+        // explicit partition count: the rank sort is CPU-bound, and AQE's
+        // size-based coalescing would fold these few-MB-but-expensive
+        // partitions onto a couple of cores; a user-pinned count it keeps
+        val parts = base.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
+        withB.repartition(parts, col("flag"), col("bk"))
+          .join(broadcast(offsets), Seq("flag", "bk"))
+          .withColumn(s"r_$c",
+            (lit(2L) * (col("off") + rank().over(wIn)) +
+              count(lit(1)).over(wTie) - 1L).cast(LongType))
+          .drop("bk", "off")
+      }
+      val ranked = dr(dr(base, "x", 4.0), "y", 4096.0)
+        .withColumnRenamed("r_x", "rx").withColumnRenamed("r_y", "ry")
       val agg = ranked.groupBy("flag")
         .agg(count(lit(1)).as("n"),
           sum("rx").cast(LongType).as("sx"),

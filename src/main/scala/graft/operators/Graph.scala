@@ -140,8 +140,14 @@ object Graph {
     // single lineage avoids the double scan a groupBy-join fuse costs
     // (the previous shape computed the upstream edge join twice and
     // shuffled it twice: distinct on (src,dst), then repartition(src))
-    val edges = (if (parts > 0) edgesIn.toDF("src", "dst").repartition(parts, col("src"))
-                 else edgesIn.toDF("src", "dst").repartition(col("src")))
+    // explicit partition COUNT everywhere (edge cache and the per-round
+    // incoming-sum exchange): the rank/contribution frames are a few MB
+    // even when the graph is hundreds of thousands of nodes, and
+    // size-first AQE coalescing would funnel the CPU-heavy agg through
+    // 1-2 cores; a user-pinned count it keeps
+    val np = if (parts > 0) parts
+             else edgesIn.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val edges = edgesIn.toDF("src", "dst").repartition(np, col("src"))
       .dropDuplicates("src", "dst")
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .cache()
@@ -171,7 +177,8 @@ object Graph {
           val contribs = edges
             .join(ranks.withColumnRenamed("node", "src"), "src")
             .select(col("dst"), expr("rank div deg").as("contrib"))
-          val next = contribs.groupBy("dst").agg(sum("contrib").as("incoming"))
+          val next = contribs.repartition(np, col("dst"))
+            .groupBy("dst").agg(sum("contrib").as("incoming"))
             .select(col("dst").as("node"),
               expr(s"${Scale * 15 / 100} + (850 * incoming) div 1000")
                 .as("rank"))
