@@ -1,0 +1,292 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.engine.Engine
+
+/** Round-4 batch 4: dedup-tier cascade attribution, Brown-Forsythe
+  * variance homogeneity, circular time-of-day statistics, IQR fences.
+  */
+object QueriesR4q {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  // ------------- curate_dedup_cascade: which tier catches what
+
+  private val cascade = Q(
+    "curate_dedup_cascade",
+    "Dedup-cascade attribution — production dedup runs tiers from " +
+      "cheap to expensive (raw exact → normalized → order-insensitive " +
+      "token set), and this report says which tier FIRST catches each " +
+      "non-keeper doc, per source: three fingerprints computed in one " +
+      "map pass, cluster sizes per tier from three keyed aggs over " +
+      "fingerprints (never the corpus), tier = the first fingerprint " +
+      "whose cluster the doc doesn't lead (keeper = min doc_id). The " +
+      "marginal-catch counts are exactly the numbers that justify " +
+      "each tier's cost at 100 TB.",
+    (s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("text")).as("fp_raw"),
+          md5(norm).as("fp_norm"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(col("text"), " ")))))
+            .as("fp_set"))
+      def keeperOf(fp: String): DataFrame = docs
+        .groupBy(col(fp).as("fp"))
+        .agg(min("doc_id").as(s"keep_$fp"))
+      val joined = docs
+        .join(keeperOf("fp_raw"),
+          col("fp_raw") === col("fp"), "left").drop("fp")
+        .join(keeperOf("fp_norm"),
+          col("fp_norm") === col("fp"), "left").drop("fp")
+        .join(keeperOf("fp_set"),
+          col("fp_set") === col("fp"), "left").drop("fp")
+        .withColumn("tier",
+          when(col("doc_id") =!= col("keep_fp_raw"), lit("1_exact"))
+            .when(col("doc_id") =!= col("keep_fp_norm"), lit("2_normalized"))
+            .when(col("doc_id") =!= col("keep_fp_set"), lit("3_token_set"))
+            .otherwise(lit("0_kept")))
+      joined.groupBy("source", "tier")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "tier")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, source,
+                     md5(text) AS fp_raw,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+                       AS fp_norm,
+                     md5(array_to_string(list_sort(list_distinct(
+                       string_split(text, ' '))), ' ')) AS fp_set
+              FROM documents),
+            kr AS (SELECT fp_raw AS fp, min(doc_id) AS keep FROM docs
+                   GROUP BY 1),
+            kn AS (SELECT fp_norm AS fp, min(doc_id) AS keep FROM docs
+                   GROUP BY 1),
+            ks AS (SELECT fp_set AS fp, min(doc_id) AS keep FROM docs
+                   GROUP BY 1),
+            tiers AS (
+              SELECT d.source,
+                     CASE WHEN d.doc_id <> kr.keep THEN '1_exact'
+                          WHEN d.doc_id <> kn.keep THEN '2_normalized'
+                          WHEN d.doc_id <> ks.keep THEN '3_token_set'
+                          ELSE '0_kept' END AS tier
+              FROM docs d
+              JOIN kr ON d.fp_raw = kr.fp
+              JOIN kn ON d.fp_norm = kn.fp
+              JOIN ks ON d.fp_set = ks.fp)
+            SELECT source, tier, CAST(count(*) AS BIGINT) AS n_docs
+            FROM tiers GROUP BY 1, 2 ORDER BY source, tier"""))
+
+  // ------------- stat_levene: Brown-Forsythe variance homogeneity
+
+  private val levene = Q(
+    "stat_levene",
+    "Brown-Forsythe variance-homogeneity test (Levene with MEDIAN " +
+      "centers — robust to the skew that wrecks mean-centered Levene) " +
+      "across return flags: per-flag median order value, absolute " +
+      "deviations, then the one-way ANOVA F statistic over the " +
+      "deviations — the gate before trusting a pooled-variance t-test. " +
+      "Medians are exact lower-median order statistics (2nd of the " +
+      "doubled-rank trick — no interpolation to disagree across " +
+      "engines); the F combination is a handful of scalar doubles.",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          round(col("l_extendedprice") * 100, 0).cast(LongType).as("x"))
+      // exact lower median per group via TWO-LEVEL ranking (the
+      // stat_spearman pattern): global row number = bucket offset +
+      // within-(g, bucket) row_number, so the sort parallelism is
+      // groups×buckets instead of one partition per 3-key group. The
+      // within-bucket tie order is arbitrary but the selected order-
+      // statistic VALUE is tie-invariant.
+      val withB = base.withColumn("bk", expr("x div 409600"))
+      val offs = withB.groupBy("g", "bk").agg(count(lit(1)).as("nb"))
+        .withColumn("off", coalesce(sum("nb").over(
+          Window.partitionBy("g").orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("nb").over(Window.partitionBy("g")))
+        .select("g", "bk", "off", "n")
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val med = withB.repartition(parts, col("g"), col("bk"))
+        .join(broadcast(offs), Seq("g", "bk"))
+        .withColumn("rn", col("off") + row_number().over(
+          Window.partitionBy("g", "bk").orderBy("x")))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("g"), col("x").as("med"))
+      val dev = base.join(broadcast(med), "g")
+        .select(col("g"), abs(col("x") - col("med")).cast(DoubleType).as("z"))
+      val grp = dev.groupBy("g")
+        .agg(count(lit(1)).as("ni"), sum("z").as("si"),
+          sum(col("z") * col("z")).as("sqi"))
+      val totals = grp.agg(
+        sum("ni").as("n"), count(lit(1)).as("k"),
+        sum("si").as("st"),
+        sum(col("si") * col("si") / col("ni")).as("between_raw"),
+        sum(col("sqi") - col("si") * col("si") / col("ni")).as("within"))
+      totals
+        .select(col("n"), col("k"),
+          ((col("between_raw") - col("st") * col("st") / col("n")) /
+            (col("k") - 1)).as("msb"),
+          (col("within") / (col("n") - col("k"))).as("msw"))
+        .select(col("n"), col("k"),
+          round(col("msb") / col("msw"), 6).as("f_stat"))
+    },
+    Some("""WITH base AS (
+              SELECT l_returnflag AS g,
+                     CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x
+              FROM lineitem),
+            med AS (
+              SELECT g, x AS med FROM (
+                SELECT g, x,
+                       row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM base)
+              WHERE rn = (n + 1) // 2),
+            dev AS (
+              SELECT base.g, CAST(abs(x - med) AS DOUBLE) AS z
+              FROM base JOIN med USING (g)),
+            grp AS (
+              SELECT g, count(*) AS ni, sum(z) AS si,
+                     sum(z * z) AS sqi
+              FROM dev GROUP BY g),
+            tot AS (
+              SELECT CAST(sum(ni) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS k,
+                     sum(si) AS st,
+                     sum(si * si / ni) AS between_raw,
+                     sum(sqi - si * si / ni) AS within
+              FROM grp)
+            SELECT n, k,
+                   round(((between_raw - st * st / n) / (k - 1)) /
+                         (within / (n - k)), 6) AS f_stat
+            FROM tot"""))
+
+  // ------------- stat_circular_mean: time-of-day as angles
+
+  private val circular = Q(
+    "stat_circular_mean",
+    "Circular statistics for time-of-day — the linear mean of event " +
+      "hours is meaningless across midnight (23h and 1h average to " +
+      "noon); mapping hours to angles and averaging the unit vectors " +
+      "gives the true mean direction and a resultant length R that " +
+      "doubles as concentration ([0,1], 1 = all events at one " +
+      "instant). Per event type: mean hour, R, and circular variance " +
+      "1−R. Map-side trig + one groupBy; sums of sin/cos round to 6 " +
+      "before the atan2 so libm ulp drift can't leak into the hash.",
+    (s, d) => {
+      val twoPi = 2.0 * math.Pi
+      val ev = t(s, d, "events")
+        .select(col("event_type"),
+          ((hour(col("ts")) * 3600 + minute(col("ts")) * 60 +
+            second(col("ts"))).cast(DoubleType) / 86400.0 * twoPi)
+            .as("theta"))
+      val agg = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(sin(col("theta"))), 6).as("ss"),
+          round(sum(cos(col("theta"))), 6).as("sc"))
+      agg.select(col("event_type"), col("n"),
+          round((atan2(col("ss"), col("sc")) / twoPi + 1.0) % 1.0 * 24.0, 4)
+            .as("mean_hour"),
+          round(sqrt(col("ss") * col("ss") + col("sc") * col("sc")) /
+            col("n"), 6).as("r"),
+          round(lit(1.0) - sqrt(col("ss") * col("ss") +
+            col("sc") * col("sc")) / col("n"), 6).as("circ_variance"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH ev AS (
+              SELECT event_type,
+                     (CAST(hour(ts) * 3600 + minute(ts) * 60 +
+                           CAST(floor(second(ts)) AS BIGINT) AS DOUBLE)
+                      / 86400.0) * 2 * pi() AS theta
+              FROM events),
+            agg AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     round(sum(sin(theta)), 6) AS ss,
+                     round(sum(cos(theta)), 6) AS sc
+              FROM ev GROUP BY 1)
+            SELECT event_type, n,
+                   round(((atan2(ss, sc) / (2 * pi())) + 1.0) % 1.0 * 24.0,
+                     4) AS mean_hour,
+                   round(sqrt(ss * ss + sc * sc) / n, 6) AS r,
+                   round(1.0 - sqrt(ss * ss + sc * sc) / n, 6)
+                     AS circ_variance
+            FROM agg ORDER BY event_type"""))
+
+  // ------------- dq_outlier_iqr: Tukey fences per segment
+
+  private val iqrOutliers = Q(
+    "dq_outlier_iqr",
+    "Tukey-fence outlier audit per market segment: exact lower/upper " +
+      "QUARTILE order statistics (rank-based — interpolation-free, so " +
+      "both engines pick identical elements), fences at 1.5·IQR, and " +
+      "a per-segment report of low/high outlier counts plus the worst " +
+      "offender on each side. Quartiles ride one rank window per " +
+      "segment; fence checks are a broadcast join back — two passes " +
+      "over customers, report rows = segments.",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, d, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100, 0).cast(LongType).as("x"))
+      val wRank = Window.partitionBy("seg").orderBy("x")
+      val ranked = base
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")))
+      val quarts = ranked
+        .filter(col("rn") === expr("(n + 3) div 4") ||
+          col("rn") === expr("(3 * n + 1) div 4"))
+        .groupBy("seg")
+        .agg(min("x").as("q1"), max("x").as("q3"))
+        .select(col("seg"), col("q1"), col("q3"),
+          expr("q1 - (q3 - q1) * 3 div 2").as("lo_fence"),
+          expr("q3 + (q3 - q1) * 3 div 2").as("hi_fence"))
+      base.join(broadcast(quarts), "seg")
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          first("q1").as("q1"), first("q3").as("q3"),
+          sum(when(col("x") < col("lo_fence"), 1L).otherwise(0L))
+            .as("n_low"),
+          sum(when(col("x") > col("hi_fence"), 1L).otherwise(0L))
+            .as("n_high"),
+          min(when(col("x") < col("lo_fence"), col("x"))).as("worst_low"),
+          max(when(col("x") > col("hi_fence"), col("x"))).as("worst_high"))
+        .orderBy("seg")
+    },
+    Some("""WITH base AS (
+              SELECT c_mktsegment AS seg,
+                     CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x
+              FROM customer),
+            ranked AS (
+              SELECT seg, x,
+                     row_number() OVER (PARTITION BY seg ORDER BY x) AS rn,
+                     count(*) OVER (PARTITION BY seg) AS n
+              FROM base),
+            quarts AS (
+              SELECT seg, min(x) AS q1, max(x) AS q3,
+                     min(x) - (max(x) - min(x)) * 3 // 2 AS lo_fence,
+                     max(x) + (max(x) - min(x)) * 3 // 2 AS hi_fence
+              FROM ranked
+              WHERE rn = (n + 3) // 4 OR rn = (3 * n + 1) // 4
+              GROUP BY seg)
+            SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(q1) AS BIGINT) AS q1,
+                   CAST(min(q3) AS BIGINT) AS q3,
+                   CAST(sum(CASE WHEN x < lo_fence THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_low,
+                   CAST(sum(CASE WHEN x > hi_fence THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_high,
+                   min(CASE WHEN x < lo_fence THEN x END) AS worst_low,
+                   max(CASE WHEN x > hi_fence THEN x END) AS worst_high
+            FROM base JOIN quarts USING (seg)
+            GROUP BY seg ORDER BY seg"""))
+
+  val all: Seq[Q] = Seq(cascade, levene, circular, iqrOutliers)
+}

