@@ -97,7 +97,10 @@ object QueriesR4n {
         .distinct()
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 20)
-      val rsh = sh.join(rare, "sh")
+      // rsh feeds three branches (sizes, both self-join sides): cache it
+      // so the shingle explode + df pipeline runs once, not three times
+      // (the harness frees per-query cache entries after the run)
+      val rsh = sh.join(rare, "sh").cache()
       val sizes = rsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val shared = rsh.filter(col("df") >= 2).as("x")
         .join(rsh.filter(col("df") >= 2).as("y"),

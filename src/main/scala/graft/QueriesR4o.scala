@@ -44,7 +44,10 @@ object QueriesR4o {
       "band-then-verify shape as dedup_simhash/dedup_hamming_band, " +
       "here on the multimodal fingerprint path.",
     (s, d) => {
-      val h = ahashCols(t(s, d, "documents"))
+      // the 64-term hash expression is codegen-heavy and feeds both
+      // self-join sides: cache the tiny hashed frame so it compiles and
+      // evaluates once
+      val h = ahashCols(t(s, d, "documents")).cache()
       val bands = h.select(col("doc_id"), col("lo"), col("hi"),
         explode(array(
           struct(lit(0L).as("bi"), (col("lo") % 65536L).as("bv")),

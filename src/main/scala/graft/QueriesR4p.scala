@@ -43,12 +43,16 @@ object QueriesR4p {
       val phraseTok = toks
         .withColumn("seg", sum(col("is_stop").cast(LongType)).over(wSeg))
         .filter(!col("is_stop"))
+      // phrases feeds three branches (word stats, phrase-word join,
+      // occurrence counts): cache so the tokenize+segment+assemble
+      // pipeline runs once
       val phrases = phraseTok
         .groupBy("doc_id", "seg")
         .agg(concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           p => p.getField("tok"))).as("phrase"),
           count(lit(1)).as("plen"))
+        .cache()
       val wordStats = phrases
         .select(col("plen"), explode(split(col("phrase"), " ")).as("tok"))
         .groupBy("tok")
