@@ -75,6 +75,23 @@ class FixtureCanarySpec extends SparkSpec {
     }
   }
 
+  test("events.ts NTZ branch: a synthesized timestamp_ntz fixture normalizes") {
+    // The live fixture exercises whichever physical encoding the driver
+    // last generated; this pins the TIMESTAMP_NTZ branch regardless.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz_").toString
+    spark.range(3)
+      .select(col("id").as("event_id"),
+        expr("timestamp_ntz '2024-01-01 00:00:01' + make_interval(0,0,0,0,0,0,id)")
+          .as("ts"),
+        col("id").as("user_id"), lit("click").as("event_type"),
+        col("id").cast("double").as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Engine.table(spark, dir, "events")
+    assert(df.schema("ts").dataType === TimestampType)
+    assert(df.count() === 3L)
+  }
+
   test("fixture canary: events.ts normalizes to session TimestampType exactly") {
     // Engine.table's one normalization promise beyond pass-through: whatever
     // the parquet physical encoding (nanos-as-long, µs NTZ, µs UTC), `ts`
