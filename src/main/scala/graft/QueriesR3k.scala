@@ -91,15 +91,19 @@ object QueriesR3k {
       "pipeline runs. Model and scoring both shard by token at scale; " +
       "the 5-row language list is a broadcast multiplier.",
     (s, d) => {
+      // the token explode feeds three branches — cache it once; vocabulary
+      // size derives from the (already aggregated) per-lang counts instead
+      // of a third pass over the explode
       val toks = t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("tok"))
+        .cache()
       val tokCnt = toks.groupBy("doc_id", "tok")
         .agg(count(lit(1)).as("cnt"))
       val tc = toks.groupBy(col("lang").as("l"), col("tok"))
         .agg(count(lit(1)).as("c"))
       val ctot = tc.groupBy("l").agg(sum("c").as("ctok"))
-      val vocab = toks.agg(countDistinct("tok").as("v"))
+      val vocab = tc.agg(countDistinct("tok").as("v"))
       val model = tc.join(ctot, "l").crossJoin(broadcast(vocab))
         .select(col("l"), col("tok"),
           round(log2((col("c") + 1).cast(DoubleType) /
