@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.engine.Engine
+
+/** Round-4 batch 9: schema-wide primary-key uniqueness audit. */
+object QueriesR4v {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  private val pkAudit = Q(
+    "dq_pk_uniqueness",
+    "Schema-wide PRIMARY-KEY uniqueness audit — the PK complement to " +
+      "dq_ref_integrity's FK sweep: every table's declared key " +
+      "(including lineitem's composite (orderkey, linenumber)) " +
+      "aggregates to distinct-key and duplicated-key counts plus the " +
+      "worst key's multiplicity; one keyed aggregation per table, " +
+      "report rows = tables, so cost scales with the data and never " +
+      "the report. A nonzero dup_keys row is the load-a-file-twice " +
+      "signal that silently doubles aggregates downstream. (And the " +
+      "audit earns its keep immediately: the synthetic fixture itself " +
+      "fails it — lineitem's composite key carries duplicates.)",
+    (s, d) => {
+      def audit(table: String, keyCols: Seq[String]): DataFrame =
+        t(s, d, table)
+          .groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("distinct_keys"),
+            sum(when(col("n") > 1, 1L).otherwise(0L)).cast(LongType)
+              .as("dup_keys"),
+            sum(when(col("n") > 1, col("n")).otherwise(0L)).cast(LongType)
+              .as("rows_in_dups"),
+            max("n").cast(LongType).as("max_multiplicity"))
+          .select(lit(table).as("tbl"),
+            lit(keyCols.mkString("+")).as("pk"),
+            col("distinct_keys"), col("dup_keys"), col("rows_in_dups"),
+            col("max_multiplicity"))
+      audit("region", Seq("r_regionkey"))
+        .unionByName(audit("nation", Seq("n_nationkey")))
+        .unionByName(audit("customer", Seq("c_custkey")))
+        .unionByName(audit("supplier", Seq("s_suppkey")))
+        .unionByName(audit("part", Seq("p_partkey")))
+        .unionByName(audit("orders", Seq("o_orderkey")))
+        .unionByName(audit("lineitem", Seq("l_orderkey", "l_linenumber")))
+        .unionByName(audit("events", Seq("event_id")))
+        .unionByName(audit("documents", Seq("doc_id")))
+        .unionByName(audit("embeddings", Seq("vec_id")))
+        .orderBy("tbl")
+    },
+    Some {
+      def audit(table: String, pk: String, keyExpr: String): String =
+        s"""SELECT '$table' AS tbl, '$pk' AS pk,
+               CAST(count(*) AS BIGINT) AS distinct_keys,
+               CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_keys,
+               CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+                 AS rows_in_dups,
+               CAST(max(n) AS BIGINT) AS max_multiplicity
+            FROM (SELECT $keyExpr, count(*) AS n FROM $table
+                  GROUP BY $keyExpr)"""
+      Seq(
+        audit("region", "r_regionkey", "r_regionkey"),
+        audit("nation", "n_nationkey", "n_nationkey"),
+        audit("customer", "c_custkey", "c_custkey"),
+        audit("supplier", "s_suppkey", "s_suppkey"),
+        audit("part", "p_partkey", "p_partkey"),
+        audit("orders", "o_orderkey", "o_orderkey"),
+        audit("lineitem", "l_orderkey+l_linenumber",
+          "l_orderkey, l_linenumber"),
+        audit("events", "event_id", "event_id"),
+        audit("documents", "doc_id", "doc_id"),
+        audit("embeddings", "vec_id", "vec_id"))
+        .mkString("", " UNION ALL ", " ORDER BY tbl")
+    })
+
+  val all: Seq[Q] = Seq(pkAudit)
+}
