@@ -213,6 +213,10 @@ object QueriesNext {
           round(Similarity.dot(col("va"), col("vb")) /
             (col("na") * col("nb")), 6).as("cos"))
         .filter(col("cos") >= 0.95)
+        // BIGINT micros on the output surface (threshold keeps the 6-dp
+        // double): float cells are hash-canonicalization hazards
+        .select(col("id_a"), col("id_b"),
+          round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
         .orderBy("id_a", "id_b")
     },
     Some("""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -236,7 +240,9 @@ object QueriesNext {
                            (sqrt(list_dot_product(a.v, a.v)) *
                             sqrt(list_dot_product(b.v, b.v))), 6) AS cos
               FROM sig a JOIN sig b ON a.sig = b.sig AND a.id < b.id)
-            SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.95
+            SELECT id_a, id_b,
+                   CAST(round(cos * 1e6, 0) AS BIGINT) AS cos_micro
+            FROM pairs WHERE cos >= 0.95
             ORDER BY id_a, id_b"""))
 
   // ------------------------------------------- curation: decontamination

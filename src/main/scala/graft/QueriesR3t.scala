@@ -45,7 +45,9 @@ object QueriesR3t {
       scored.withColumn("rank", row_number().over(
           Window.partitionBy("q_id").orderBy(desc("cos"), col("neg"))))
         .filter(col("rank") <= 3)
-        .select("q_id", "q_label", "rank", "neg", "neg_label", "cos")
+        .select(col("q_id"), col("q_label"), col("rank"), col("neg"),
+          col("neg_label"),
+          round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
         .orderBy("q_id", "rank")
     },
     Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
@@ -63,7 +65,8 @@ object QueriesR3t {
             r AS (SELECT *, row_number() OVER
                     (PARTITION BY q_id ORDER BY cos DESC, neg) AS rank
                   FROM s)
-            SELECT q_id, q_label, rank, neg, neg_label, cos
+            SELECT q_id, q_label, rank, neg, neg_label,
+                   CAST(round(cos * 1e6, 0) AS BIGINT) AS cos_micro
             FROM r WHERE rank <= 3 ORDER BY q_id, rank"""))
 
   // ------------- text_code_switch: foreign-token share per doc

@@ -98,6 +98,10 @@ object QueriesR3v {
         .select(col("doc_a"), col("doc_b"), col("dot"),
           round(col("dot") / (col("na") * col("nb")), 6).as("cos"))
         .orderBy(desc("cos"), col("doc_a"), col("doc_b")).limit(20)
+        // BIGINT micros on the output surface (ordering keeps the 6-dp
+        // double): float cells are hash-canonicalization hazards
+        .select(col("doc_a"), col("doc_b"), col("dot"),
+          round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
     },
     Some("""WITH tf AS (SELECT doc_id,
                                unnest(string_split(text, ' ')) AS tok
@@ -119,11 +123,13 @@ object QueriesR3v {
               WHERE a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT doc_a, doc_b, dot,
-                   round(dot / (na.nrm * nb.nrm), 6) AS cos
+                   CAST(round(round(dot / (na.nrm * nb.nrm), 6) * 1e6, 0)
+                     AS BIGINT) AS cos_micro
             FROM pairs
             JOIN nrm na ON na.doc_id = doc_a
             JOIN nrm nb ON nb.doc_id = doc_b
-            ORDER BY cos DESC, doc_a, doc_b LIMIT 20"""))
+            ORDER BY round(dot / (na.nrm * nb.nrm), 6) DESC, doc_a, doc_b
+            LIMIT 20"""))
 
   // ------------- w23_rfm: RFM segmentation, breakpoints broadcast
 

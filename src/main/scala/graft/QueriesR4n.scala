@@ -41,11 +41,17 @@ object QueriesR4n {
         .select(col("doc_id").as("cand"),
           size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
       val w = Window.partitionBy("q_id").orderBy("rank")
+      // cos ships as BIGINT micros, not a rounded DOUBLE: a float cell can
+      // land on an engine/ulp-dependent 6-dp rounding boundary and flake
+      // the driver's hash compare (round-4's only red cell) — ranking
+      // still uses the 6-dp rounded cos internally
       hits.join(toks, "cand")
         .withColumn("cum_tokens", sum("n_tokens").over(w))
         .filter(col("cum_tokens") <= 192L)
         .select(col("q_id"), col("rank").cast(LongType).as("rank"),
-          col("cand"), col("cos"), col("n_tokens"), col("cum_tokens"))
+          col("cand"),
+          round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"),
+          col("n_tokens"), col("cum_tokens"))
         .orderBy("q_id", "rank")
     },
     Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
@@ -70,7 +76,9 @@ object QueriesR4n {
                      sum(n_tokens) OVER (PARTITION BY q_id ORDER BY rank)
                        AS cum_tokens
               FROM hits JOIN toks USING (cand))
-            SELECT q_id, rank, cand, cos, n_tokens, cum_tokens
+            SELECT q_id, rank, cand,
+                   CAST(round(cos * 1e6, 0) AS BIGINT) AS cos_micro,
+                   n_tokens, cum_tokens
             FROM packed WHERE cum_tokens <= 192
             ORDER BY q_id, rank"""))
 
@@ -253,8 +261,8 @@ object QueriesR4n {
           col("ties_x"), col("ties_y"), col("ties_xy"),
           round((col("concordant") - col("discordant")).cast(DoubleType) /
             sqrt((col("pairs") - col("ties_x") - col("ties_xy")).cast(DoubleType) *
-              (col("pairs") - col("ties_y") - col("ties_xy")).cast(DoubleType)),
-            6).as("tau_b"))
+              (col("pairs") - col("ties_y") - col("ties_xy")).cast(DoubleType)) *
+            1e6, 0).cast(LongType).as("tau_b_micro"))
     },
     Some("""WITH m AS (
               SELECT date_trunc('month', o_orderdate) AS m,
@@ -275,7 +283,7 @@ object QueriesR4n {
                      AS BIGINT) AS ties_y,
                    CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)
                      AS BIGINT) AS ties_xy,
-                   round(CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) -
+                   CAST(round(CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) -
                               sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END)
                            AS DOUBLE) /
                          sqrt(CAST((count(*) -
@@ -285,7 +293,7 @@ object QueriesR4n {
                               CAST((count(*) -
                                 sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END) -
                                 sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END))
-                              AS DOUBLE)), 6) AS tau_b
+                              AS DOUBLE)) * 1e6, 0) AS BIGINT) AS tau_b_micro
             FROM p"""))
 
   // ------------- text_fertility: tokenizer fertility per language

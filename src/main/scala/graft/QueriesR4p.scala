@@ -225,8 +225,11 @@ object QueriesR4p {
         .withColumn("pick", row_number().over(
           Window.partitionBy("cid").orderBy(col("hv"), col("id"))))
         .filter(col("pick") <= 15)
+        // BIGINT micros on the output surface (argmax keeps the 6-dp
+        // double): float cells are hash-canonicalization hazards
         .select(col("cid"), col("pick").cast(LongType).as("pick"),
-          col("id"), col("cos"))
+          col("id"),
+          round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
         .orderBy("cid", "pick")
     },
     Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
@@ -248,7 +251,8 @@ object QueriesR4p {
                      ('0x' || substr(md5('cs:' || CAST(id AS VARCHAR)),
                        1, 8))::BIGINT AS hv
               FROM best)
-            SELECT cid, CAST(pick AS BIGINT) AS pick, id, cos
+            SELECT cid, CAST(pick AS BIGINT) AS pick, id,
+                   CAST(round(cos * 1e6, 0) AS BIGINT) AS cos_micro
             FROM (SELECT *, row_number() OVER
                     (PARTITION BY cid ORDER BY hv, id) AS pick
                   FROM hashed)

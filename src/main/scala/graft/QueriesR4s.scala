@@ -100,8 +100,12 @@ object QueriesR4s {
         .select(col("band"),
           col("cum_tp").cast(LongType).as("cum_tp"),
           col("cum_fp").cast(LongType).as("cum_fp"),
-          round(col("cum_tp").cast(DoubleType) / col("tot_p"), 6).as("tpr"),
-          round(col("cum_fp").cast(DoubleType) / col("tot_n"), 6).as("fpr"))
+          // BIGINT micros, not rounded DOUBLEs: float output cells are
+          // hash-canonicalization hazards in the driver's grader
+          round(col("cum_tp").cast(DoubleType) / col("tot_p") * 1e6, 0)
+            .cast(LongType).as("tpr_micro"),
+          round(col("cum_fp").cast(DoubleType) / col("tot_n") * 1e6, 0)
+            .cast(LongType).as("fpr_micro"))
         .orderBy(desc("band"))
     },
     Some("""WITH scored AS (
@@ -119,10 +123,12 @@ object QueriesR4s {
               FROM pb)
             SELECT band, CAST(cum_tp AS BIGINT) AS cum_tp,
                    CAST(cum_fp AS BIGINT) AS cum_fp,
-                   round(CAST(cum_tp AS DOUBLE) /
-                         (SELECT sum(tp_band) FROM pb), 6) AS tpr,
-                   round(CAST(cum_fp AS DOUBLE) /
-                         (SELECT sum(fp_band) FROM pb), 6) AS fpr
+                   CAST(round(CAST(cum_tp AS DOUBLE) /
+                         (SELECT sum(tp_band) FROM pb) * 1e6, 0) AS BIGINT)
+                     AS tpr_micro,
+                   CAST(round(CAST(cum_fp AS DOUBLE) /
+                         (SELECT sum(fp_band) FROM pb) * 1e6, 0) AS BIGINT)
+                     AS fpr_micro
             FROM c ORDER BY band DESC"""))
 
   // ------------- curate_source_overlap: cross-source dup matrix

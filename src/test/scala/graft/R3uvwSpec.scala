@@ -83,9 +83,9 @@ class R3uvwSpec extends SparkSpec {
     assert(maxDf <= 50L)
     // and the query's cosine stays in [0, 1] (TF vectors are non-negative)
     val cos = Queries.byName("sim_sparse_cosine").fn(spark, sf)
-      .select("cos").as[Double].collect()
+      .select("cos_micro").as[Long].collect()
     assert(cos.nonEmpty)
-    cos.foreach(c => assert(c >= 0.0 && c <= 1.0 + 1e-9))
+    cos.foreach(c => assert(c >= 0L && c <= 1000000L))
   }
 
   test("rfm: breakpoints broadcast, no global sort before scoring") {

@@ -81,13 +81,13 @@ class R4egSpec extends SparkSpec {
 
   test("rank metrics: ndcg bounded, dcg<=idcg, rr consistent with rank") {
     val rows = Queries.byName("eval_rank_metrics").fn(spark, sf)
-      .select("q_id", "dcg_micro", "idcg_micro", "ndcg",
+      .select("q_id", "dcg_micro", "idcg_micro", "ndcg_micro",
         "first_rel_rank", "rr_micro")
-      .as[(Long, Long, Long, Double, Long, Long)].collect().toSeq
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(rows.length == 10)
     rows.foreach { case (q, dcg, idcg, ndcg, fr, rr) =>
       assert(dcg <= idcg, s"q$q: DCG $dcg > IDCG $idcg")
-      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      assert(ndcg >= 0L && ndcg <= 1000000L)
       if (fr == 0L) assert(rr == 0L)
       else assert(rr == 1000000L / fr, s"q$q rr $rr != 1e6/$fr")
     }

@@ -52,11 +52,11 @@ class R4nSpec extends SparkSpec {
   test("stat_kendall_tau: pair accounting closes and tau in [-1, 1]") {
     val r = Queries.byName("stat_kendall_tau").fn(spark, sf)
       .select("pairs", "concordant", "discordant", "ties_x", "ties_y",
-        "ties_xy", "tau_b")
-      .as[(Long, Long, Long, Long, Long, Long, Double)].head()
+        "ties_xy", "tau_b_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
     val (p, c, dd, tx, ty, txy, tau) = r
     assert(c + dd + tx + ty + txy == p, "pair classes don't partition")
-    assert(tau >= -1.0 && tau <= 1.0)
+    assert(tau >= -1000000L && tau <= 1000000L)
   }
 
   test("text_fertility: bytes >= chars and ratios well-formed") {

@@ -36,7 +36,7 @@ class R4pSpec extends SparkSpec {
 
   test("curate_cluster_sample: per-cluster cap and valid assignment") {
     val rows = Queries.byName("curate_cluster_sample").fn(spark, sf)
-      .as[(Long, Long, Long, Double)].collect().toSeq
+      .as[(Long, Long, Long, Long)].collect().toSeq
     assert(rows.nonEmpty)
     rows.groupBy(_._1).foreach { case (cid, members) =>
       assert(cid >= 0 && cid < 8)

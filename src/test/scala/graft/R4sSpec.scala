@@ -25,15 +25,15 @@ class R4sSpec extends SparkSpec {
 
   test("ml_roc_points: cumulative counts and rates are monotone") {
     val rows = Queries.byName("ml_roc_points").fn(spark, sf)
-      .select("band", "cum_tp", "cum_fp", "tpr", "fpr")
-      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+      .select("band", "cum_tp", "cum_fp", "tpr_micro", "fpr_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
       .sortBy(-_._1) // highest band (threshold) first
     assert(rows.size >= 3)
     rows.sliding(2).foreach { case Seq(hi, lo) =>
       assert(lo._2 >= hi._2 && lo._3 >= hi._3, "cumulative counts decreased")
     }
     val last = rows.last
-    assert(math.abs(last._4 - 1.0) < 1e-9 && math.abs(last._5 - 1.0) < 1e-9,
+    assert(last._4 == 1000000L && last._5 == 1000000L,
       "curve must end at (1, 1)")
   }
 
