@@ -622,7 +622,9 @@ object QueriesNext {
       "customer-key shuffle and the pair groupBy; top-50 via " +
       "TakeOrdered.",
     (s, d) =>
-      Graph.coPurchasePairs(t(s, d, "orders"), t(s, d, "lineitem"), 20)
+      // top-50 of the memoized top-2000 backbone — identical to top-50 of
+      // the full pair set (same total order cuts both)
+      Graph.backbone(s, d)
         .orderBy(col("n_shared").desc, col("a"), col("b"))
         .limit(50),
     Some("""WITH ed AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
@@ -646,11 +648,10 @@ object QueriesNext {
       "shuffles per round, ranks checkpointed round-over-round, blocks " +
       "freed eagerly; the oracle replays all 5 rounds in SQL.",
     (s, d) => {
-      val oli = t(s, d, "orders").select("o_orderkey", "o_custkey")
-        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-      val fwd = oli.select(col("o_custkey").as("src"),
-        (col("l_suppkey") + 1000000).as("dst"))
+      // memoized distinct (c, s) trade edges (Graph.tradeEdges) — the
+      // dedup inside pageRankInt rides the already-distinct frame
+      val fwd = Graph.tradeEdges(s, d).select(col("c").as("src"),
+        (col("s") + 1000000).as("dst"))
       val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pageRankInt(edges, 5).orderBy("node")
     },

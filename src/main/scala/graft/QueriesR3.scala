@@ -207,12 +207,7 @@ object QueriesR3 {
       "backbone is localCheckpoint'ed once — three plan references, one " +
       "materialization; top-2000 itself is a TakeOrdered, no global sort.",
     (s, d) => {
-      val e = Graph
-        .coPurchasePairs(t(s, d, "orders"), t(s, d, "lineitem"), 20)
-        .orderBy(col("n_shared").desc, col("a"), col("b"))
-        .limit(2000)
-        .select("a", "b")
-        .localCheckpoint(true)
+      val e = Graph.backbone(s, d).select("a", "b")
       val w = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
         .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
       val tri = w.join(e.as("e3"),

@@ -36,11 +36,7 @@ object QueriesR3b {
       "min(hop); the Spark loop never materializes that pair space — " +
       "first-reach IS minimality.",
     (s, d) => {
-      val e = Graph
-        .coPurchasePairs(t(s, d, "orders"), t(s, d, "lineitem"), 20)
-        .orderBy(col("n_shared").desc, col("a"), col("b"))
-        .limit(2000)
-        .select("a", "b")
+      val e = Graph.backbone(s, d).select("a", "b")
       Graph.bfsHops(e, 4).orderBy("hop", "node")
     },
     Some("""WITH ed AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s

@@ -172,12 +172,9 @@ object QueriesR3q {
       "pairs; capped it is ~1k). Distinct edges, a capped self-join " +
       "on the customer, one groupBy on the pair — top 20.",
     (s, d) => {
-      val edges = t(s, d, "orders")
-        .select("o_orderkey", "o_custkey")
-        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct()
+      // memoized distinct (c, s) trade edges — shared with g1/g7 and the
+      // co-purchase backbone family (Graph.tradeEdges)
+      val edges = graft.operators.Graph.tradeEdges(s, d)
       val deg = edges.groupBy("c").agg(count(lit(1)).as("d"))
         .filter(col("d").between(2, 12))
         .select(col("c"),

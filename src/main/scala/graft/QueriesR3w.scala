@@ -178,18 +178,17 @@ object QueriesR3w {
       "actual compute on this 2000-row backbone).",
     (s, d) => {
       import graft.operators.Iterate.checkpointRdd
-      val e0 = Graph
-        .coPurchasePairs(t(s, d, "orders"), t(s, d, "lineitem"), 20)
-        .orderBy(col("n_shared").desc, col("a"), col("b"))
-        .limit(2000)
-        .select("a", "b")
-        .localCheckpoint(true)
-      var edges = e0
-      var lastCp = e0
+      // memoized top-2000 backbone (Graph.backbone) — shared across the
+      // graph family instead of rebuilt per query
+      var edges = Graph.backbone(s, d).select("a", "b")
+      var lastCp: DataFrame = null
+      var lastN = -1L
       def undirected(e: DataFrame): DataFrame =
         e.select(col("a").as("v"), col("b").as("w"))
           .unionAll(e.select(col("b").as("v"), col("a").as("w")))
-      for (round <- 1 to 6) {
+      var round = 1
+      var converged = false
+      while (round <= 6 && !converged) {
         val alive = undirected(edges).groupBy("v")
           .agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 3)
@@ -198,14 +197,22 @@ object QueriesR3w {
           .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
           .select("a", "b")
-        if (round % 2 == 0) {
+        if (round % 2 == 0 || round == 6) {
           val cp = next.localCheckpoint(true)
-          checkpointRdd(lastCp).foreach(_.unpersist(blocking = false))
+          Option(lastCp).flatMap(checkpointRdd)
+            .foreach(_.unpersist(blocking = false))
           lastCp = cp
           edges = cp
+          // peeling is monotone: an unchanged edge count at a checkpoint
+          // means the fixpoint is reached and remaining rounds are no-ops
+          // (the oracle replays all 6 — identical by monotonicity). The
+          // count reads the just-materialized ≤2000-row checkpoint.
+          val n = cp.count()
+          if (n == lastN) converged = true else lastN = n
         } else {
           edges = next
         }
+        round += 1
       }
       undirected(edges).groupBy(col("v").as("node"))
         .agg(count(lit(1)).as("core_deg"))

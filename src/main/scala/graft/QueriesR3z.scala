@@ -25,16 +25,18 @@ object QueriesR3z {
       "per-round max-normalization in integer arithmetic (score·1e6 " +
       "div max) keeps every round order-independent and hash-gradable, " +
       "where float HITS's L2 norm could not be. Each half-round is one " +
-      "keyed join + groupBy; the normalizing max rides a 1-row " +
-      "broadcast, never a driver scalar; rounds are localCheckpoint'ed " +
-      "and freed like pagerank's. Top 15 per side via a per-side " +
-      "window over pre-shrunk score tables.",
+      "keyed join + groupBy over the memoized trade edge list " +
+      "(Graph.tradeEdges — shared across the whole graph family); the " +
+      "normalizing max is a 1-row aggregate of the half-round's " +
+      "checkpointed score table broadcast into the next join — never a " +
+      "driver scalar, never an O(|V|) single-partition window. Top 15 " +
+      "per side via a per-side window over pre-shrunk score tables.",
     (s, d) => {
-      val edges = t(s, d, "orders").select("o_orderkey", "o_custkey")
-        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
-      Graph.hitsInt(edges, 3)
+      val edges = Graph.tradeEdges(s, d)
+        .select(col("c").as("src"), col("s").as("dst"))
+      // parts=8: the trade graph is ~16k nodes at sf0.1 — a handful of
+      // partitions covers it; at corpus scale pass a real parallelism
+      Graph.hitsInt(edges, 3, assumeDistinct = true, parts = 8)
         .withColumn("rk", row_number().over(
           Window.partitionBy("side").orderBy(desc("score"), col("node"))))
         .filter(col("rk") <= 15)

@@ -83,12 +83,9 @@ object QueriesR4l {
       "the 2000 edges. Everything downstream of the backbone cap is " +
       "bounded work at any corpus size.",
     (s, d) => {
-      val e0 = Graph
-        .coPurchasePairs(t(s, d, "orders"), t(s, d, "lineitem"), 20)
-        .orderBy(col("n_shared").desc, col("a"), col("b"))
-        .limit(2000)
-        .select("a", "b")
-        .localCheckpoint(true)
+      // memoized top-2000 backbone (Graph.backbone) — shared across the
+      // graph family instead of rebuilt per query
+      val e0 = Graph.backbone(s, d).select("a", "b")
       val und = e0.select(col("a").as("v"), col("b").as("w"))
         .unionAll(e0.select(col("b").as("v"), col("a").as("w")))
       val nodes = und.groupBy("v")

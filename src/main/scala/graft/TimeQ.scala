@@ -23,7 +23,12 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
     // dev knob: SPARK_EXTRA_CONF="k=v;k=v" for conf experiments
     sys.env.get("SPARK_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k, v)
+          case _ => System.err.println(s"[timeq] skipping malformed conf entry '$kv'")
+        }
+      })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -43,6 +48,15 @@ object TimeQ {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
+      // listener counters update asynchronously on the bus — drain it so
+      // this query's jobs/stages/tasks don't bleed into the next snapshot
+      // (listenerBus is private[spark]; reflection is fine in a dev tool)
+      for {
+        m <- spark.sparkContext.getClass.getMethods.find(_.getName == "listenerBus")
+        bus = m.invoke(spark.sparkContext)
+        w <- bus.getClass.getMethods
+          .find(x => x.getName == "waitUntilEmpty" && x.getParameterCount == 0)
+      } w.invoke(bus)
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => before.contains(id) }
         .foreach { case (_, rdd) => rdd.unpersist(blocking = false) }
@@ -50,6 +64,7 @@ object TimeQ {
     }
 
     graft.engine.Engine.persistTables(spark, sfDir)
+    graft.operators.Graph.warmDerived(spark, sfDir)
     names.foreach(run) // warm-up pass
     val t = names.map(n => n -> run(n))
     t.foreach { case (n, (s, j, st, tk)) =>

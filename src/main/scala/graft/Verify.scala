@@ -23,7 +23,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // shared one-scan-per-table cache pays off across the full inventory;
     // filtered dev runs skip it
-    if (only.isEmpty) graft.engine.Engine.persistTables(spark, sfDir)
+    if (only.isEmpty) {
+      graft.engine.Engine.persistTables(spark, sfDir)
+      // warm shared derived frames before the first per-query block
+      // snapshot so the leak cleanup below never frees them mid-run
+      graft.operators.Graph.warmDerived(spark, sfDir)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

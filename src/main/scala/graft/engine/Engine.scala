@@ -107,7 +107,9 @@ object Engine {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .count()
       catch {
-        case e: Throwable =>
+        // NonFatal only: an OutOfMemoryError / InterruptedException here
+        // must abort the run, not limp on as a confusing per-table skip
+        case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[engine] persistTables: skipping '$n' (${e.getMessage})")
       }
