@@ -29,7 +29,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver keeps only a bounded TAIL of this run's
+    // output and parses the JSON contract line out of it — stray WARNs
+    // (e.g. WindowExec partition warnings) between the line and EOF eat
+    // the window (observed consuming ~900 chars of round 4's artifact)
+    spark.sparkContext.setLogLevel("ERROR")
 
     def run(name: String): Double = {
       // Iterative queries localCheckpoint their FINAL frame, whose blocks
@@ -78,24 +82,32 @@ object Bench {
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     def fmt(v: Double): String = f"$v%.3f"
-    // Full per-query detail goes to a FILE; the printed contract line is
-    // kept compact. The harness that collects this output keeps only a
-    // bounded tail of it, and a single line carrying all ~112 query
-    // timings at full precision is longer than that window — the line's
-    // head gets cut and the JSON never parses (observed in both prior
-    // rounds' bench artifacts). Budget the printed line well under the
-    // window: headline stats + the slowest queries that fit, count the rest.
+    // Emission contract, three redundant carriers (the driver keeps only a
+    // bounded ~2000-char TAIL of stdout and line-parses the JSON out of
+    // it — a full 278-entry dict is ~6 KB and can never fit there):
+    //  1. BENCH_DETAIL.json in the repo root: the COMPLETE per-query dict,
+    //     committed per round → round-over-round regression diffs live in
+    //     git history regardless of what the driver's window captures.
+    //  2. the full detail line printed FIRST — parseable if the collector
+    //     ever reads whole-stdout.
+    //  3. a compact line printed LAST (so it sits inside the tail window)
+    //     with the same schema: headline stats + the slowest queries that
+    //     fit a conservative budget. build.sbt routes forked stdout
+    //     straight through (no "[info] " logger prefix — the prefix broke
+    //     every prior round's line-wise parse).
     val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detailLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
     val out = new java.io.PrintWriter("BENCH_DETAIL.json")
     try out.println(detailLine) finally out.close()
+    spark.stop() // stop FIRST: shutdown logs must not land after the line
 
+    println(detailLine)
     val tail = s""","sf":"$sfDir"}"""
     val head =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":"""
-    var budget = 1400 - head.length - tail.length - 2 // braces of queries map
+    var budget = 1700 - head.length - tail.length - 2 // braces of queries map
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((k, v) <- results.sortBy(-_._2)) {
       val e = "\"" + k + "\":" + fmt(v)
@@ -103,6 +115,5 @@ object Bench {
       if (budget - cost >= 0) { kept += e; budget -= cost }
     }
     println(head + kept.mkString("{", ",", "}") + tail)
-    spark.stop()
   }
 }

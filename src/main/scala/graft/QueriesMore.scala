@@ -272,15 +272,48 @@ object QueriesMore {
   private val w4 = Q(
     "w4_ntile_percent_rank",
     "Quantile bucketing + relative rank per group: ntile(4) and " +
-      "percent_rank over order price within status — one shuffle on the " +
-      "partition key, rank state never leaves the executors",
+      "percent_rank over order price within status. Ranking is " +
+      "TWO-LEVEL (the stat_spearman scheme): o_orderstatus has 3 " +
+      "values, so a plain per-status window serializes the whole table " +
+      "through 3 tasks at ANY cluster size — instead rows rank inside " +
+      "(status, price-bucket) windows and a broadcast bucket rollup " +
+      "supplies each bucket's offset and the status total, from which " +
+      "global row_number, ntile's closed form (first N%4 quartiles " +
+      "take one extra row) and percent_rank = (rn−1)/(N−1) are exact " +
+      "integer/double arithmetic — identical trees on both engines. " +
+      "Sort parallelism is statuses×buckets, the pattern that holds " +
+      "at 100 TB.",
     (s, d) => {
-      val w = Window.partitionBy("o_orderstatus")
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, d, "orders")
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("bk", floor(col("o_totalprice") / 10000.0))
+      val wS = Window.partitionBy("o_orderstatus").orderBy("bk")
+      val offsets = base.groupBy("o_orderstatus", "bk")
+        .agg(count(lit(1)).as("nb"))
+        .withColumn("off", coalesce(sum("nb").over(
+          wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_tot",
+          sum("nb").over(Window.partitionBy("o_orderstatus")))
+        .select("o_orderstatus", "bk", "off", "n_tot")
+      val wIn = Window.partitionBy("o_orderstatus", "bk")
+        .orderBy("o_totalprice", "o_orderkey")
+      // explicit partition count: the rank sort is CPU-bound and AQE's
+      // size-based coalescing would fold it onto a couple of cores
+      base.repartition(parts, col("o_orderstatus"), col("bk"))
+        .join(broadcast(offsets), Seq("o_orderstatus", "bk"))
+        .withColumn("rn", col("off") + row_number().over(wIn))
         .select(col("o_orderkey"), col("o_orderstatus"),
-          ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"))
+          expr("""CAST(CASE WHEN rn <= (n_tot % 4) * ((n_tot div 4) + 1)
+                  THEN (rn - 1) div ((n_tot div 4) + 1) + 1
+                  ELSE (n_tot % 4) +
+                       (rn - (n_tot % 4) * ((n_tot div 4) + 1) - 1)
+                         div (n_tot div 4) + 1 END AS INT)""")
+            .as("quartile"),
+          expr("""CASE WHEN n_tot > 1
+                  THEN round((CAST(rn AS DOUBLE) - 1.0) /
+                             (CAST(n_tot AS DOUBLE) - 1.0), 6)
+                  ELSE 0.0 END""").as("pct_rank"))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_orderstatus,

@@ -96,25 +96,40 @@ object QueriesR4n {
       "approximation. One shingle-keyed self-join bounded at " +
       "df·(df−1)/2 per shingle, one pair groupBy, top 20.",
     (s, d) => {
+      // shingles ship as xxhash64 LONGS, not strings: every downstream
+      // exchange (distinct, df rollup, index join) moves 8-byte keys
+      // instead of ~30-byte trigrams — the standard hashed-shingle trade
+      // (the MinHash family here does the same); the output carries only
+      // doc ids and counts, so the oracle keeps exact string shingles
       val sh = t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(w) - 3), " +
-            "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("shs"))
+        // hash OUTSIDE the HOF lambda: lambda bodies are interpreted per
+        // element, a top-level column after the explode is codegen'd
+        .select(col("doc_id"), xxhash64(col("shs")).as("sh"))
         .distinct()
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 20)
-      // rsh feeds three branches (sizes, both self-join sides): cache it
-      // so the shingle explode + df pipeline runs once, not three times
-      // (the harness frees per-query cache entries after the run)
+      // rsh feeds two branches (sizes, pair gen): cache it so the shingle
+      // explode + df pipeline runs once, not twice (the harness frees
+      // per-query cache entries after the run)
       val rsh = sh.join(rare, "sh").cache()
       val sizes = rsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val shared = rsh.filter(col("df") >= 2).as("x")
-        .join(rsh.filter(col("df") >= 2).as("y"),
-          col("x.sh") === col("y.sh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      // pair space: collect each rare shingle's (≤20 by the df cap, so
+      // bounded state at any corpus size) sorted doc list in ONE
+      // exchange-free groupBy (rsh is already partitioned by sh from the
+      // join) and enumerate a<b pairs with the chained-generator shape of
+      // Graph.coPurchaseFromEdges — replaces the shingle-keyed self-join,
+      // which shuffled the frame again and emitted both pair mirrors
+      val shared = rsh.filter(col("df") >= 2)
+        .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+        .select(col("a"),
+          explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("b"))
+        .groupBy("a", "b")
         .agg(count(lit(1)).as("shared"))
       shared
         .join(sizes.withColumnRenamed("doc_id", "a")

@@ -36,7 +36,11 @@ object QueriesR4r {
         .withColumn("prv", lag("nxt", 1).over(byUser))
         .filter(col("prv").isNotNull)
         .select("user_id", "prv", "nxt")
-      val types = pairs.select(col("nxt").as("t0")).distinct()
+      // types = union of observed prv AND nxt values: an event type that
+      // only ever opens users' sequences appears solely as prv, and a
+      // nxt-only grid would silently drop its transitions at the join
+      val types = pairs.select(col("nxt").as("t0"))
+        .union(pairs.select(col("prv").as("t0"))).distinct()
       val grid = types.crossJoin(types.select(col("t0").as("t1")))
         .select(col("t0").as("prv"), col("t1").as("nxt"))
       val counts = pairs.groupBy("prv", "nxt").agg(count(lit(1)).as("c"))
@@ -61,7 +65,8 @@ object QueriesR4r {
               FROM events),
             pairs AS (SELECT user_id, prv, nxt FROM seq
                       WHERE prv IS NOT NULL),
-            types AS (SELECT DISTINCT nxt AS t0 FROM pairs),
+            types AS (SELECT DISTINCT nxt AS t0 FROM pairs
+                      UNION SELECT DISTINCT prv FROM pairs),
             grid AS (SELECT a.t0 AS prv, b.t0 AS nxt
                      FROM types a CROSS JOIN types b),
             counts AS (SELECT prv, nxt, count(*) AS c FROM pairs
