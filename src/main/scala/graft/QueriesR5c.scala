@@ -50,8 +50,12 @@ object QueriesR5c {
       val num = dd("m") * dd("sjk") - dd("sj") * dd("sk")
       val den = sqrt((dd("m") * dd("sjj") - dd("sj") * dd("sj")) *
         (dd("m") * dd("skk") - dd("sk") * dd("sk")))
+      // den = 0 when every node has the same degree (a regular graph —
+      // the tiny-SF smoke fixture degenerates to one): assortativity is
+      // undefined there; both engines emit 0 so the guard itself grades
       agg.select(col("m"),
-        round(num / den * 1e6, 0).cast(LongType).as("assort_micro"))
+        when(den > 0, round(num / den * 1e6, 0))
+          .otherwise(lit(0.0)).cast(LongType).as("assort_micro"))
     },
     Some("""WITH ed AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
                         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -82,13 +86,17 @@ object QueriesR5c {
                      CAST(sum(dk * dk) AS BIGINT) AS skk
               FROM pairs)
             SELECT m,
-                   CAST(round((CAST(m AS DOUBLE) * sjk -
-                               CAST(sj AS DOUBLE) * sk) /
-                     sqrt((CAST(m AS DOUBLE) * sjj -
-                           CAST(sj AS DOUBLE) * sj) *
-                          (CAST(m AS DOUBLE) * skk -
-                           CAST(sk AS DOUBLE) * sk)) * 1e6, 0) AS BIGINT)
-                     AS assort_micro
+                   CAST(CASE WHEN sqrt((CAST(m AS DOUBLE) * sjj -
+                                        CAST(sj AS DOUBLE) * sj) *
+                                       (CAST(m AS DOUBLE) * skk -
+                                        CAST(sk AS DOUBLE) * sk)) > 0
+                     THEN round((CAST(m AS DOUBLE) * sjk -
+                                 CAST(sj AS DOUBLE) * sk) /
+                       sqrt((CAST(m AS DOUBLE) * sjj -
+                             CAST(sj AS DOUBLE) * sj) *
+                            (CAST(m AS DOUBLE) * skk -
+                             CAST(sk AS DOUBLE) * sk)) * 1e6, 0)
+                     ELSE 0.0 END AS BIGINT) AS assort_micro
             FROM agg"""))
 
   // ------------- g11_rich_club: connectivity of the high-degree core
