@@ -76,7 +76,7 @@ object Engine {
     val schema = schemaCache.getOrElseUpdate((sfDir, name),
       spark.read.parquet(path).schema)
     val raw = spark.read.schema(schema).parquet(path)
-    if (name == "events") {
+    val typed = if (name == "events") {
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       schema("ts").dataType match {
         case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -84,7 +84,29 @@ object Engine {
         case _                => raw
       }
     } else raw
+    // The fixture files are SINGLE-row-group parquet, so the scan is one
+    // input partition and every compute-heavy map op (image byte walks,
+    // PCM parsing, regex batteries) runs on ONE core — measured 1.5-2 s
+    // single-task stages in the bench. Spread small inputs across local
+    // cores once, here, so the persistTables cache holds the repartitioned
+    // blocks (the cache matches plans STRUCTURALLY — the repartition must
+    // live in the canonical table plan or cached entries would never hit).
+    // Partition count is per-table compute density, not size: documents/
+    // embeddings rows carry regex batteries / 64-float vector math, the
+    // row-keyed facts are shuffle-dominated (a few blocks suffice), and
+    // the broadcast dims stay single-block (a shuffle there only adds a
+    // stage). Size-gated: a production-scale input has many splittable
+    // row groups and parallelizes at the scan, so it never pays this.
+    val bytes = new java.io.File(path).length
+    val np = math.min(fixtureParts.getOrElse(name, 1),
+      spark.sparkContext.defaultParallelism)
+    if (bytes > 0 && bytes < (256L << 20) && np > 1) typed.repartition(np)
+    else typed
   }
+
+  private val fixtureParts: Map[String, Int] = Map(
+    "documents" -> 16, "embeddings" -> 16,
+    "lineitem" -> 8, "orders" -> 4, "events" -> 4)
 
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.types.StructType]
