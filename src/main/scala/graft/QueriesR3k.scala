@@ -104,25 +104,34 @@ object QueriesR3k {
         .agg(count(lit(1)).as("c"))
       val ctot = tc.groupBy("l").agg(sum("c").as("ctok"))
       val vocab = tc.agg(countDistinct("tok").as("v"))
-      val model = tc.join(ctot, "l").crossJoin(broadcast(vocab))
+      // ctok+v is needed by BOTH the model and the unseen floor — build
+      // the 5-row joined frame once and cache it, so vocab/ctot
+      // materialize one broadcast job instead of two apiece (each tiny
+      // broadcast-agg subquery on a lazy lineage is its own scheduler
+      // job locally; fusing them is pure stage-count savings)
+      val ctotv = ctot.crossJoin(broadcast(vocab)).cache()
+      val model = tc.join(ctotv, "l")
         .select(col("l"), col("tok"),
           round(log2((col("c") + 1).cast(DoubleType) /
             (col("ctok") + col("v")).cast(DoubleType)) * 1e6, 0)
             .cast(LongType).as("logp_micro"))
-      val unseen = ctot.crossJoin(broadcast(vocab))
+      val unseen = ctotv
         .select(col("l"),
           round(log2(lit(1.0) /
             (col("ctok") + col("v")).cast(DoubleType)) * 1e6, 0)
             .cast(LongType).as("floor_micro"))
+      // the total-docs divisor rides a whole-frame window over the 5-row
+      // per-language rollup (bounded frame, not a scale hazard) — one
+      // fewer scan + broadcast than a separate count+crossJoin
       val docsPerLang = t(s, d, "documents")
         .groupBy(col("lang").as("l")).agg(count(lit(1)).as("dl"))
-      val docsTot = t(s, d, "documents").agg(count(lit(1)).as("dt"))
-      val prior = docsPerLang.crossJoin(broadcast(docsTot))
+      val prior = docsPerLang
+        .withColumn("dt", sum("dl").over(Window.partitionBy()))
         .select(col("l"),
           round(log2(col("dl").cast(DoubleType) /
             col("dt").cast(DoubleType)) * 1e6, 0)
             .cast(LongType).as("prior_micro"))
-      val langs = docsPerLang.select("l")
+      val langs = prior.select("l")
       val scored = tokCnt.crossJoin(broadcast(langs))
         .join(model, Seq("l", "tok"), "left")
         .join(broadcast(unseen), "l")

@@ -47,20 +47,26 @@ object QueriesR5d {
             col("l_linestatus").as("b")))).as("t"))
         .select(col("t.pair").as("pair"), col("t.a").as("a"),
           col("t.b").as("b"))
+      // hash-agg absorbs the ×3 explode map-side (the shuffle carries the
+      // ≤few-hundred-cell grid, not the fact rows); marginals ride
+      // WINDOWS over that bounded grid instead of four tiny broadcast
+      // joins — window partitions are capped by category cardinalities,
+      // so the frames stay bounded at any corpus size
       val cells = raw.groupBy("pair", "a", "b").agg(count(lit(1)).as("obs"))
-      val rt = cells.groupBy("pair", "a").agg(sum("obs").as("rt"))
-      val ct = cells.groupBy("pair", "b").agg(sum("obs").as("ct"))
-      val nn = cells.groupBy("pair").agg(sum("obs").as("n"),
-        countDistinct("a").as("r"), countDistinct("b").as("c"))
       def dd(c: String) = col(c).cast(DoubleType)
+      val enriched = cells
+        .withColumn("rt", sum("obs").over(Window.partitionBy("pair", "a")))
+        .withColumn("ct", sum("obs").over(Window.partitionBy("pair", "b")))
+        .withColumn("n", sum("obs").over(Window.partitionBy("pair")))
       val e = dd("rt") * dd("ct") / dd("n")
-      val chi = cells.join(rt, Seq("pair", "a")).join(ct, Seq("pair", "b"))
-        .join(nn.select("pair", "n"), "pair")
+      val perPair = enriched
         .withColumn("cell_micro",
           round((dd("obs") - e) * (dd("obs") - e) / e * 1e6, 0)
             .cast(LongType))
-        .groupBy("pair").agg(sum("cell_micro").as("chi2_micro"))
-      chi.join(nn, "pair")
+        .groupBy("pair").agg(sum("cell_micro").as("chi2_micro"),
+          max("n").as("n"), countDistinct("a").as("r"),
+          countDistinct("b").as("c"))
+      perPair
         .select(col("pair"), col("n"), col("r"), col("c"),
           col("chi2_micro"),
           round(sqrt(dd("chi2_micro") / 1e6 /
