@@ -87,16 +87,21 @@ object QueriesR3j {
     (s, d) => {
       val items = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      // per-part counts over DISTINCT (ok, pk): collect_set dedups inside
-      // the basket, so cnt needs its own distinct aggregation
-      val cnt = items.distinct().groupBy("pk").agg(count(lit(1)).as("c"))
       // CPU-heavy generator + pair agg: pin the basket exchange to the
       // session's full parallelism — size-first AQE coalescing would run
       // the ~20 MB pair stream on 2 cores (same rationale as
       // stat_spearman's pinned rank exchange)
       val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val pairs = items.repartition(parts, col("ok")).groupBy("ok")
+      // ONE basket aggregation feeds both branches: collect_set dedups
+      // (ok, pk) inside the basket, so exploding the cached basket
+      // arrays IS the distinct — the separate fact-table distinct+agg
+      // branch (a second full shuffle) was pure duplicate work
+      val baskets = items.repartition(parts, col("ok")).groupBy("ok")
         .agg(array_sort(collect_set(col("pk"))).as("ps"))
+        .cache()
+      val cnt = baskets.select(explode(col("ps")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("c"))
+      val pairs = baskets
         .filter(size(col("ps")) >= 2)
         .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
         .select(col("a"),
