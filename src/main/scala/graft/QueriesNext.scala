@@ -649,11 +649,14 @@ object QueriesNext {
       "freed eagerly; the oracle replays all 5 rounds in SQL.",
     (s, d) => {
       // memoized distinct (c, s) trade edges (Graph.tradeEdges) — the
-      // dedup inside pageRankInt rides the already-distinct frame
+      // dedup inside pageRankInt rides the already-distinct frame.
+      // parts=8: the ~700k-edge frame is a few MB, and a 32-way cached
+      // partitioning makes all 10 per-round stages pay 32 near-empty
+      // tasks (measured 5.6 s → 3.2 s at 8; 4/8/16 within noise)
       val fwd = Graph.tradeEdges(s, d).select(col("c").as("src"),
         (col("s") + 1000000).as("dst"))
       val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      Graph.pageRankInt(edges, 5).orderBy("node")
+      Graph.pageRankInt(edges, 5, parts = 8).orderBy("node")
     },
     Some("""WITH fwd AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
                          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
