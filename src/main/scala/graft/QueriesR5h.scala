@@ -1,0 +1,342 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.engine.Engine
+import graft.operators.Graph
+
+/** Round-5 batch 6: one-way ANOVA F, rank-1 ALS recommender step,
+  * neighborhood-Jaccard link prediction, binary-segmentation
+  * changepoint, Kneser-Ney bigram smoothing.
+  */
+object QueriesR5h {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  // ------- stat_anova_f: classical one-way ANOVA across event types
+
+  private val anovaF = Q(
+    "stat_anova_f",
+    "One-way ANOVA F-test of event value across event types — the " +
+      "parametric counterpart to the inventory's Kruskal-Wallis (rank) " +
+      "and Brown-Forsythe (spread) tests: SS_between = Σ s1_g²/n_g − " +
+      "S²/N and SS_within = Σ s2_g − Σ s1_g²/n_g, both assembled from " +
+      "exact integer (cents) per-group sums, with each group's s1²/n " +
+      "term micro-rounded ONCE before the k-row rollup so the final " +
+      "sums are accumulation-order-proof. Two keyed aggregations total " +
+      "(group stats, then a k-row fold) — the same two-pass shape at " +
+      "any corpus size; F itself is a scalar from the single fold row.",
+    (s, d) => {
+      val base = t(s, d, "events")
+        .select(col("event_type").as("g"),
+          round(col("value") * 100, 0).cast(LongType).as("c"))
+      val grp = base.groupBy("g").agg(count(lit(1)).as("n"),
+        sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+      def dd(c: String) = col(c).cast(DoubleType)
+      // s1² stays BIGINT (exact; |s1| ≲ 3e8 → s1² ≲ 9e16 < 2^63), the
+      // division is the only float op and is micro-rounded per group
+      val terms = grp.select(col("n"), col("s1"), col("s2"),
+        round((col("s1") * col("s1")).cast(DoubleType) / dd("n") * 1e6, 0)
+          .cast(LongType).as("term_microc2"))
+      val fold = terms.agg(count(lit(1)).as("k"), sum("n").as("n_total"),
+        sum("s1").as("s1_total"), sum("s2").as("s2_total"),
+        sum("term_microc2").as("sum_term_microc2"))
+      fold.select(col("k"), col("n_total"),
+          round((dd("sum_term_microc2") / 1e6 -
+            (col("s1_total") * col("s1_total")).cast(DoubleType) /
+              dd("n_total")), 0).cast(LongType).as("ssb_c2"),
+          round((dd("s2_total") - dd("sum_term_microc2") / 1e6), 0)
+            .cast(LongType).as("ssw_c2"))
+        .select(col("k"), col("n_total"), col("ssb_c2"), col("ssw_c2"),
+          round((dd("ssb_c2") / (dd("k") - 1)) /
+            (dd("ssw_c2") / (dd("n_total") - dd("k"))) * 1e6, 0)
+            .cast(LongType).as("f_micro"))
+    },
+    Some("""WITH base AS (
+              SELECT event_type AS g,
+                     CAST(round(value * 100, 0) AS BIGINT) AS c
+              FROM events),
+            grp AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c) AS BIGINT) AS s1,
+                     CAST(sum(c * c) AS BIGINT) AS s2
+              FROM base GROUP BY 1),
+            terms AS (
+              SELECT n, s1, s2,
+                     CAST(round(CAST(s1 * s1 AS DOUBLE) / n * 1e6, 0)
+                       AS BIGINT) AS term_microc2
+              FROM grp),
+            fold AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(n) AS BIGINT) AS n_total,
+                     CAST(sum(s1) AS BIGINT) AS s1_total,
+                     CAST(sum(s2) AS BIGINT) AS s2_total,
+                     CAST(sum(term_microc2) AS BIGINT) AS sum_term_microc2
+              FROM terms),
+            ss AS (
+              SELECT k, n_total,
+                     CAST(round(CAST(sum_term_microc2 AS DOUBLE) / 1e6 -
+                       CAST(s1_total * s1_total AS DOUBLE) / n_total, 0)
+                       AS BIGINT) AS ssb_c2,
+                     CAST(round(CAST(s2_total AS DOUBLE) -
+                       CAST(sum_term_microc2 AS DOUBLE) / 1e6, 0)
+                       AS BIGINT) AS ssw_c2
+              FROM fold)
+            SELECT k, n_total, ssb_c2, ssw_c2,
+                   CAST(round((CAST(ssb_c2 AS DOUBLE) / (k - 1)) /
+                     (CAST(ssw_c2 AS DOUBLE) / (n_total - k)) * 1e6, 0)
+                     AS BIGINT) AS f_micro
+            FROM ss"""))
+
+  // ------- rec_als_rank1: one alternating-least-squares update
+
+  private val alsRank1 = Q(
+    "rec_als_rank1",
+    "One rank-1 ALS update on the customer×part quantity matrix — the " +
+      "core step of matrix-factorization recommenders, expressed as two " +
+      "keyed aggregations instead of a solver: with item factors " +
+      "initialized to 1, the closed-form user step is u_c = Σr/|r| " +
+      "(each user's mean rating), then the item step is v_p = " +
+      "Σ(r·u)/Σu² over the part's raters. u is micro-rounded ONCE " +
+      "before the item step, making both its sums exact BIGINT " +
+      "arithmetic (r ≤ 50 and u_micro ≤ 5e7 keep every product far " +
+      "from 2^63) — accumulation-order-proof across engines AND " +
+      "executors. Everything is keyed on custkey then partkey: " +
+      "shuffle-partitioned, no driver-side linear algebra, the exact " +
+      "shape a 100 TB interaction matrix needs.",
+    (s, d) => {
+      val r = t(s, d, "lineitem")
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"),
+          round(col("l_quantity"), 0).cast(LongType).as("r"))
+      val u = r.groupBy("c").agg(
+        round(sum("r").cast(DoubleType) / count(lit(1)) * 1e6, 0)
+          .cast(LongType).as("u_micro"))
+      def dd(c: String) = col(c).cast(DoubleType)
+      r.join(u, "c")
+        .groupBy("p")
+        .agg(count(lit(1)).as("n_raters"),
+          sum(col("r") * col("u_micro")).as("num_micro"),
+          sum(col("u_micro") * col("u_micro")).as("den_micro2"))
+        .select(col("p").as("p_partkey"), col("n_raters"),
+          round(dd("num_micro") * 1e6 / dd("den_micro2") * 1e6, 0)
+            .cast(LongType).as("v_micro"))
+        .orderBy(desc("v_micro"), col("p_partkey")).limit(25)
+    },
+    Some("""WITH r AS (
+              SELECT o_custkey AS c, l_partkey AS p,
+                     CAST(round(l_quantity, 0) AS BIGINT) AS r
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            u AS (
+              SELECT c,
+                     CAST(round(CAST(sum(r) AS DOUBLE) / count(*) * 1e6, 0)
+                       AS BIGINT) AS u_micro
+              FROM r GROUP BY 1)
+            SELECT p AS p_partkey, CAST(count(*) AS BIGINT) AS n_raters,
+                   CAST(round(CAST(sum(r * u_micro) AS DOUBLE) * 1e6 /
+                     CAST(sum(u_micro * u_micro) AS DOUBLE) * 1e6, 0)
+                     AS BIGINT) AS v_micro
+            FROM r JOIN u USING (c)
+            GROUP BY p
+            ORDER BY v_micro DESC, p_partkey LIMIT 25"""))
+
+  // ------- g13_neighborhood_jaccard: structural link prediction
+
+  private val neighborhoodJaccard = Q(
+    "g13_neighborhood_jaccard",
+    "Neighborhood-Jaccard link prediction on the co-purchase backbone: " +
+      "for node pairs at distance 2 (sharing ≥1 neighbor) that are NOT " +
+      "already edges, J = |N(a)∩N(b)| / |N(a)∪N(b)| — the set-overlap " +
+      "complement to g5's Adamic-Adar (which weights by neighbor " +
+      "rarity). Candidate pairs come from a self-join on the shared " +
+      "neighbor (bounded by the backbone's deg cap, never |V|²), " +
+      "existing edges are removed by one anti join, and the union size " +
+      "is deg_a + deg_b − common from a broadcast degree rollup. Rides " +
+      "the memoized top-2000 backbone shared with g2/g3/g5/g6/g7/g9.",
+    (s, d) => {
+      val ed = Graph.backbone(s, d).select("a", "b")
+      val und = ed.select(col("a").as("v"), col("b").as("w"))
+        .unionAll(ed.select(col("b").as("v"), col("a").as("w")))
+      val deg = und.groupBy("v").agg(count(lit(1)).as("deg"))
+      val cand = und.as("x").join(und.as("y"),
+          col("x.w") === col("y.w") && col("x.v") < col("y.v"))
+        .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+        .agg(count(lit(1)).as("common"))
+      def dd(c: String) = col(c).cast(DoubleType)
+      cand
+        .join(ed.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+        .join(broadcast(deg.select(col("v").as("a"),
+          col("deg").as("deg_a"))), "a")
+        .join(broadcast(deg.select(col("v").as("b"),
+          col("deg").as("deg_b"))), "b")
+        .select(col("a"), col("b"), col("common"),
+          (col("deg_a") + col("deg_b") - col("common")).as("uni"),
+          round(dd("common") * 1e6 /
+            (dd("deg_a") + dd("deg_b") - dd("common")), 0)
+            .cast(LongType).as("jaccard_micro"))
+        .orderBy(desc("jaccard_micro"), col("a"), col("b")).limit(30)
+    },
+    Some("""WITH ed AS MATERIALIZED (
+                SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            cap AS (SELECT c, list_sort(list(DISTINCT s))[1:20] AS ss
+                    FROM ed GROUP BY c),
+            pr AS (SELECT unnest(flatten(list_transform(range(1, len(ss)),
+                     i -> list_transform(range(i + 1, len(ss) + 1),
+                       j -> {'a': ss[i], 'b': ss[j]})))) AS p
+                   FROM cap WHERE len(ss) >= 2),
+            e0 AS MATERIALIZED (
+                SELECT a, b FROM (SELECT p.a AS a, p.b AS b,
+                                         count(*) AS n
+                                  FROM pr GROUP BY p.a, p.b
+                                  ORDER BY n DESC, a, b LIMIT 2000)),
+            und AS MATERIALIZED (
+                SELECT a AS v, b AS w FROM e0
+                UNION ALL SELECT b AS v, a AS w FROM e0),
+            deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+                    FROM und GROUP BY 1),
+            cand AS (
+                SELECT x.v AS a, y.v AS b,
+                       CAST(count(*) AS BIGINT) AS common
+                FROM und x JOIN und y ON x.w = y.w AND x.v < y.v
+                GROUP BY 1, 2),
+            nonedge AS (
+                SELECT cand.* FROM cand
+                ANTI JOIN e0 ON cand.a = e0.a AND cand.b = e0.b)
+            SELECT n.a, n.b, n.common,
+                   da.deg + db.deg - n.common AS uni,
+                   CAST(round(CAST(n.common AS DOUBLE) * 1e6 /
+                     (CAST(da.deg AS DOUBLE) + db.deg - n.common), 0)
+                     AS BIGINT) AS jaccard_micro
+            FROM nonedge n
+            JOIN deg da ON n.a = da.v
+            JOIN deg db ON n.b = db.v
+            ORDER BY jaccard_micro DESC, a, b LIMIT 30"""))
+
+  // ------- stat_changepoint: binary segmentation on daily revenue
+
+  private val changepoint = Q(
+    "stat_changepoint",
+    "Single-changepoint detection on the daily order-revenue series by " +
+      "binary segmentation: the split k maximizing the SSE reduction " +
+      "P_k²/k + (S−P_k)²/(T−k) − S²/T, computed entirely from BIGINT " +
+      "(cents) prefix sums over the daily rollup — a cumulative window " +
+      "plus arithmetic, no per-split rescans. The unpartitioned window " +
+      "rides the DAILY frame, which is bounded by the calendar (~2.4k " +
+      "rows at ANY corpus size — same bounded-frame contract as w27's " +
+      "horizon), never by row count; the raw table is reduced by one " +
+      "keyed day rollup first. The argmax is a deterministic top-1 cut.",
+    (s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast(LongType))
+          .as("rev"))
+      val w = Window.partitionBy(lit(1)).orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+      def dd(c: String) = col(c).cast(DoubleType)
+      daily
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("pk", sum("rev").over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum("rev").over(wAll))
+        .filter(col("k") < col("n"))
+        .select(col("day"), col("k"), col("n"),
+          round(dd("pk") * dd("pk") / dd("k") +
+            (dd("s") - dd("pk")) * (dd("s") - dd("pk")) /
+              (dd("n") - dd("k")) -
+            dd("s") * dd("s") / dd("n"), 0).cast(LongType).as("gain_c2"),
+          expr("pk div k").as("mean_left_cents"),
+          expr("(s - pk) div (n - k)").as("mean_right_cents"))
+        .orderBy(desc("gain_c2"), col("day")).limit(1)
+    },
+    Some("""WITH daily AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                     CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            pre AS (
+              SELECT day,
+                     CAST(count(*) OVER (ORDER BY day) AS BIGINT) AS k,
+                     CAST(sum(rev) OVER (ORDER BY day) AS BIGINT) AS pk,
+                     CAST(count(*) OVER () AS BIGINT) AS n,
+                     CAST(sum(rev) OVER () AS BIGINT) AS s
+              FROM daily)
+            SELECT day, k, n,
+                   CAST(round(CAST(pk AS DOUBLE) * pk / k +
+                     (CAST(s AS DOUBLE) - pk) * (CAST(s AS DOUBLE) - pk) /
+                       (n - k) -
+                     CAST(s AS DOUBLE) * s / n, 0) AS BIGINT) AS gain_c2,
+                   pk // k AS mean_left_cents,
+                   (s - pk) // (n - k) AS mean_right_cents
+            FROM pre WHERE k < n
+            ORDER BY gain_c2 DESC, day LIMIT 1"""))
+
+  // ------- text_kneser_ney: interpolated KN bigram smoothing
+
+  private val kneserNey = Q(
+    "text_kneser_ney",
+    "Interpolated Kneser-Ney bigram probabilities (discount D=0.75) — " +
+      "the smoothing KenLM actually ships, and the step past " +
+      "text_bigram_lm's add-one: P(w2|w1) = max(c−D,0)/c(w1·) + " +
+      "D·N1+(w1,·)/c(w1·) · N1+(·,w2)/|bigram types|, where the " +
+      "continuation weight counts DISTINCT contexts, not tokens. All " +
+      "four model statistics are keyed counting aggregations over one " +
+      "exploded bigram stream (sharded by bigram key at scale); the " +
+      "probability is assembled from exact BIGINTs in one map stage " +
+      "and micro-rounded. Top-30 bigrams by count, ties on the pair.",
+    (s, d) => {
+      val pairs = t(s, d, "documents")
+        .select(split(col("text"), " ").as("tk"))
+        .select(explode(expr(
+          "transform(sequence(0, size(tk) - 2), " +
+            "i -> struct(tk[i] AS a, tk[i+1] AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+        .localCheckpoint()
+      val ctx = big.groupBy("a").agg(sum("cab").as("ca"),
+        count(lit(1)).as("n1fwd"))
+      val cont = big.groupBy("b").agg(count(lit(1)).as("n1back"))
+      val types = big.agg(count(lit(1)).as("nt"))
+      def dd(c: String) = col(c).cast(DoubleType)
+      big.join(ctx, "a").join(cont, "b").crossJoin(broadcast(types))
+        .select(col("a"), col("b"), col("cab"), col("ca"),
+          col("n1fwd"), col("n1back"),
+          round((greatest(dd("cab") - 0.75, lit(0.0)) / dd("ca") +
+            lit(0.75) * dd("n1fwd") / dd("ca") *
+              dd("n1back") / dd("nt")) * 1e6, 0)
+            .cast(LongType).as("pkn_micro"))
+        .orderBy(desc("cab"), col("a"), col("b")).limit(30)
+    },
+    Some("""WITH toks AS (SELECT string_split(text, ' ') AS l
+                          FROM documents),
+            pairs AS (SELECT l[i] AS a, l[i+1] AS b
+                      FROM (SELECT l, unnest(range(1, len(l))) AS i
+                            FROM toks WHERE len(l) >= 2)),
+            big AS MATERIALIZED (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+              FROM pairs GROUP BY 1, 2),
+            ctx AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca,
+                           CAST(count(*) AS BIGINT) AS n1fwd
+                    FROM big GROUP BY 1),
+            cont AS (SELECT b, CAST(count(*) AS BIGINT) AS n1back
+                     FROM big GROUP BY 1),
+            types AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM big)
+            SELECT a, b, cab, ca, n1fwd, n1back,
+                   CAST(round((greatest(CAST(cab AS DOUBLE) - 0.75, 0) /
+                       ca +
+                     0.75 * n1fwd / CAST(ca AS DOUBLE) *
+                       n1back / CAST(nt AS DOUBLE)) * 1e6, 0)
+                     AS BIGINT) AS pkn_micro
+            FROM big JOIN ctx USING (a) JOIN cont USING (b)
+            CROSS JOIN types
+            ORDER BY cab DESC, a, b LIMIT 30"""))
+
+  val all: Seq[Q] =
+    Seq(anovaF, alsRank1, neighborhoodJaccard, changepoint, kneserNey)
+}
