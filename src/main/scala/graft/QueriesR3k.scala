@@ -91,17 +91,20 @@ object QueriesR3k {
       "pipeline runs. Model and scoring both shard by token at scale; " +
       "the 5-row language list is a broadcast multiplier.",
     (s, d) => {
-      // the token explode feeds three branches — cache it once; vocabulary
-      // size derives from the (already aggregated) per-lang counts instead
-      // of a third pass over the explode
-      val toks = t(s, d, "documents")
+      // ONE explode pass: per-doc token counts carry lang (functionally
+      // dependent on doc_id, so the extra key is free), and the per-lang
+      // model counts aggregate FROM the cached per-doc frame — the raw
+      // 6M-row token stream is never cached or re-scanned (it was the
+      // query's dominant cost: a second explode pass + a columnar cache
+      // of raw token strings)
+      val tokCnt = t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("tok"))
-        .cache()
-      val tokCnt = toks.groupBy("doc_id", "tok")
+        .groupBy("doc_id", "lang", "tok")
         .agg(count(lit(1)).as("cnt"))
-      val tc = toks.groupBy(col("lang").as("l"), col("tok"))
-        .agg(count(lit(1)).as("c"))
+        .cache()
+      val tc = tokCnt.groupBy(col("lang").as("l"), col("tok"))
+        .agg(sum("cnt").as("c"))
       val ctot = tc.groupBy("l").agg(sum("c").as("ctok"))
       val vocab = tc.agg(countDistinct("tok").as("v"))
       // ctok+v is needed by BOTH the model and the unseen floor — build

@@ -22,55 +22,60 @@ object QueriesR3w {
     "Schema-wide referential-integrity audit — every FK edge of the star " +
       "schema in one report: per relationship, child rows, distinct " +
       "child keys, orphan rows (child key missing from the parent) and " +
-      "unreferenced parents (parent row no child ever points at). Each " +
-      "relationship aggregates the child to its DISTINCT keys first " +
-      "(one key shuffle over pre-shrunk data), then ONE full-outer join " +
-      "of child-key and parent-key sets feeds a single 1-row aggregate " +
-      "computing totals, orphans and unreferenced parents together — " +
-      "no anti-joins, no crossJoins, one pass per edge; the 7 per-edge " +
-      "reports are single rows unioned at the end, " +
+      "unreferenced parents (parent row no child ever points at). All " +
+      "7 edges ride ONE tagged union stream — child keys tagged cnt=1, " +
+      "parent keys par=1 — through a single (rel, key) shuffle and a " +
+      "7-row rollup: no anti-joins, no per-edge job chains, one keyed " +
+      "pass over the whole star schema, " +
       "so cost scales with the tables, never the report. The fixture " +
       "audits non-trivially: 257 orders carry no lineitems and 1350 " +
       "customers never appear in events — coverage gaps a naive " +
       "orphans-only check would miss.",
     (s, d) => {
-      def rel(relName: String, child: DataFrame, ck: String,
-              parent: DataFrame, pk: String): DataFrame = {
-        val ckeys = child.groupBy(col(ck).as("k"))
-          .agg(count(lit(1)).as("rows_per_key"))
-        val pkeys = parent.select(col(pk).as("k")).distinct()
-          .withColumn("in_parent", lit(1))
-        // both sides arrive partitioned on k, so the full-outer join adds
-        // no exchange; every report column falls out of one 1-row agg
-        ckeys.join(pkeys, Seq("k"), "full_outer")
-          .agg(
-            coalesce(sum("rows_per_key"), lit(0L)).cast(LongType)
-              .as("child_rows"),
-            count(col("rows_per_key")).as("child_keys"),
-            coalesce(sum(when(col("in_parent").isNull,
-              col("rows_per_key"))), lit(0L)).cast(LongType)
-              .as("orphan_rows"),
-            count(when(col("rows_per_key").isNull, lit(1)))
-              .as("unref_parents"))
-          .select(lit(relName).as("rel"), col("child_rows"),
-            col("child_keys"), col("orphan_rows"), col("unref_parents"))
-      }
+      // ONE tagged union stream for all 7 edges: child side emits
+      // (rel, k, cnt=1, par=0), parent side (rel, k, cnt=0, par=1); a
+      // single (rel, k) shuffle then a 7-row rollup replace 7 separate
+      // groupBy+distinct+full-outer-join branches (21 AQE stage-jobs of
+      // scheduling floor → 3 stages; on a cluster one keyed shuffle
+      // beats seven sequential small jobs the same way). All FK/PK
+      // columns are BIGINT, so the streams union without casts.
+      def childS(relName: String, child: DataFrame, ck: String) =
+        child.select(lit(relName).as("rel"), col(ck).as("k"),
+          lit(1L).as("cnt"), lit(0).as("par"))
+      def parentS(relName: String, parent: DataFrame, pk: String) =
+        parent.select(lit(relName).as("rel"), col(pk).as("k"),
+          lit(0L).as("cnt"), lit(1).as("par"))
       val li = t(s, d, "lineitem"); val od = t(s, d, "orders")
-      val cu = t(s, d, "customer")
-      rel("customer.c_nationkey->nation", cu, "c_nationkey",
-          t(s, d, "nation"), "n_nationkey")
-        .unionAll(rel("events.user_id->customer", t(s, d, "events"),
-          "user_id", cu, "c_custkey"))
-        .unionAll(rel("lineitem.l_orderkey->orders", li, "l_orderkey",
-          od, "o_orderkey"))
-        .unionAll(rel("lineitem.l_partkey->part", li, "l_partkey",
-          t(s, d, "part"), "p_partkey"))
-        .unionAll(rel("lineitem.l_suppkey->supplier", li, "l_suppkey",
-          t(s, d, "supplier"), "s_suppkey"))
-        .unionAll(rel("nation.n_regionkey->region", t(s, d, "nation"),
-          "n_regionkey", t(s, d, "region"), "r_regionkey"))
-        .unionAll(rel("orders.o_custkey->customer", od, "o_custkey",
+      val cu = t(s, d, "customer"); val na = t(s, d, "nation")
+      val edges = Seq(
+        ("customer.c_nationkey->nation", cu, "c_nationkey",
+          na, "n_nationkey"),
+        ("events.user_id->customer", t(s, d, "events"), "user_id",
+          cu, "c_custkey"),
+        ("lineitem.l_orderkey->orders", li, "l_orderkey",
+          od, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey",
+          t(s, d, "part"), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          t(s, d, "supplier"), "s_suppkey"),
+        ("nation.n_regionkey->region", na, "n_regionkey",
+          t(s, d, "region"), "r_regionkey"),
+        ("orders.o_custkey->customer", od, "o_custkey",
           cu, "c_custkey"))
+      edges.map { case (n, c, ck, p, pk) =>
+          childS(n, c, ck).unionAll(parentS(n, p, pk))
+        }.reduce(_ unionAll _)
+        .groupBy("rel", "k")
+        .agg(sum("cnt").as("rows_per_key"), max("par").as("in_parent"))
+        .groupBy("rel")
+        .agg(
+          sum("rows_per_key").cast(LongType).as("child_rows"),
+          count(when(col("rows_per_key") > 0, lit(1))).as("child_keys"),
+          coalesce(sum(when(col("in_parent") === 0,
+            col("rows_per_key"))), lit(0L)).cast(LongType)
+            .as("orphan_rows"),
+          count(when(col("rows_per_key") === 0, lit(1)))
+            .as("unref_parents"))
         .orderBy("rel")
     },
     Some {

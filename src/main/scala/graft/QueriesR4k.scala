@@ -30,36 +30,34 @@ object QueriesR4k {
       "row pick, not an interpolation, so engines cannot drift. One " +
       "shuffle on user_id end to end.",
     (s, d) => {
+      // whole estimator as ONE per-user generator row (the
+      // coPurchasePairs idiom): the ≤15 recent days collect into an
+      // array, the ≤105 pair slopes enumerate inside the row, and the
+      // lower-median is a struct-sort + element pick — one scan, two
+      // keyed shuffles, zero windows/self-joins (the previous shape
+      // re-derived the events scan 3× and ran two ranking windows).
+      // Struct sort order (slope, da, db) is Spark's native lexicographic
+      // array_sort — identical to the oracle's ORDER BY.
       val daily = t(s, d, "events")
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("y"))
-      val recent = daily
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("user_id").orderBy(desc("day"))))
-        .filter(col("rn") <= 15)
-        .select("user_id", "day", "y")
-      val a = recent.select(col("user_id"), col("day").as("da"),
-        col("y").as("ya"))
-      val b = recent.select(col("user_id").as("ub"), col("day").as("db"),
-        col("y").as("yb"))
-      val pairs = a.join(b,
-          col("user_id") === col("ub") && col("da") < col("db"))
-        .select(col("user_id"), col("da"), col("db"),
-          ((col("yb") - col("ya")).cast("double") /
-            datediff(col("db"), col("da")).cast("double")).as("slope"))
-      val wU = Window.partitionBy("user_id")
-      val wOrd = Window.partitionBy("user_id")
-        .orderBy("slope", "da", "db")
-      val nDays = recent.groupBy("user_id")
-        .agg(count(lit(1)).as("n_days"))
-      pairs
-        .withColumn("n_pairs", count(lit(1)).over(wU))
-        .withColumn("rns", row_number().over(wOrd))
-        .filter(col("rns") * 2 === col("n_pairs") + (col("n_pairs") % 2))
-        .join(nDays, "user_id")
-        .select(col("user_id"), col("n_days"),
-          col("n_pairs").cast(LongType).as("n_pairs"),
-          round(col("slope"), 6).as("ts_slope"))
+      daily.groupBy("user_id")
+        .agg(slice(sort_array(collect_list(struct(col("day"), col("y"))),
+          asc = false), 1, 15).as("ds"))
+        .select(col("user_id"), size(col("ds")).as("n_days"),
+          expr("""array_sort(flatten(transform(
+              sequence(0, size(ds) - 2), i -> transform(
+                sequence(i + 1, size(ds) - 1), j -> struct(
+                  CAST(ds[i].y - ds[j].y AS DOUBLE) /
+                    CAST(datediff(ds[i].day, ds[j].day) AS DOUBLE)
+                    AS slope,
+                  ds[j].day AS da, ds[i].day AS db)))))""").as("sl"))
+        .filter(size(col("sl")) > 0)
+        .select(col("user_id"), col("n_days").cast(LongType).as("n_days"),
+          size(col("sl")).cast(LongType).as("n_pairs"),
+          round(expr(
+            "sl[(size(sl) + size(sl) % 2) div 2 - 1].slope"), 6)
+            .as("ts_slope"))
         .orderBy("user_id")
     },
     Some("""WITH daily AS (

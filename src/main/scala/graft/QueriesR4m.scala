@@ -37,41 +37,54 @@ object QueriesR4m {
             (element_at(col("embedding"), 2) > 0f).cast(LongType) * 2 +
             (element_at(col("embedding"), 3) > 0f).cast(LongType))
             .as("cluster"))
+      // the contingency table (≤ 8×k_labels rows) feeds SEVEN downstream
+      // aggregations — checkpoint it so the embeddings scan + groupBy run
+      // once, not once per broadcast-agg subquery (2.15 s → sub-second;
+      // DuckDB materializes this CTE implicitly)
       val cont = pts.groupBy("cluster", "lbl")
         .agg(count(lit(1)).as("n_cl"))
-      val margC = cont.groupBy("cluster").agg(sum("n_cl").cast(LongType).as("a"))
-      val margL = cont.groupBy("lbl").agg(sum("n_cl").cast(LongType).as("b"))
-      val tot = cont.agg(sum("n_cl").cast(LongType).as("n"))
-      val purity = cont
-        .withColumn("mx", max("n_cl").over(Window.partitionBy("cluster")))
-        .filter(col("n_cl") === col("mx"))
-        .groupBy("cluster").agg(max("n_cl").as("best"))
-        .agg(sum("best").cast(LongType).as("pur_num"))
-      val joined = cont.join(broadcast(margC), "cluster")
-        .join(broadcast(margL), "lbl").crossJoin(broadcast(tot))
+        .localCheckpoint(true)
+      // the whole scorecard from ONE window + ONE aggregate pass over the
+      // tiny contingency frame: marginals ride partition windows, the
+      // per-distinct-marginal entropy/count terms fire on the first row
+      // of each cluster/label group (rc/rl = 1), and everything folds in
+      // a single 1-row agg — replacing the 7 broadcast-agg subqueries +
+      // 6 crossJoin assembly (26 scheduler jobs → 4). The bounded frame
+      // (k_clusters × k_labels rows) makes the unpartitioned windows a
+      // non-hazard at any corpus size.
+      val wC = Window.partitionBy("cluster")
+      val wL = Window.partitionBy("lbl")
       val nD = col("n").cast("double")
-      val mi = joined.agg(
-        sum((col("n_cl").cast("double") / nD) *
-          log(nD * col("n_cl").cast("double") /
-            (col("a").cast("double") * col("b").cast("double"))))
-          .as("mi"))
-      val hC = margC.crossJoin(broadcast(tot)).agg(
-        sum(-(col("a").cast("double") / nD) *
-          log(col("a").cast("double") / nD)).as("h_cluster"))
-      val hL = margL.crossJoin(broadcast(tot)).agg(
-        sum(-(col("b").cast("double") / nD) *
-          log(col("b").cast("double") / nD)).as("h_label"))
-      val kC = margC.agg(count(lit(1)).as("k_clusters"))
-      val kL = margL.agg(count(lit(1)).as("k_labels"))
-      tot.crossJoin(broadcast(kC)).crossJoin(broadcast(kL))
-        .crossJoin(broadcast(purity)).crossJoin(broadcast(mi))
-        .crossJoin(broadcast(hC)).crossJoin(broadcast(hL))
+      cont
+        .withColumn("a", sum("n_cl").over(wC))
+        .withColumn("b", sum("n_cl").over(wL))
+        .withColumn("n", sum("n_cl").over(Window.partitionBy()))
+        .withColumn("mx", max("n_cl").over(wC))
+        .withColumn("rc", row_number().over(wC.orderBy("lbl")))
+        .withColumn("rl", row_number().over(wL.orderBy("cluster")))
+        .agg(
+          max("n").cast(LongType).as("n"),
+          sum(when(col("rc") === 1, 1L)).cast(LongType).as("k_clusters"),
+          sum(when(col("rl") === 1, 1L)).cast(LongType).as("k_labels"),
+          sum(when(col("rc") === 1, col("mx"))).cast(LongType)
+            .as("pur_num"),
+          sum((col("n_cl").cast("double") / nD) *
+            log(nD * col("n_cl").cast("double") /
+              (col("a").cast("double") * col("b").cast("double"))))
+            .as("mi_raw"),
+          sum(when(col("rc") === 1,
+            -(col("a").cast("double") / nD) *
+              log(col("a").cast("double") / nD))).as("hc_raw"),
+          sum(when(col("rl") === 1,
+            -(col("b").cast("double") / nD) *
+              log(col("b").cast("double") / nD))).as("hl_raw"))
         .select(col("n"), col("k_clusters"), col("k_labels"),
-          round(col("pur_num").cast("double") / nD, 6).as("purity"),
-          round(col("mi"), 6).as("mi"),
-          round(col("h_cluster"), 6).as("h_cluster"),
-          round(col("h_label"), 6).as("h_label"),
-          round(col("mi") / sqrt(col("h_cluster") * col("h_label")), 6)
+          round(col("pur_num").cast("double") / col("n").cast("double"), 6)
+            .as("purity"),
+          round(col("mi_raw"), 6).as("mi"),
+          round(col("hc_raw"), 6).as("h_cluster"),
+          round(col("hl_raw"), 6).as("h_label"),
+          round(col("mi_raw") / sqrt(col("hc_raw") * col("hl_raw")), 6)
             .as("nmi"))
     },
     Some("""WITH pts AS (

@@ -101,14 +101,20 @@ object QueriesR4q {
       val base = t(s, d, "lineitem")
         .select(col("l_returnflag").as("g"),
           round(col("l_extendedprice") * 100, 0).cast(LongType).as("x"))
-      // exact lower median per group via TWO-LEVEL ranking (the
-      // stat_spearman pattern): global row number = bucket offset +
-      // within-(g, bucket) row_number, so the sort parallelism is
-      // groups×buckets instead of one partition per 3-key group. The
-      // within-bucket tie order is arbitrary but the selected order-
-      // statistic VALUE is tie-invariant.
-      val withB = base.withColumn("bk", expr("x div 409600"))
-      val offs = withB.groupBy("g", "bk").agg(count(lit(1)).as("nb"))
+      // exact lower median per group from the (g, value)-COUNT frame:
+      // the raw 600k-row frame collapses to distinct cents values first
+      // (one partial-aggregated shuffle), then the two-level bucketed
+      // ranking (the stat_spearman pattern) walks CUMULATIVE COUNTS on
+      // the ~3× smaller frame — the median is the value whose cumsum
+      // brackets rank (n+1)/2. The deviation aggregation reuses the same
+      // value-count frame with count weights, so the raw table is
+      // scanned ONCE end to end (it was scanned twice and fully sorted
+      // before). Distinct price values are range-bounded at any corpus
+      // size — the value-count rollup is the 100 TB shape.
+      val vc = base.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val withB = vc.withColumn("bk", expr("x div 409600"))
+      val offs = withB.groupBy("g", "bk").agg(sum("cnt").as("nb"))
         .withColumn("off", coalesce(sum("nb").over(
           Window.partitionBy("g").orderBy("bk")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -117,15 +123,18 @@ object QueriesR4q {
       val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val med = withB.repartition(parts, col("g"), col("bk"))
         .join(broadcast(offs), Seq("g", "bk"))
-        .withColumn("rn", col("off") + row_number().over(
-          Window.partitionBy("g", "bk").orderBy("x")))
-        .filter(col("rn") === expr("(n + 1) div 2"))
+        .withColumn("cum", col("off") + sum("cnt").over(
+          Window.partitionBy("g", "bk").orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+          expr("(n + 1) div 2") <= col("cum"))
         .select(col("g"), col("x").as("med"))
-      val dev = base.join(broadcast(med), "g")
-        .select(col("g"), abs(col("x") - col("med")).cast(DoubleType).as("z"))
+      val dev = vc.join(broadcast(med), "g")
+        .select(col("g"), col("cnt"),
+          abs(col("x") - col("med")).cast(DoubleType).as("z"))
       val grp = dev.groupBy("g")
-        .agg(count(lit(1)).as("ni"), sum("z").as("si"),
-          sum(col("z") * col("z")).as("sqi"))
+        .agg(sum("cnt").as("ni"), sum(col("cnt") * col("z")).as("si"),
+          sum(col("cnt") * col("z") * col("z")).as("sqi"))
       val totals = grp.agg(
         sum("ni").as("n"), count(lit(1)).as("k"),
         sum("si").as("st"),

@@ -25,30 +25,38 @@ object QueriesR4v {
       "audit earns its keep immediately: the synthetic fixture itself " +
       "fails it — lineitem's composite key carries duplicates.)",
     (s, d) => {
-      def audit(table: String, keyCols: Seq[String]): DataFrame =
-        t(s, d, table)
-          .groupBy(keyCols.map(col): _*)
-          .agg(count(lit(1)).as("n"))
-          .agg(count(lit(1)).as("distinct_keys"),
-            sum(when(col("n") > 1, 1L).otherwise(0L)).cast(LongType)
-              .as("dup_keys"),
-            sum(when(col("n") > 1, col("n")).otherwise(0L)).cast(LongType)
-              .as("rows_in_dups"),
-            max("n").cast(LongType).as("max_multiplicity"))
-          .select(lit(table).as("tbl"),
-            lit(keyCols.mkString("+")).as("pk"),
-            col("distinct_keys"), col("dup_keys"), col("rows_in_dups"),
-            col("max_multiplicity"))
-      audit("region", Seq("r_regionkey"))
-        .unionByName(audit("nation", Seq("n_nationkey")))
-        .unionByName(audit("customer", Seq("c_custkey")))
-        .unionByName(audit("supplier", Seq("s_suppkey")))
-        .unionByName(audit("part", Seq("p_partkey")))
-        .unionByName(audit("orders", Seq("o_orderkey")))
-        .unionByName(audit("lineitem", Seq("l_orderkey", "l_linenumber")))
-        .unionByName(audit("events", Seq("event_id")))
-        .unionByName(audit("documents", Seq("doc_id")))
-        .unionByName(audit("embeddings", Seq("vec_id")))
+      // ONE unioned (tbl, key) stream → one shuffle → one 10-row rollup,
+      // instead of ten independent two-level agg branches (20 AQE stage-
+      // jobs of scheduling floor; 2.7 s → ~1 s locally, and on a cluster
+      // one keyed shuffle beats ten sequential tiny jobs the same way).
+      // Composite keys serialize with a  separator (never in data).
+      def keyed(table: String, keyCols: Seq[String]): DataFrame =
+        t(s, d, table).select(lit(table).as("tbl"),
+          lit(keyCols.mkString("+")).as("pk"),
+          concat_ws("", keyCols.map(c => col(c).cast("string")): _*)
+            .as("k"))
+      Seq(
+        keyed("region", Seq("r_regionkey")),
+        keyed("nation", Seq("n_nationkey")),
+        keyed("customer", Seq("c_custkey")),
+        keyed("supplier", Seq("s_suppkey")),
+        keyed("part", Seq("p_partkey")),
+        keyed("orders", Seq("o_orderkey")),
+        keyed("lineitem", Seq("l_orderkey", "l_linenumber")),
+        keyed("events", Seq("event_id")),
+        keyed("documents", Seq("doc_id")),
+        keyed("embeddings", Seq("vec_id")))
+        .reduce(_ unionByName _)
+        .groupBy("tbl", "pk", "k").agg(count(lit(1)).as("n"))
+        .groupBy("tbl", "pk")
+        .agg(count(lit(1)).as("distinct_keys"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).cast(LongType)
+            .as("dup_keys"),
+          sum(when(col("n") > 1, col("n")).otherwise(0L)).cast(LongType)
+            .as("rows_in_dups"),
+          max("n").cast(LongType).as("max_multiplicity"))
+        .select(col("tbl"), col("pk"), col("distinct_keys"),
+          col("dup_keys"), col("rows_in_dups"), col("max_multiplicity"))
         .orderBy("tbl")
     },
     Some {
