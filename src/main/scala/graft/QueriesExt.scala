@@ -562,20 +562,23 @@ object QueriesExt {
       val n = docs.count() // corpus size: driver scalar, one cheap job
       val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val tfBase = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      val tf = tfBase
-        .withColumn("len", sum("cnt").over(
-          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      // df derives from the tf aggregate (one row per doc×tok already) —
-      // no second token explode, no separate distinct shuffle, and the
-      // shared tf exchange is a ReusedExchange candidate for AQE
+      // df and doc length both derive from the tf aggregate (one row per
+      // doc×tok already) — no second token explode; the shared tf
+      // exchange is a ReusedExchange candidate for AQE. The top-1 pick is
+      // an associative struct-ordered MIN over (−tfidf, tok) — partial-
+      // aggregated map-side, replacing a full per-doc ranking window sort
+      // over the doc×term frame (the oracle's tie rule, rounded-tfidf
+      // desc then tok asc, is encoded in the struct order).
       val df_ = tfBase.groupBy("tok").agg(count(lit(1)).as("df"))
-      val scored = tf.join(df_, "tok")
+      val len = tfBase.groupBy("doc_id").agg(sum("cnt").as("len"))
+      val scored = tfBase.join(df_, "tok").join(len, "doc_id")
         .withColumn("tfidf",
           round((col("cnt") / col("len")) * log(lit(n.toDouble) / col("df")), 6))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(desc("tfidf"), col("tok"))
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select("doc_id", "tok", "tfidf")
+      scored.groupBy("doc_id")
+        .agg(min(struct((-col("tfidf")).as("s0"), col("tok"),
+          col("tfidf").as("v"))).as("m"))
+        .select(col("doc_id"), col("m.tok").as("tok"),
+          col("m.v").as("tfidf"))
         .orderBy("doc_id")
     },
     Some("""WITH toks AS (

@@ -139,33 +139,37 @@ object QueriesR4m {
       "tiebreak), most-frequent-wins for priority (count desc, then " +
       "lexical asc — fully pinned), max for the spend signal, " +
       "min/max for the lifespan bounds. Latest-wins and mode are " +
-      "deterministic row picks via per-customer windows (ties " +
-      "broken explicitly, so reruns and engines agree byte-for-" +
-      "byte); the plain aggregates ride the same single hash " +
-      "shuffle on the customer key.",
+      "deterministic STRUCT-ORDERED aggregate picks (ties broken " +
+      "explicitly inside the struct order, so reruns and engines " +
+      "agree byte-for-byte), associative and hence partial-agg-" +
+      "friendly — the whole merge is one two-level keyed " +
+      "aggregation, no windows, no joins.",
     (s, d) => {
       val o = t(s, d, "orders")
         .select(col("o_custkey").as("custkey"), col("o_orderkey"),
           to_date(col("o_orderdate")).as("day"),
           col("o_orderstatus").as("status"),
           col("o_orderpriority").as("prio"), col("o_totalprice"))
-      val latest = o
-        .withColumn("rn", row_number().over(Window.partitionBy("custkey")
-          .orderBy(desc("day"), desc("o_orderkey"))))
-        .filter(col("rn") === 1)
-        .select(col("custkey"), col("status").as("latest_status"))
-      val modePrio = o.groupBy("custkey", "prio")
-        .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(Window.partitionBy("custkey")
-          .orderBy(desc("c"), col("prio"))))
-        .filter(col("rn") === 1)
-        .select(col("custkey"), col("prio").as("top_priority"))
-      val aggs = o.groupBy("custkey")
-        .agg(count(lit(1)).as("n_orders"),
-          date_format(min("day"), "yyyy-MM-dd").as("first_day"),
-          date_format(max("day"), "yyyy-MM-dd").as("last_day"),
-          max("o_totalprice").as("max_price"))
-      aggs.join(latest, "custkey").join(modePrio, "custkey")
+      // ONE two-level aggregation replaces the 3-branch window/agg/join
+      // shape (6 stages + 2 joins → 2 keyed shuffles, zero windows):
+      // every survivorship rule is a struct-ordered pick — max(struct(
+      // day, orderkey, status)) IS latest-wins, min(struct(−count,
+      // prio)) IS most-frequent-then-lexical — and both compose through
+      // the (custkey, prio) pre-aggregation because they are associative
+      val prioLvl = o.groupBy("custkey", "prio")
+        .agg(count(lit(1)).as("c"),
+          max(struct(col("day"), col("o_orderkey"), col("status")))
+            .as("latest0"),
+          min("day").as("mind"), max("day").as("maxd"),
+          max("o_totalprice").as("maxp"))
+      prioLvl.groupBy("custkey")
+        .agg(sum("c").cast(LongType).as("n_orders"),
+          date_format(min("mind"), "yyyy-MM-dd").as("first_day"),
+          date_format(max("maxd"), "yyyy-MM-dd").as("last_day"),
+          max(col("latest0")).getField("status").as("latest_status"),
+          min(struct((-col("c")).as("nc"), col("prio")))
+            .getField("prio").as("top_priority"),
+          max("maxp").as("max_price"))
         .select("custkey", "n_orders", "first_day", "last_day",
           "latest_status", "top_priority", "max_price")
         .orderBy("custkey")

@@ -93,12 +93,16 @@ object QueriesR5g {
       "everything by distinct (fp, source); the source-pair grid is " +
       "sources², never docs².",
     (s, d) => {
+      // checkpointed: the fingerprint frame feeds the per-source rollup
+      // AND both sides of the overlap self-join — without it the md5-
+      // over-sorted-vocab scan runs 3×
       val fps = t(s, d, "documents")
         .select(col("source"),
           md5(concat_ws(" ",
             array_sort(array_distinct(split(col("text"), " ")))))
             .as("fp"))
         .distinct()
+        .localCheckpoint(true)
       val perSrc = fps.groupBy("source").agg(count(lit(1)).as("n"))
       val shared = fps.as("x").join(fps.as("y"),
           col("x.fp") === col("y.fp") && col("x.source") < col("y.source"))
