@@ -205,6 +205,8 @@ object Dedup {
       converged = nextSum == checksum // labels only decrease: equal sum = fixpoint
       checksum = nextSum
       it += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $it sum=$nextSum converged=$converged")
     }
     e.unpersist()
     labels.withColumnRenamed("label", "component")
