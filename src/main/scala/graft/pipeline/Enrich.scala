@@ -37,16 +37,27 @@ object Enrich {
     * dict lookup never can). File order doesn't survive a distributed
     * read, so ties resolve deterministically by canonical ordering.
     */
-  def normalizeNames(df: DataFrame, nameMap: DataFrame, cols: Seq[String]): DataFrame =
+  def normalizeNames(df: DataFrame, nameMap: DataFrame, cols: Seq[String]): DataFrame = {
+    // dedup ONCE per call (not once per column): the window in
+    // dedupKeepFirst is a whole shuffle stage even on a tiny map, and the
+    // enrich DAG normalizes 6 frames — per-column dedup was ~12 extra
+    // stages of pure scheduling floor
+    // keep-first on a (key, value) pair IS min-by-key — an associative
+    // aggregate with map-side partial agg, not a ranking window (same
+    // deterministic result as Ops.dedupKeepFirst(raw, canonical), one
+    // fewer sort stage per normalized frame)
+    lazy val deduped = nameMap
+      .select(trim(col("raw")).as("__nm_raw"),
+        trim(col("canonical")).as("__nm_canon"))
+      .groupBy("__nm_raw").agg(min("__nm_canon").as("__nm_canon"))
     cols.filter(df.columns.contains).foldLeft(df) { (acc, c) =>
-      val m = graft.engine.Ops.dedupKeepFirst(
-        nameMap.select(trim(col("raw")).as(s"__raw_$c"),
-          trim(col("canonical")).as(s"__canon_$c")),
-        Seq(s"__raw_$c"), Seq(s"__canon_$c"))
+      val m = deduped.select(col("__nm_raw").as(s"__raw_$c"),
+        col("__nm_canon").as(s"__canon_$c"))
       acc.join(broadcast(m), trim(col(c)) === col(s"__raw_$c"), "left")
         .withColumn(c, coalesce(col(s"__canon_$c"), trim(col(c))))
         .drop(s"__raw_$c", s"__canon_$c")
     }
+  }
 
   /** The pre-merge constant defaults (enrich_features.py:160-169). */
   val preDefaults: Seq[(String, Column)] = Seq(
@@ -70,45 +81,46 @@ object Enrich {
                              payload: Seq[(String, Double)]): DataFrame = {
     val joined = fact.join(broadcast(dim), joinCond, "left")
     payload.foldLeft(joined) { case (acc, (base, default)) =>
+      // a fact lacking the base column behaves as all-null existing —
+      // this (not a dim.isEmpty runtime branch) is what lets an
+      // empty-but-valid dim degrade to pure defaults with ZERO driver
+      // jobs: the left join contributes nulls and precedence resolves
+      val existing = if (acc.columns.contains(base)) col(base)
+        else lit(null).cast(DoubleType)
       acc.withColumn(base,
-          Ops.precedence(col(base), col(s"__j_$base"), lit(default)))
+          Ops.precedence(existing, col(s"__j_$base"), lit(default)))
         .drop(s"__j_$base")
     }
   }
 
   /** J1 — team master ×2 (enrich_features.py:46-62). */
   def mergeTeamMaster(df: DataFrame, teams: DataFrame): DataFrame = {
-    if (teams.isEmpty) {
-      Ops.ensureCols(df, Seq(
-        "home_gk_rating" -> lit(D.gkRating), "away_gk_rating" -> lit(D.gkRating),
-        "home_setpiece_rating" -> lit(D.setpieceRating),
-        "away_setpiece_rating" -> lit(D.setpieceRating),
-        "crowd_index" -> lit(D.crowdIndex)))
-    } else {
-      val out = Seq("home", "away").foldLeft(df) { (acc, side) =>
-        val dim = teams.select(col("team").as(s"__k_$side"),
-          col("gk_rating").as(s"__j_${side}_gk_rating"),
-          col("setpiece_rating").as(s"__j_${side}_setpiece_rating"),
-          col("crowd_index").as(s"__j_${side}_crowd_index"))
-        precedenceJoin(acc, dim, col(s"${side}_team") === col(s"__k_$side"),
-          Seq(s"${side}_gk_rating" -> D.gkRating,
-            s"${side}_setpiece_rating" -> D.setpieceRating))
-          .drop(s"__k_$side")
-      }
-      // crowd_index: pre-existing ▸ home-side dim value ▸ 0.7
-      out.withColumn("crowd_index",
-          Ops.precedence(col("crowd_index"), col("__j_home_crowd_index"),
-            lit(D.crowdIndex)))
-        .drop("__j_home_crowd_index", "__j_away_crowd_index")
+    // no dim.isEmpty runtime branch (a driver job per stage): an
+    // empty-but-valid dim left-joins to all-null payloads and the
+    // precedence chain resolves to the same defaults the old explicit
+    // branch produced — plan-identical semantics, zero extra jobs
+    val out = Seq("home", "away").foldLeft(df) { (acc, side) =>
+      val dim = teams.select(col("team").as(s"__k_$side"),
+        col("gk_rating").as(s"__j_${side}_gk_rating"),
+        col("setpiece_rating").as(s"__j_${side}_setpiece_rating"),
+        col("crowd_index").as(s"__j_${side}_crowd_index"))
+      precedenceJoin(acc, dim, col(s"${side}_team") === col(s"__k_$side"),
+        Seq(s"${side}_gk_rating" -> D.gkRating,
+          s"${side}_setpiece_rating" -> D.setpieceRating))
+        .drop(s"__k_$side")
     }
+    // crowd_index: pre-existing ▸ home-side dim value ▸ 0.7
+    val crowdExisting = if (out.columns.contains("crowd_index"))
+      col("crowd_index") else lit(null).cast(DoubleType)
+    out.withColumn("crowd_index",
+        Ops.precedence(crowdExisting, col("__j_home_crowd_index"),
+          lit(D.crowdIndex)))
+      .drop("__j_home_crowd_index", "__j_away_crowd_index")
   }
 
   /** J3 — injuries on (date, side_team) ×2 (enrich_features.py:73-85). */
   def applyInjuries(df: DataFrame, inj: DataFrame): DataFrame =
-    if (inj.isEmpty)
-      Ops.ensureCols(df, Seq("home_injury_index" -> lit(D.injuryIndex),
-        "away_injury_index" -> lit(D.injuryIndex)))
-    else Seq("home", "away").foldLeft(df) { (acc, side) =>
+    Seq("home", "away").foldLeft(df) { (acc, side) =>
       val dim = inj.select(col("date").as(s"__d_$side"), col("team").as(s"__k_$side"),
         col("injury_index").as(s"__j_${side}_injury_index"))
       precedenceJoin(acc, dim,
@@ -123,25 +135,21 @@ object Enrich {
   def applyLineupFlags(df: DataFrame, lu: DataFrame): DataFrame = {
     val flags = Seq("key_att_out", "key_def_out", "keeper_changed")
     val allFlags = for (s <- Seq("home", "away"); f <- flags) yield s"${s}_$f"
-    if (lu.isEmpty) Ops.ensureCols(df, allFlags.map(_ -> lit(0)))
-    else {
-      val joined = Seq("home", "away").foldLeft(df) { (acc, side) =>
-        val dim = lu.select(
-          col("date").as(s"__d_$side") +: col("team").as(s"__k_$side") +:
-            flags.map(f => col(f).as(s"__j_${side}_$f")): _*)
-        val j = acc.join(broadcast(dim),
-          col("date") === col(s"__d_$side") &&
-            col(s"${side}_team") === col(s"__k_$side"), "left")
-        flags.foldLeft(j) { (a, f) =>
-          val base = s"${side}_$f"
-          val existing = if (a.columns.contains(base)) col(base)
-            else lit(null).cast(IntegerType)
-          a.withColumn(base,
-            coalesce(existing, col(s"__j_$base"), lit(0)).cast(IntegerType))
-            .drop(s"__j_$base")
-        }.drop(s"__d_$side", s"__k_$side")
-      }
-      joined
+    Seq("home", "away").foldLeft(df) { (acc, side) =>
+      val dim = lu.select(
+        col("date").as(s"__d_$side") +: col("team").as(s"__k_$side") +:
+          flags.map(f => col(f).as(s"__j_${side}_$f")): _*)
+      val j = acc.join(broadcast(dim),
+        col("date") === col(s"__d_$side") &&
+          col(s"${side}_team") === col(s"__k_$side"), "left")
+      flags.foldLeft(j) { (a, f) =>
+        val base = s"${side}_$f"
+        val existing = if (a.columns.contains(base)) col(base)
+          else lit(null).cast(IntegerType)
+        a.withColumn(base,
+          coalesce(existing, col(s"__j_$base"), lit(0)).cast(IntegerType))
+          .drop(s"__j_$base")
+      }.drop(s"__d_$side", s"__k_$side")
     }
   }
 
@@ -149,7 +157,7 @@ object Enrich {
     * (enrich_features.py:64-71).
     */
   def applyRefRates(df: DataFrame, refs: DataFrame): DataFrame =
-    if (!refs.isEmpty && df.columns.contains("ref_name")) {
+    if (df.columns.contains("ref_name")) {
       val dim = refs.select(col("ref_name").as("__k_ref"),
         col("ref_pen_rate").as("__j_ref_pen_rate"))
       precedenceJoin(df, dim, col("ref_name") === col("__k_ref"),
@@ -166,44 +174,36 @@ object Enrich {
     val base = Ops.ensureCols(df, Seq(
       "home_travel_km" -> lit(null).cast(DoubleType),
       "away_travel_km" -> lit(null).cast(DoubleType)))
-    if (stad.isEmpty)
-      base.withColumn("home_travel_km", coalesce(col("home_travel_km"), lit(D.travelKmHome)))
-        .withColumn("away_travel_km", coalesce(col("away_travel_km"), lit(D.travelKmAway)))
-    else {
-      val joined = Seq("home", "away").foldLeft(base) { (acc, side) =>
-        val dim = stad.select(col("team").as(s"__k_$side"),
-          col("lat").as(s"${side}_lat"), col("lon").as(s"${side}_lon"))
-        acc.join(broadcast(dim), col(s"${side}_team") === col(s"__k_$side"), "left")
-          .drop(s"__k_$side")
-      }
-      joined
-        .withColumn("home_travel_km", coalesce(col("home_travel_km"), lit(D.travelKmHome)))
-        .withColumn("away_travel_km",
-          when(col("away_travel_km").isNotNull, col("away_travel_km"))
-            .otherwise(F.haversineKmOrDefault(
-              col("home_lat"), col("home_lon"), col("away_lat"), col("away_lon"),
-              D.travelKmAway)))
-        .drop("home_lat", "home_lon", "away_lat", "away_lon")
+    val joined = Seq("home", "away").foldLeft(base) { (acc, side) =>
+      val dim = stad.select(col("team").as(s"__k_$side"),
+        col("lat").as(s"${side}_lat"), col("lon").as(s"${side}_lon"))
+      acc.join(broadcast(dim), col(s"${side}_team") === col(s"__k_$side"), "left")
+        .drop(s"__k_$side")
     }
+    // empty dim ⇒ null coords ⇒ haversineKmOrDefault yields the 200 km
+    // default — identical to the old explicit empty branch, no driver job
+    joined
+      .withColumn("home_travel_km", coalesce(col("home_travel_km"), lit(D.travelKmHome)))
+      .withColumn("away_travel_km",
+        when(col("away_travel_km").isNotNull, col("away_travel_km"))
+          .otherwise(F.haversineKmOrDefault(
+            col("home_lat"), col("home_lon"), col("away_lat"), col("away_lon"),
+            D.travelKmAway)))
+      .drop("home_lat", "home_lon", "away_lat", "away_lon")
   }
 
   /** J7 — xG hybrid metrics ×2 (enrich_features.py:122-145). */
   def mergeXgHybrid(df: DataFrame, xg: DataFrame): DataFrame = {
     val metrics = Seq("xg" -> "xg_hybrid", "xga" -> "xga_hybrid",
       "xgd" -> "xgd_hybrid", "xgd_per90" -> "xgd90_hybrid")
-    if (xg.isEmpty)
-      Ops.ensureCols(df, for (s <- Seq("home", "away"); (m, _) <- metrics)
-        yield s"${s}_$m" -> lit(null).cast(DoubleType))
-    else {
-      val joined = Seq("home", "away").foldLeft(df) { (acc, side) =>
-        val dim = xg.select(col("team").as(s"__k_$side") +:
-          metrics.map { case (m, src) => col(src).as(s"${side}_$m") }: _*)
-        acc.join(broadcast(dim), col(s"${side}_team") === col(s"__k_$side"), "left")
-          .drop(s"__k_$side")
-      }
-      Ops.ensureCols(joined, for (s <- Seq("home", "away"); (m, _) <- metrics)
-        yield s"${s}_$m" -> lit(null).cast(DoubleType))
+    val joined = Seq("home", "away").foldLeft(df) { (acc, side) =>
+      val dim = xg.select(col("team").as(s"__k_$side") +:
+        metrics.map { case (m, src) => col(src).as(s"${side}_$m") }: _*)
+      acc.join(broadcast(dim), col(s"${side}_team") === col(s"__k_$side"), "left")
+        .drop(s"__k_$side")
     }
+    Ops.ensureCols(joined, for (s <- Seq("home", "away"); (m, _) <- metrics)
+      yield s"${s}_$m" -> lit(null).cast(DoubleType))
   }
 
   /** Entry point 2 parity (enrich_features.py:151-179): the full stage
