@@ -344,7 +344,8 @@ object Queries {
     QueriesR4m.all ++ QueriesR4n.all ++ QueriesR4o.all ++ QueriesR4p.all ++ QueriesR4q.all ++ QueriesR4r.all ++ QueriesR4s.all ++ QueriesR4t.all ++ QueriesR4u.all ++ QueriesR4v.all ++
     QueriesR5a.all ++ QueriesR5b.all ++ QueriesR5c.all ++ QueriesR5d.all ++
     QueriesR5e.all ++ QueriesR5f.all ++ QueriesR5g.all ++ QueriesR5h.all ++
-    QueriesR5i.all ++ QueriesR5j.all ++ QueriesR5k.all ++ QueriesR5l.all
+    QueriesR5i.all ++ QueriesR5j.all ++ QueriesR5k.all ++ QueriesR5l.all ++
+    QueriesR5m.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -105,14 +105,19 @@ object QueriesR3g {
       "Every dirty twin lands in its clean record's cluster. The oracle " +
       "reaches the identical fixpoint via recursive CTE.",
     (s, d) => {
-      def ents() = {
+      // checkpointed once: the entity frame feeds both join sides AND the
+      // CC node list — re-deriving the scan+union per reference tripled
+      // the stage count of the (tiny) build
+      val entsCp = {
         val p = t(s, d, "part").filter(col("p_partkey") < 500)
           .select(col("p_partkey"), lower(col("p_name")).as("nm"))
         p.select(col("p_partkey").as("id"), col("nm").as("name"))
           .unionByName(p.select((col("p_partkey") + 1000000).as("id"),
             expr("substring(nm, 1, length(nm) - 2)").as("name")))
           .withColumn("blk", split(col("name"), " ").getItem(0))
+          .localCheckpoint(true)
       }
+      def ents() = entsCp
       val edges = ents().as("a").join(ents().as("b"),
           col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
         .filter(levenshtein(col("a.name"), col("b.name")) <= 2)
