@@ -189,6 +189,10 @@ object QueriesR3h {
             "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .filter(col("a") =!= col("b"))
+      // NOTE: hashing per occurrence (not per distinct string pair) is
+      // deliberate — md5 is map-side CPU spread over all cores, while a
+      // pre-hash distinct would shuffle 6M string pairs; pageRankInt's
+      // dropDuplicates dedups the 8-byte id pairs far cheaper
       val fwd = pairs.select(Dedup.tokenId(col("a")).as("src"),
         Dedup.tokenId(col("b")).as("dst"))
       val edges = fwd.unionByName(
