@@ -345,7 +345,8 @@ object Queries {
     QueriesR5a.all ++ QueriesR5b.all ++ QueriesR5c.all ++ QueriesR5d.all ++
     QueriesR5e.all ++ QueriesR5f.all ++ QueriesR5g.all ++ QueriesR5h.all ++
     QueriesR5i.all ++ QueriesR5j.all ++ QueriesR5k.all ++ QueriesR5l.all ++
-    QueriesR5m.all ++ QueriesR5n.all ++ QueriesR5o.all ++ QueriesR5p.all
+    QueriesR5m.all ++ QueriesR5n.all ++ QueriesR5o.all ++ QueriesR5p.all ++
+    QueriesR5q.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
