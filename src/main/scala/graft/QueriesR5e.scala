@@ -115,10 +115,14 @@ object QueriesR5e {
       "integer and flip the rank cross-engine. Clamp + sum are exact " +
       "BIGINT cents.",
     (s, d) => {
+      // checkpointed: the (g, cents, bucket) projection feeds the rollup,
+      // the boundary-bucket ranking AND the final clamp pass — without it
+      // the scan + round/div compute runs 3×
       val base = t(s, d, "lineitem")
         .select(col("l_returnflag").as("g"),
           round(col("l_extendedprice") * 100, 0).cast(LongType).as("c"))
         .withColumn("bk", expr("c div 409600"))
+        .localCheckpoint(true)
       val roll = base.groupBy("g", "bk").agg(count(lit(1)).as("nb"))
         .withColumn("off", coalesce(sum("nb").over(
           Window.partitionBy("g").orderBy("bk")
