@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-shape assertions for the round-5 stage-storm rewrites: the
+  * wins were STRUCTURAL (no ranking windows, no per-branch job chains),
+  * so the physical plans are asserted to keep them — a regression that
+  * reintroduces a sort-based window or a join here is a perf bug even
+  * while every value stays correct.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.byName(name).fn(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("er_survivorship: struct-ordered picks, no ranking window") {
+    val p = plan("er_survivorship")
+    assert(!p.contains("Window"),
+      "survivorship must stay a two-level aggregation, not windows")
+  }
+
+  test("text_tfidf_top: associative top-1 pick, no ranking window") {
+    val p = plan("text_tfidf_top")
+    assert(!p.contains("Window"),
+      "tf-idf top-1 must stay a struct-min aggregate, not a window sort")
+  }
+
+  test("stat_theil_sen: in-row generator, no self-join, no window") {
+    val p = plan("stat_theil_sen")
+    assert(!p.contains("Window"), "ranking windows were removed")
+    assert(!p.toLowerCase.contains("sortmergejoin") &&
+      !p.contains("BroadcastHashJoin"),
+      "the pair space must enumerate inside the row, not via a join")
+  }
+
+  test("dq_ref_integrity: one tagged union, no join operators") {
+    val p = plan("dq_ref_integrity")
+    assert(!p.toLowerCase.contains("join"),
+      "the FK audit must stay a union stream + keyed aggregation")
+    assert(p.contains("Union"), "the tagged union is the plan's spine")
+  }
+
+  test("dq_pk_uniqueness: one union stream, no join operators") {
+    val p = plan("dq_pk_uniqueness")
+    assert(!p.toLowerCase.contains("join"),
+      "the PK audit must stay a union stream + keyed aggregation")
+    assert(p.contains("Union"))
+  }
+}
