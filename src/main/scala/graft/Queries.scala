@@ -346,7 +346,8 @@ object Queries {
     QueriesR5e.all ++ QueriesR5f.all ++ QueriesR5g.all ++ QueriesR5h.all ++
     QueriesR5i.all ++ QueriesR5j.all ++ QueriesR5k.all ++ QueriesR5l.all ++
     QueriesR5m.all ++ QueriesR5n.all ++ QueriesR5o.all ++ QueriesR5p.all ++
-    QueriesR5q.all ++ QueriesR5r.all ++ QueriesR5s.all ++ QueriesR5t.all
+    QueriesR5q.all ++ QueriesR5r.all ++ QueriesR5s.all ++ QueriesR5t.all ++
+    QueriesR5u.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
