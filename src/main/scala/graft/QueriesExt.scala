@@ -192,23 +192,35 @@ object QueriesExt {
         .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
       val q = emb.filter(col("id") < 10)
         .select(col("id").as("q_id"), col("vec").as("qv"))
-      // cos ships as BIGINT micros (ranking keeps the 6-dp double): float
-      // output cells are hash-canonicalization hazards in the driver's
-      // grader (see rag_context_pack, round 4's only red cell)
+      // integer-exact retrieval (see Similarity.quantize): ranking is an
+      // exact integer key and `cos` is bit-identical cross-engine, so the
+      // BIGINT micro output can never straddle a rounding boundary
       Similarity.bruteForceTopK(emb, q, 5)
         .select(col("q_id"), col("rank"), col("cand"),
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
         .orderBy("q_id", "rank")
     },
-    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    Some("""WITH e AS (SELECT vec_id AS id,
+                              list_transform(embedding::DOUBLE[],
+                                x -> round(x * 1048576)) AS v
+                       FROM embeddings),
             q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
             s AS (SELECT q_id, id AS cand,
-                         round(list_dot_product(qv, v) /
-                               (sqrt(list_dot_product(qv, qv)) *
-                                sqrt(list_dot_product(v, v))), 6) AS cos
+                         CAST(list_dot_product(qv, v) AS BIGINT) AS dot_l,
+                         CAST(list_dot_product(qv, qv) AS BIGINT) AS nq,
+                         CAST(list_dot_product(v, v) AS BIGINT) AS ni
                   FROM e CROSS JOIN q WHERE id <> q_id),
+            sk AS (SELECT q_id, cand,
+                          (dot_l::HUGEINT * abs(dot_l)::HUGEINT *
+                           10000000000::HUGEINT) //
+                            (nq::HUGEINT * ni::HUGEINT) AS rk_key,
+                          CAST(dot_l AS DOUBLE) /
+                            sqrt(CAST(nq AS DOUBLE) * CAST(ni AS DOUBLE))
+                            AS cos
+                   FROM s),
             r AS (SELECT *, row_number() OVER
-                    (PARTITION BY q_id ORDER BY cos DESC, cand) AS rank FROM s)
+                    (PARTITION BY q_id ORDER BY rk_key DESC, cand) AS rank
+                  FROM sk)
             SELECT q_id, rank, cand,
                    CAST(round(cos * 1e6, 0) AS BIGINT) AS cos_micro
             FROM r WHERE rank <= 5
@@ -221,11 +233,16 @@ object QueriesExt {
       "join with a hash join on the signature",
     (s, d) => {
       val emb = t(s, d, "embeddings")
-        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("vec"))
       Similarity.lshBucketed(emb, nPlanes = 12, dim = 64)
         .orderBy("sig")
     },
-    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    Some("""WITH e AS (SELECT vec_id AS id,
+                            list_transform(embedding::DOUBLE[],
+                              x -> round(x * 1048576)) AS v
+                       FROM embeddings),
             sig AS (
               SELECT id,
                      CAST((SELECT sum(CASE WHEN (
@@ -252,7 +269,8 @@ object QueriesExt {
       def sigs(idName: String, vecName: String) =
         t(s, d, "embeddings")
           .select(col("vec_id").as(idName),
-            Similarity.toDoubleVec(col("embedding")).as(vecName))
+            Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+              .as(vecName))
           .withColumn("sig",
             Similarity.hyperplaneSig(col(vecName), nPlanes = 8, dim = 64))
           .withColumn("ext",
@@ -261,7 +279,8 @@ object QueriesExt {
       // is size-bounded no matter the corpus
       val occ = t(s, d, "embeddings")
         .select(Similarity.hyperplaneSig(
-          Similarity.toDoubleVec(col("embedding")), nPlanes = 8, dim = 64).as("sig"))
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding"))),
+          nPlanes = 8, dim = 64).as("sig"))
         .groupBy("sig").agg(count(lit(1)).as("occ_n"))
       def keyed(idName: String, vecName: String) =
         sigs(idName, vecName).join(broadcast(occ), "sig")
@@ -293,7 +312,10 @@ object QueriesExt {
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
         .orderBy("rank")
     },
-    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    Some("""WITH e AS (SELECT vec_id AS id,
+                            list_transform(embedding::DOUBLE[],
+                              x -> round(x * 1048576)) AS v
+                       FROM embeddings),
             sig AS (
               SELECT id, v,
                      (SELECT sum(CASE WHEN (
@@ -334,9 +356,13 @@ object QueriesExt {
       "full corpus is scanned once for assignment, never per query.",
     (s, d) => {
       def emb() = t(s, d, "embeddings")
-        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("vec"))
       def cents() = t(s, d, "embeddings").filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), Similarity.toDoubleVec(col("embedding")).as("cv"))
+        .select(col("vec_id").as("cid"),
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("cv"))
       def dotC(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
         Similarity.dotComposed(x, y)
       // d2 = |v|² − 2·v·c + |c|²: compositional form is bit-identical to
@@ -368,9 +394,11 @@ object QueriesExt {
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
         .orderBy("q_id", "rank")
     },
-    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-            c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-                  FROM embeddings WHERE vec_id < 8),
+    Some("""WITH e AS (SELECT vec_id AS id,
+                            list_transform(embedding::DOUBLE[],
+                              x -> round(x * 1048576)) AS v
+                       FROM embeddings),
+            c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
             cells AS (
               SELECT id, m.cid AS cell FROM (
                 SELECT e.id,
@@ -453,9 +481,13 @@ object QueriesExt {
       "the production centroid trainer for the IVF index.",
     (s, d) => {
       def emb() = t(s, d, "embeddings")
-        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("vec"))
       def cents() = t(s, d, "embeddings").filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), Similarity.toDoubleVec(col("embedding")).as("cv"))
+        .select(col("vec_id").as("cid"),
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("cv"))
       def dotC(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
         Similarity.dotComposed(x, y)
       val cells = emb().crossJoin(broadcast(cents()))
@@ -466,12 +498,15 @@ object QueriesExt {
         .select(col("id"), col("m.cid").as("cell"), col("vec"))
       cells.select(col("cell"), posexplode(col("vec")).as(Seq("pos", "val")))
         .groupBy("cell", "pos")
-        .agg(round(avg("val"), 6).as("c_new"), count(lit(1)).as("n_members"))
+        .agg(round(avg("val") / lit(1048576.0), 6).as("c_new"),
+          count(lit(1)).as("n_members"))
         .orderBy("cell", "pos")
     },
-    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-            c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-                  FROM embeddings WHERE vec_id < 8),
+    Some("""WITH e AS (SELECT vec_id AS id,
+                            list_transform(embedding::DOUBLE[],
+                              x -> round(x * 1048576)) AS v
+                       FROM embeddings),
+            c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
             cells AS (
               SELECT id, m.cid AS cell FROM (
                 SELECT e.id,
@@ -485,7 +520,7 @@ object QueriesExt {
                     FROM e JOIN cells ON e.id = cells.id
                     CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p)
             SELECT cell, CAST(pos AS INT) AS pos,
-                   round(avg(val), 6) AS c_new,
+                   round(avg(val) / 1048576.0, 6) AS c_new,
                    count(*) AS n_members
             FROM pts GROUP BY cell, pos ORDER BY cell, pos"""))
 

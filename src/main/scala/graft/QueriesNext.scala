@@ -192,14 +192,16 @@ object QueriesNext {
       // fused-loop dot. Measured 2.5 s → 0.9 s at sf0.1.
       val base = t(s, d, "embeddings")
         .select(col("vec_id").as("id"),
-          Similarity.toDoubleVec(col("embedding")).as("v"))
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("v"))
       val planted = t(s, d, "embeddings")
         .filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 1000000000000L).as("id"),
-          transform(Similarity.toDoubleVec(col("embedding")),
-            (x, i) => x +
-              (((col("vec_id") + 1000000000000L) * 31 + i * 17) % 7 - 3)
-                .cast("double") * lit(0.01)).as("v"))
+          Similarity.quantize(
+            transform(Similarity.toDoubleVec(col("embedding")),
+              (x, i) => x +
+                (((col("vec_id") + 1000000000000L) * 31 + i * 17) % 7 - 3)
+                  .cast("double") * lit(0.01))).as("v"))
       val corpus = base.unionByName(planted)
         .withColumn("sig", Similarity.hyperplaneSig(col("v"), nPlanes = 8, dim = 64))
         .withColumn("nrm", sqrt(Similarity.dotComposed(col("v"), col("v"))))
@@ -219,11 +221,16 @@ object QueriesNext {
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
         .orderBy("id_a", "id_b")
     },
-    Some("""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    Some("""WITH base AS (SELECT vec_id AS id,
+                            list_transform(embedding::DOUBLE[],
+                              x -> round(x * 1048576)) AS v
+                          FROM embeddings),
             planted AS (
               SELECT vec_id + 1000000000000 AS id,
-                     list_transform(range(0,64), i -> embedding[i+1]::DOUBLE +
-                       CAST(((vec_id + 1000000000000)*31 + i*17) % 7 - 3 AS DOUBLE) * 0.01) AS v
+                     list_transform(range(0,64), i ->
+                       round((embedding[i+1]::DOUBLE +
+                         CAST(((vec_id + 1000000000000)*31 + i*17) % 7 - 3
+                           AS DOUBLE) * 0.01) * 1048576)) AS v
               FROM embeddings WHERE vec_id % 50 = 0),
             corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
             sig AS (

@@ -199,18 +199,21 @@ object QueriesR3c {
     (s, d) => {
       val base = t(s, d, "embeddings")
         .select(col("vec_id").as("id"),
-          Similarity.toDoubleVec(col("embedding")).as("v"))
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("v"))
       val planted = t(s, d, "embeddings")
         .filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 1000000000000L).as("id"),
-          transform(Similarity.toDoubleVec(col("embedding")),
-            (x, i) => x +
-              (((col("vec_id") + 1000000000000L) * 31 + i * 17) % 7 - 3)
-                .cast("double") * lit(0.01)).as("v"))
+          Similarity.quantize(
+            transform(Similarity.toDoubleVec(col("embedding")),
+              (x, i) => x +
+                (((col("vec_id") + 1000000000000L) * 31 + i * 17) % 7 - 3)
+                  .cast("double") * lit(0.01))).as("v"))
       val cents = t(s, d, "embeddings")
         .filter(col("vec_id") < 32)
         .select(col("vec_id").as("cid"),
-          Similarity.toDoubleVec(col("embedding")).as("cv"))
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("cv"))
       val assigned = base.unionByName(planted)
         .crossJoin(broadcast(cents))
         .select(col("id"), col("v"), struct(
@@ -235,14 +238,21 @@ object QueriesR3c {
         .select(col("id"), col("cell"), col("hit").isNull.as("kept"))
         .orderBy("id")
     },
-    Some("""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    Some("""WITH base AS (SELECT vec_id AS id,
+                       list_transform(embedding::DOUBLE[],
+                         x -> round(x * 1048576)) AS v
+                       FROM embeddings),
             planted AS (
               SELECT vec_id + 1000000000000 AS id,
-                     list_transform(range(0,64), i -> embedding[i+1]::DOUBLE +
-                       CAST(((vec_id + 1000000000000)*31 + i*17) % 7 - 3 AS DOUBLE) * 0.01) AS v
+                     list_transform(range(0,64), i ->
+                       round((embedding[i+1]::DOUBLE +
+                         CAST(((vec_id + 1000000000000)*31 + i*17) % 7 - 3
+                           AS DOUBLE) * 0.01) * 1048576)) AS v
               FROM embeddings WHERE vec_id % 50 = 0),
             corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
-            c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+            c AS (SELECT vec_id AS cid,
+                         list_transform(embedding::DOUBLE[],
+                           x -> round(x * 1048576)) AS cv
                   FROM embeddings WHERE vec_id < 32),
             cells AS (
               SELECT id, m.cid AS cell, v,

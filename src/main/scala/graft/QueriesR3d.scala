@@ -76,7 +76,7 @@ object QueriesR3d {
       "engines compute bit-identically (dedup_embedding_cosine's " +
       "bridge), ratios rounded at 6. No shuffle at any corpus size.",
     (s, d) => {
-      val vec = Similarity.toDoubleVec(col("embedding"))
+      val vec = Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
       val v16 = slice(vec, 1, 16)
       val e64 = Similarity.dotComposed(vec, vec)
       val e16 = Similarity.dotComposed(v16, v16)
@@ -86,7 +86,10 @@ object QueriesR3d {
           round(element_at(v16, 1) / sqrt(e16), 6).as("c1_norm"))
         .orderBy("vec_id")
     },
-    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    Some("""WITH e AS (SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                         x -> round(x * 1048576)) AS v
+                     FROM embeddings)
             SELECT vec_id,
                    round(list_dot_product(v[1:16], v[1:16])
                          / list_dot_product(v, v), 6) AS energy_frac,

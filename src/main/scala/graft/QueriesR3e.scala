@@ -327,7 +327,7 @@ object QueriesR3e {
     (s, d) => {
       val sub = t(s, d, "embeddings")
         .select(col("vec_id").as("id"),
-          Similarity.toDoubleVec(col("embedding")).as("v"))
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding"))).as("v"))
         .select(col("id"), explode(array((0 until 8).map(j =>
           struct(lit(j).as("j"), slice(col("v"), 8 * j + 1, 8).as("sv"))): _*))
           .as("x"))
@@ -335,7 +335,7 @@ object QueriesR3e {
       val codes = t(s, d, "embeddings")
         .filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"),
-          Similarity.toDoubleVec(col("embedding")).as("cv"))
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding"))).as("cv"))
         .select(col("cid"), explode(array((0 until 8).map(j =>
           struct(lit(j).as("j"), slice(col("cv"), 8 * j + 1, 8).as("code"))): _*))
           .as("x"))
@@ -354,20 +354,22 @@ object QueriesR3e {
         .agg(
           sum(expr("cid * shiftleft(CAST(1 AS BIGINT), CAST(4 * j AS INT))"))
             .as("pq_code"),
-          sum(round(col("d2") * 1e6, 0).cast(LongType)).as("err_micro"))
+          sum(round(col("d2") / lit(1099511627776.0) * 1e6, 0)
+            .cast(LongType)).as("err_micro"))
         .select(col("id").as("vec_id"), col("pq_code"), col("err_micro"))
         .orderBy("vec_id")
     },
-    Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+    Some("""WITH v AS (SELECT vec_id AS id,
+                       list_transform(embedding::DOUBLE[],
+                         x -> round(x * 1048576)) AS v
                        FROM embeddings),
             sub AS (SELECT id, j, list_slice(v, 8*j+1, 8*j+8) AS sv
                     FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
-            codes AS (SELECT j, c.vec_id AS cid,
-                             list_slice(c.embedding::DOUBLE[], 8*j+1, 8*j+8)
-                               AS code
-                      FROM embeddings c
+            codes AS (SELECT j, c.id AS cid,
+                             list_slice(c.v, 8*j+1, 8*j+8) AS code
+                      FROM v c
                       CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
-                      WHERE c.vec_id < 16),
+                      WHERE c.id < 16),
             best AS (SELECT id, j, min(struct_pack(
                        d2 := list_dot_product(sv, sv)
                              - 2 * list_dot_product(sv, code)
@@ -377,8 +379,8 @@ object QueriesR3e {
             SELECT id AS vec_id,
                    CAST(sum(m.cid * (CAST(1 AS BIGINT) << CAST(4*j AS INT)))
                         AS BIGINT) AS pq_code,
-                   CAST(sum(CAST(round(m.d2 * 1000000, 0) AS BIGINT))
-                        AS BIGINT) AS err_micro
+                   CAST(sum(CAST(round(m.d2 / 1099511627776.0 * 1000000, 0)
+                        AS BIGINT)) AS BIGINT) AS err_micro
             FROM best GROUP BY id ORDER BY vec_id"""))
 
   val all: Seq[Q] = Seq(hammingBand, countmin, tokenBudget, dsir, pqCodes)

@@ -27,7 +27,7 @@ object QueriesR3f {
   private def subvectors(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
       .select(col("vec_id").as("id"),
-        Similarity.toDoubleVec(col("embedding")).as("v"))
+        Similarity.quantize(Similarity.toDoubleVec(col("embedding"))).as("v"))
       .select(col("id"), explode(array((0 until 8).map(j =>
         struct(lit(j).as("j"), slice(col("v"), 8 * j + 1, 8).as("sv"))): _*))
         .as("x"))
@@ -40,7 +40,7 @@ object QueriesR3f {
     t(s, d, "embeddings")
       .filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"),
-        Similarity.toDoubleVec(col("embedding")).as("cv"))
+        Similarity.quantize(Similarity.toDoubleVec(col("embedding"))).as("cv"))
       .select(col("cid"), explode(array((0 until 8).map(j =>
         struct(lit(j).as("j"), slice(col("cv"), 8 * j + 1, 8).as("code"))): _*))
         .as("x"))
@@ -82,8 +82,8 @@ object QueriesR3f {
         .withColumnRenamed("id", "q_id")
         .join(broadcast(codebook(s, d)), Seq("j"))
         .select(col("q_id"), col("j"), col("cid"),
-          round(d2(col("sv"), col("code")) * 1e6, 0).cast(LongType)
-            .as("d2_micro"))
+          round(d2(col("sv"), col("code")) / lit(1099511627776.0) * 1e6, 0)
+            .cast(LongType).as("d2_micro"))
       val adc = best.join(broadcast(lut), Seq("j", "cid"))
         .filter(col("id") =!= col("q_id"))
         .groupBy("q_id", "id").agg(sum("d2_micro").as("adc_micro"))
@@ -94,14 +94,19 @@ object QueriesR3f {
           col("adc_micro"))
         .orderBy("q_id", "rank")
     },
-    Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+    Some("""WITH v AS (SELECT vec_id AS id,
+                       list_transform(embedding::DOUBLE[],
+                         x -> round(x * 1048576)) AS v
                        FROM embeddings),
             sub AS (SELECT id, j, list_slice(v, 8*j+1, 8*j+8) AS sv
                     FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
             codes AS (SELECT j, c.vec_id AS cid,
-                             list_slice(c.embedding::DOUBLE[], 8*j+1, 8*j+8)
+                             list_slice(c.embq, 8*j+1, 8*j+8)
                                AS code
-                      FROM embeddings c
+                      FROM (SELECT vec_id,
+                              list_transform(embedding::DOUBLE[],
+                                x -> round(x * 1048576)) AS embq
+                            FROM embeddings) c
                       CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
                       WHERE c.vec_id < 16),
             best AS (SELECT id, j, min(struct_pack(
@@ -114,7 +119,8 @@ object QueriesR3f {
             lut AS (SELECT id AS q_id, codes.j, cid,
                            CAST(round((list_dot_product(sv, sv)
                                  - 2 * list_dot_product(sv, code)
-                                 + list_dot_product(code, code)) * 1000000,
+                                 + list_dot_product(code, code))
+                               / 1099511627776.0 * 1000000,
                                0) AS BIGINT) AS d2_micro
                     FROM sub JOIN codes USING (j)
                     WHERE id >= 100 AND id < 110),
@@ -144,7 +150,8 @@ object QueriesR3f {
     (s, d) => {
       def emb() = t(s, d, "embeddings")
         .select(col("vec_id").as("id"),
-          Similarity.toDoubleVec(col("embedding")).as("vec"))
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("vec"))
       def dotC(x: Column, y: Column) = Similarity.dotComposed(x, y)
       def cosC(x: Column, y: Column) =
         dotC(x, y) / (sqrt(dotC(x, x)) * sqrt(dotC(y, y)))
@@ -160,7 +167,8 @@ object QueriesR3f {
       // IVF candidates: the sim_ivf_topk construction
       def cents() = t(s, d, "embeddings").filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"),
-          Similarity.toDoubleVec(col("embedding")).as("cv"))
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("cv"))
       def cells() = emb().crossJoin(broadcast(cents()))
         .select(col("id"), struct(
           (dotC(col("vec"), col("vec")) -
@@ -188,7 +196,9 @@ object QueriesR3f {
           (coalesce(col("h"), lit(0L)) * 20).as("recall_pct"))
         .orderBy("q_id")
     },
-    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+    Some("""WITH e AS (SELECT vec_id AS id,
+                       list_transform(embedding::DOUBLE[],
+                         x -> round(x * 1048576)) AS v
                        FROM embeddings),
             q AS (SELECT id AS q_id, v AS qv FROM e
                   WHERE id >= 100 AND id < 110),
@@ -201,8 +211,7 @@ object QueriesR3f {
                      (PARTITION BY q_id ORDER BY cos DESC, cand) AS rank
                    FROM xs),
             exact AS (SELECT q_id, cand FROM xr WHERE rank <= 5),
-            c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-                  FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
             cells AS (
               SELECT id, m.cid AS cell FROM (
                 SELECT e.id,

@@ -248,14 +248,21 @@ object QueriesR3k {
     Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
                               label
                        FROM embeddings),
-            q AS (SELECT id AS q_id, v AS qv FROM e WHERE id % 10 = 0),
+            q AS (SELECT id AS q_id, qv FROM
+                    (SELECT id, list_transform(v, x -> round(x * 1048576))
+                       AS qv FROM e WHERE id % 10 = 0)),
             s AS (SELECT q_id, id AS cand, label AS n_label,
-                         round(list_dot_product(qv, v) /
-                               (sqrt(list_dot_product(qv, qv)) *
-                                sqrt(list_dot_product(v, v))), 6) AS cos
-                  FROM e CROSS JOIN q WHERE id <> q_id),
+                         CAST(list_dot_product(qv, qi) AS BIGINT) AS dot_l,
+                         CAST(list_dot_product(qv, qv) AS BIGINT) AS nq,
+                         CAST(list_dot_product(qi, qi) AS BIGINT) AS ni
+                  FROM (SELECT id, label,
+                          list_transform(v, x -> round(x * 1048576)) AS qi
+                        FROM e) CROSS JOIN q WHERE id <> q_id),
             r AS (SELECT *, row_number() OVER
-                    (PARTITION BY q_id ORDER BY cos DESC, cand) AS rank
+                    (PARTITION BY q_id ORDER BY
+                       (dot_l::HUGEINT * abs(dot_l)::HUGEINT *
+                        10000000000::HUGEINT) //
+                         (nq::HUGEINT * ni::HUGEINT) DESC, cand) AS rank
                   FROM s),
             nn AS (SELECT q_id, n_label FROM r WHERE rank <= 5),
             votes AS (SELECT q_id, n_label,

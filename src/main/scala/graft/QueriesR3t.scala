@@ -29,42 +29,62 @@ object QueriesR3t {
       "inequality applied BEFORE the per-query top-k window, so " +
       "easy negatives never rank.",
     (s, d) => {
+      // integer-exact retrieval (Similarity.quantize discipline): exact
+      // integer dot/norms, exact-integer rank key, bit-identical cos
       val emb = t(s, d, "embeddings")
         .select(col("vec_id").as("id"),
-          Similarity.toDoubleVec(col("embedding")).as("vec"),
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("vec"),
           col("label"))
+        .withColumn("nv",
+          Similarity.dot(col("vec"), col("vec")).cast(LongType))
       val q = emb.filter(col("id") % 25 === 0)
         .select(col("id").as("q_id"), col("vec").as("qv"),
-          col("label").as("q_label"))
+          col("nv").as("nq"), col("label").as("q_label"))
       val scored = emb.crossJoin(broadcast(q))
         .filter(col("id") =!= col("q_id") &&
           col("label") =!= col("q_label"))
         .select(col("q_id"), col("q_label"), col("id").as("neg"),
           col("label").as("neg_label"),
-          round(Similarity.cosine(col("qv"), col("vec")), 6).as("cos"))
+          Similarity.dot(col("qv"), col("vec")).cast(LongType).as("dot_l"),
+          col("nq"), col("nv").as("ni"))
+        .withColumn("rk_key",
+          Similarity.cosRankKey(col("dot_l"), col("nq"), col("ni")))
+        .withColumn("cos",
+          Similarity.cosFromInts(col("dot_l"), col("nq"), col("ni")))
       scored.withColumn("rank", row_number().over(
-          Window.partitionBy("q_id").orderBy(desc("cos"), col("neg"))))
+          Window.partitionBy("q_id").orderBy(desc("rk_key"), col("neg"))))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("q_label"), col("rank"), col("neg"),
           col("neg_label"),
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
         .orderBy("q_id", "rank")
     },
-    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+    Some("""WITH e AS (SELECT vec_id AS id,
+                              list_transform(embedding::DOUBLE[],
+                                x -> round(x * 1048576)) AS v,
                               label
                        FROM embeddings),
             q AS (SELECT id AS q_id, v AS qv, label AS q_label
                   FROM e WHERE id % 25 = 0),
             s AS (SELECT q_id, q_label, id AS neg,
                          label AS neg_label,
-                         round(list_dot_product(qv, v) /
-                               (sqrt(list_dot_product(qv, qv)) *
-                                sqrt(list_dot_product(v, v))), 6) AS cos
+                         CAST(list_dot_product(qv, v) AS BIGINT) AS dot_l,
+                         CAST(list_dot_product(qv, qv) AS BIGINT) AS nq,
+                         CAST(list_dot_product(v, v) AS BIGINT) AS ni
                   FROM e CROSS JOIN q
                   WHERE id <> q_id AND label <> q_label),
+            sk AS (SELECT q_id, q_label, neg, neg_label,
+                          (dot_l::HUGEINT * abs(dot_l)::HUGEINT *
+                           10000000000::HUGEINT) //
+                            (nq::HUGEINT * ni::HUGEINT) AS rk_key,
+                          CAST(dot_l AS DOUBLE) /
+                            sqrt(CAST(nq AS DOUBLE) * CAST(ni AS DOUBLE))
+                            AS cos
+                   FROM s),
             r AS (SELECT *, row_number() OVER
-                    (PARTITION BY q_id ORDER BY cos DESC, neg) AS rank
-                  FROM s)
+                    (PARTITION BY q_id ORDER BY rk_key DESC, neg) AS rank
+                  FROM sk)
             SELECT q_id, q_label, rank, neg, neg_label,
                    CAST(round(cos * 1e6, 0) AS BIGINT) AS cos_micro
             FROM r WHERE rank <= 3 ORDER BY q_id, rank"""))

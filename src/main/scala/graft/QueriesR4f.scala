@@ -43,7 +43,8 @@ object QueriesR4f {
     (s, d) => {
       def emb() = t(s, d, "embeddings")
         .select(col("vec_id").as("id"),
-          Similarity.toDoubleVec(col("embedding")).as("vec"),
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("vec"),
           col("label").cast(LongType).as("lab"))
       def dotC(x: Column, y: Column) = Similarity.dotComposed(x, y)
       def cosC(x: Column, y: Column) =
@@ -86,7 +87,9 @@ object QueriesR4f {
             .cast(LongType).as("rr_micro"))
         .orderBy("q_id")
     },
-    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+    Some("""WITH e AS (SELECT vec_id AS id,
+                              list_transform(embedding::DOUBLE[],
+                                x -> round(x * 1048576)) AS v,
                               CAST(label AS BIGINT) AS lab
                        FROM embeddings),
             q AS (SELECT id AS q_id, v AS qv, lab AS qlab FROM e

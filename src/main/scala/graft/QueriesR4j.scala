@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.engine.Engine
 import graft.operators.Similarity
@@ -224,17 +224,28 @@ object QueriesR4j {
       "quotient λ₀ = Σ(x·v₀)² as the eigenvalue lower bound; the " +
       "norm and λ₀ are broadcast scalar join-backs.",
     (s, d) => {
+      // integer-exact (cross-row double sums are accumulation-order-
+      // dependent — the rag hazard class): quantized components make
+      // dot_int/Σdot_int²/Σx·dot exact BIGINTs; originals fall out via
+      // exact power-of-two divisions (2^23, 2^46, 2^43); the norm's
+      // 64-term sum integer-izes at 1e9 before the sqrt
       val e = t(s, d, "embeddings")
         .select(col("vec_id"),
-          Similarity.toDoubleVec(col("embedding")).as("v"))
-        .withColumn("dot",
-          aggregate(col("v"), lit(0.0), (acc, x) => acc + x) / 8.0)
-      val lam = e.agg(sum(col("dot") * col("dot")).as("lambda0"))
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("v"))
+        .withColumn("dot_i",
+          aggregate(col("v"), lit(0L), (acc, x) => acc + x.cast(LongType)))
+      val lam = e.agg(
+        (sum(col("dot_i") * col("dot_i")).cast(DoubleType) /
+          lit(7.0368744177664e13)).as("lambda0"))
       val w = e
-        .select(col("dot"), posexplode(col("v")).as(Seq("j0", "x")))
+        .select(col("dot_i"), posexplode(col("v")).as(Seq("j0", "x")))
         .groupBy((col("j0") + 1).cast(LongType).as("dim"))
-        .agg(sum(col("x") * col("dot")).as("w_raw"))
-      val nrm = w.agg(sqrt(sum(col("w_raw") * col("w_raw"))).as("nrm"))
+        .agg((sum(col("x").cast(LongType) * col("dot_i")).cast(DoubleType) /
+          lit(8.796093022208e12)).as("w_raw"))
+      val nrm = w.agg(
+        sqrt(sum(round(col("w_raw") * col("w_raw") * 1e9, 0)
+          .cast(LongType)).cast(DoubleType) / lit(1e9)).as("nrm"))
       w.crossJoin(broadcast(nrm)).crossJoin(broadcast(lam))
         .select(col("dim"), round(col("w_raw"), 6).as("w_raw"),
           round(col("w_raw") / col("nrm"), 6).as("w_unit"),
@@ -242,18 +253,26 @@ object QueriesR4j {
         .orderBy("dim")
     },
     Some("""WITH e AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> round(x * 1048576)) AS v
+              FROM embeddings),
             dt AS (
-              SELECT vec_id, v, list_sum(v) / 8.0 AS dot FROM e),
-            lam AS (SELECT sum(dot * dot) AS lambda0 FROM dt),
+              SELECT vec_id, v,
+                     CAST(list_sum(v) AS BIGINT) AS dot_i FROM e),
+            lam AS (SELECT CAST(sum(dot_i * dot_i) AS DOUBLE) /
+                           70368744177664.0 AS lambda0 FROM dt),
             ex AS (
-              SELECT dot, unnest(v) AS x,
+              SELECT dot_i, unnest(v) AS x,
                      unnest(range(1, len(v) + 1)) AS j
               FROM dt),
             w AS (
-              SELECT CAST(j AS BIGINT) AS dim, sum(x * dot) AS w_raw
+              SELECT CAST(j AS BIGINT) AS dim,
+                     CAST(sum(CAST(x AS BIGINT) * dot_i) AS DOUBLE) /
+                       8796093022208.0 AS w_raw
               FROM ex GROUP BY 1),
-            nr AS (SELECT sqrt(sum(w_raw * w_raw)) AS nrm FROM w)
+            nr AS (SELECT sqrt(CAST(sum(CAST(round(w_raw * w_raw * 1e9, 0)
+                            AS BIGINT)) AS DOUBLE) / 1e9) AS nrm FROM w)
             SELECT dim, round(w_raw, 6) AS w_raw,
                    round(w_raw / nrm, 6) AS w_unit,
                    round(lambda0, 6) AS lambda0

@@ -41,10 +41,12 @@ object QueriesR4n {
         .select(col("doc_id").as("cand"),
           size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
       val w = Window.partitionBy("q_id").orderBy("rank")
-      // cos ships as BIGINT micros, not a rounded DOUBLE: a float cell can
-      // land on an engine/ulp-dependent 6-dp rounding boundary and flake
-      // the driver's hash compare (round-4's only red cell) — ranking
-      // still uses the 6-dp rounded cos internally
+      // integer-exact retrieval (rounds 4-5 driver-red root fix): the
+      // bruteForceTopK path quantizes components to round(x·2^20), ranks
+      // by an exact integer key (Similarity.cosRankKey — no double-typed
+      // comparison), and its `cos` is bit-identical across engines
+      // (identical integer dot/norms + correctly-rounded IEEE ops), so
+      // the micro rounding below can never straddle a boundary
       hits.join(toks, "cand")
         .withColumn("cum_tokens", sum("n_tokens").over(w))
         .filter(col("cum_tokens") <= 192L)
@@ -54,17 +56,27 @@ object QueriesR4n {
           col("n_tokens"), col("cum_tokens"))
         .orderBy("q_id", "rank")
     },
-    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+    Some("""WITH e AS (SELECT vec_id AS id,
+                              list_transform(embedding::DOUBLE[],
+                                x -> round(x * 1048576)) AS v
                        FROM embeddings),
             q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 8),
             sc AS (SELECT q_id, id AS cand,
-                          round(list_dot_product(qv, v) /
-                                (sqrt(list_dot_product(qv, qv)) *
-                                 sqrt(list_dot_product(v, v))), 6) AS cos
+                          CAST(list_dot_product(qv, v) AS BIGINT) AS dot_l,
+                          CAST(list_dot_product(qv, qv) AS BIGINT) AS nq,
+                          CAST(list_dot_product(v, v) AS BIGINT) AS ni
                    FROM e CROSS JOIN q WHERE id <> q_id),
+            sk AS (SELECT q_id, cand,
+                          (dot_l::HUGEINT * abs(dot_l)::HUGEINT *
+                           10000000000::HUGEINT) //
+                            (nq::HUGEINT * ni::HUGEINT) AS rk_key,
+                          CAST(dot_l AS DOUBLE) /
+                            sqrt(CAST(nq AS DOUBLE) * CAST(ni AS DOUBLE))
+                            AS cos
+                   FROM sc),
             r AS (SELECT *, row_number() OVER
-                    (PARTITION BY q_id ORDER BY cos DESC, cand) AS rank
-                  FROM sc),
+                    (PARTITION BY q_id ORDER BY rk_key DESC, cand) AS rank
+                  FROM sk),
             hits AS (SELECT q_id, rank, cand, cos FROM r WHERE rank <= 10),
             toks AS (SELECT doc_id AS cand,
                             CAST(len(string_split(text, ' ')) AS BIGINT)

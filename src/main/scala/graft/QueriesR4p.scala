@@ -205,17 +205,28 @@ object QueriesR4p {
       "pick. Broadcast argmin assignment is map-only; the per-cluster " +
       "rank is a window over cluster-sized frames.",
     (s, d) => {
+      // integer-exact assignment (Similarity.quantize discipline): the
+      // argmin over centroids ranks by an exact integer key, and the
+      // emitted cos is bit-identical cross-engine
       val emb = t(s, d, "embeddings")
         .select(col("vec_id").as("id"),
-          Similarity.toDoubleVec(col("embedding")).as("vec"))
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("vec"))
+        .withColumn("nv",
+          Similarity.dot(col("vec"), col("vec")).cast(LongType))
       val cents = emb.filter(col("id") < 8)
-        .select(col("id").as("cid"), col("vec").as("cv"))
+        .select(col("id").as("cid"), col("vec").as("cv"),
+          col("nv").as("nc"))
       val assigned = emb.crossJoin(broadcast(cents))
-        .select(col("id"),
-          col("cid"),
-          round(Similarity.cosine(col("vec"), col("cv")), 6).as("cos"))
+        .select(col("id"), col("cid"),
+          Similarity.dot(col("vec"), col("cv")).cast(LongType).as("dot_l"),
+          col("nv"), col("nc"))
+        .withColumn("rk_key",
+          Similarity.cosRankKey(col("dot_l"), col("nv"), col("nc")))
+        .withColumn("cos",
+          Similarity.cosFromInts(col("dot_l"), col("nv"), col("nc")))
         .withColumn("rk", row_number().over(
-          Window.partitionBy("id").orderBy(desc("cos"), col("cid"))))
+          Window.partitionBy("id").orderBy(desc("rk_key"), col("cid"))))
         .filter(col("rk") === 1)
         .select(col("id"), col("cid"), col("cos"))
       val hashed = assigned.withColumn("hv",
@@ -232,20 +243,29 @@ object QueriesR4p {
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
         .orderBy("cid", "pick")
     },
-    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+    Some("""WITH e AS (SELECT vec_id AS id,
+                              list_transform(embedding::DOUBLE[],
+                                x -> round(x * 1048576)) AS v
                        FROM embeddings),
             c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
             sc AS (SELECT id, cid,
-                          round(list_dot_product(v, cv) /
-                                (sqrt(list_dot_product(v, v)) *
-                                 sqrt(list_dot_product(cv, cv))), 6)
-                            AS cos
+                          CAST(list_dot_product(v, cv) AS BIGINT) AS dot_l,
+                          CAST(list_dot_product(v, v) AS BIGINT) AS nv,
+                          CAST(list_dot_product(cv, cv) AS BIGINT) AS nc
                    FROM e CROSS JOIN c),
+            sk AS (SELECT id, cid,
+                          (dot_l::HUGEINT * abs(dot_l)::HUGEINT *
+                           10000000000::HUGEINT) //
+                            (nv::HUGEINT * nc::HUGEINT) AS rk_key,
+                          CAST(dot_l AS DOUBLE) /
+                            sqrt(CAST(nv AS DOUBLE) * CAST(nc AS DOUBLE))
+                            AS cos
+                   FROM sc),
             best AS (
               SELECT id, cid, cos FROM (
                 SELECT *, row_number() OVER
-                  (PARTITION BY id ORDER BY cos DESC, cid) AS rk
-                FROM sc) WHERE rk = 1),
+                  (PARTITION BY id ORDER BY rk_key DESC, cid) AS rk
+                FROM sk) WHERE rk = 1),
             hashed AS (
               SELECT id, cid, cos,
                      ('0x' || substr(md5('cs:' || CAST(id AS VARCHAR)),

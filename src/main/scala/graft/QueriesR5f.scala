@@ -35,10 +35,12 @@ object QueriesR5f {
     (s, d) => {
       def emb() = t(s, d, "embeddings")
         .select(col("vec_id").as("id"),
-          Similarity.toDoubleVec(col("embedding")).as("vec"))
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("vec"))
       def cents() = t(s, d, "embeddings").filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"),
-          Similarity.toDoubleVec(col("embedding")).as("cv"))
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("cv"))
       def dotC(x: Column, y: Column) = Similarity.dotComposed(x, y)
       def d2(v: Column, c: Column) =
         dotC(v, v) - lit(2) * dotC(v, c) + dotC(c, c)
@@ -98,10 +100,11 @@ object QueriesR5f {
             .as("recall_micro"))
         .orderBy("nprobe")
     },
-    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+    Some("""WITH e AS (SELECT vec_id AS id,
+                       list_transform(embedding::DOUBLE[],
+                         x -> round(x * 1048576)) AS v
                        FROM embeddings),
-            c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-                  FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
             cells AS (
               SELECT id, m.cid AS cell FROM (
                 SELECT e.id,

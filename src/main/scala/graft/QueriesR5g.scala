@@ -165,7 +165,8 @@ object QueriesR5g {
       def emb() = t(s, d, "embeddings")
         .filter(col("vec_id") % 31 === 0)
         .select(col("vec_id").as("id"),
-          Similarity.toDoubleVec(col("embedding")).as("vec"))
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("vec"))
       def dotC(x: Column, y: Column) = Similarity.dotComposed(x, y)
       def cosC(x: Column, y: Column) =
         dotC(x, y) / (sqrt(dotC(x, x)) * sqrt(dotC(y, y)))
@@ -197,7 +198,9 @@ object QueriesR5g {
         .orderBy("k")
     },
     Some("""WITH e AS (
-              SELECT vec_id AS id, embedding::DOUBLE[] AS v
+              SELECT vec_id AS id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> round(x * 1048576)) AS v
               FROM embeddings WHERE vec_id % 31 = 0),
             ranked AS (
               SELECT i, j, rk FROM (

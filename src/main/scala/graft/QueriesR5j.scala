@@ -122,7 +122,8 @@ object QueriesR5j {
       val panel = t(s, d, "embeddings")
         .filter(col("vec_id") % 31 === 0)
         .select(col("vec_id").as("id"),
-          Similarity.toDoubleVec(col("embedding")).as("vec"))
+          Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
+            .as("vec"))
         .localCheckpoint(true)
       def d2 = {
         val dot = Similarity.dotComposed(col("vec"), col("cvec"))
@@ -153,15 +154,17 @@ object QueriesR5j {
       import s.implicits._
       selected.toDF("center_id", "round", "d2_at_pick")
         .select(col("center_id"), col("round"),
-          round(col("d2_at_pick") * 1e6, 0).cast(LongType)
-            .as("d2_pick_micro"),
-          round(lit(radius) * 1e6, 0).cast(LongType)
-            .as("coverage_d2_micro"))
+          round(col("d2_at_pick") / lit(1099511627776.0) * 1e6, 0)
+            .cast(LongType).as("d2_pick_micro"),
+          round(lit(radius) / lit(1099511627776.0) * 1e6, 0)
+            .cast(LongType).as("coverage_d2_micro"))
         .orderBy("round")
     },
     Some {
       val panel =
-        """WITH p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        """WITH p AS (SELECT vec_id AS id,
+                      list_transform(embedding::DOUBLE[],
+                        x -> round(x * 1048576)) AS v
                       FROM embeddings WHERE vec_id % 31 = 0),
             s1 AS (SELECT id, v FROM p ORDER BY id LIMIT 1)"""
       // unrolled greedy rounds: sr = selected set after round r
@@ -194,8 +197,9 @@ object QueriesR5j {
                            list_dot_product(s.v, s.v)) AS mind
                 FROM p CROSS JOIN s5 s GROUP BY p.id))
             SELECT center_id, CAST(rnd AS BIGINT) AS round,
-                   CAST(round(d2 * 1e6, 0) AS BIGINT) AS d2_pick_micro,
-                   CAST(round(r2 * 1e6, 0) AS BIGINT)
+                   CAST(round(d2 / 1099511627776.0 * 1e6, 0) AS BIGINT)
+                     AS d2_pick_micro,
+                   CAST(round(r2 / 1099511627776.0 * 1e6, 0) AS BIGINT)
                      AS coverage_d2_micro
             FROM picks CROSS JOIN cov ORDER BY round"""
       panel + rounds + tail

@@ -23,6 +23,24 @@ object Similarity {
 
   def toDoubleVec(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
+  /** Integer-exact component quantization: `round(x * 2^20)` per element,
+    * kept as an INTEGRAL-VALUED double array.
+    *
+    * Why this kills the cross-engine rounding hazard for good: the stored
+    * embeddings are FLOATs (24-bit mantissa), so `x * 2^20` is a pure
+    * power-of-two rescale — NO rounding happens on either engine — and
+    * `round()` of that exact value is the same integer everywhere. Every
+    * quantized component is ≤ ~5.5e5, so every pairwise product is ≤ ~3e11
+    * and every 64-term dot/norm sum is ≤ ~2e13 — all integers below 2^53,
+    * meaning double arithmetic computes them EXACTLY (any summation order,
+    * any engine). Downstream cosines derived from these identical integers
+    * via correctly-rounded IEEE ops (cast, multiply, sqrt, divide) are
+    * bit-equal across Spark and DuckDB, so 6-dp/micro rounding can never
+    * again land on different sides of a boundary (the `rag_context_pack`
+    * driver-red of rounds 4-5).
+    */
+  def quantize(c: Column): Column = transform(c, x => round(x * 1048576))
+
   /** Composed-builtins dot product — the no-custom-code fallback. */
   def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -37,16 +55,57 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Brute-force top-k neighbors for each query vector.
+  /** Exact integer rank key for cosine ordering over QUANTIZED vectors:
+    * sign-preserving `(dot·|dot|·10^10) div (nq·ni)` — a pure-integer,
+    * truncating division both engines compute identically (Spark
+    * `IntegralDivide` and DuckDB `//` both truncate toward zero), monotone
+    * non-decreasing in the true cosine (it is trunc(sign·cos²·10^10)).
+    * Magnitudes: |dot| ≤ 2e13 so dot² ≤ 4e26 and dot²·10^10 ≤ 4e36 <
+    * 10^38 — fits DECIMAL(38,0) here and HUGEINT in the oracle. Candidates
+    * whose cos² agree within 1e-10 tie and fall to the `cand` tiebreak —
+    * deterministically, on both engines, because the key is exact.
+    */
+  def cosRankKey(dotL: Column, nq: Column, ni: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val num = dotL.cast("decimal(19,0)") * abs(dotL).cast("decimal(19,0)") *
+      lit(10000000000L).cast("decimal(11,0)")
+    val den = nq.cast("decimal(19,0)") * ni.cast("decimal(19,0)")
+    GraftSqlBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftSqlBridge.expression(num), GraftSqlBridge.expression(den)))
+  }
+
+  /** Bit-identical cosine from exact integer dot/norms: cast (exact,
+    * values < 2^53), one double multiply, one sqrt, one divide — all
+    * correctly-rounded IEEE ops, so identical integer inputs give
+    * bit-equal doubles on every engine. The oracle must spell the SAME
+    * formula: `CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(ni
+    * AS DOUBLE))`.
+    */
+  def cosFromInts(dotL: Column, nq: Column, ni: Column): Column =
+    dotL.cast(DoubleType) / sqrt(nq.cast(DoubleType) * ni.cast(DoubleType))
+
+  /** Brute-force top-k neighbors for each query vector — integer-exact:
+    * components quantize to `round(x·2^20)` ([[quantize]]), dot/norms are
+    * exact integers, ranking uses [[cosRankKey]] (no double-typed
+    * comparison anywhere in the ordering), and the emitted `cos` is the
+    * bit-identical [[cosFromInts]] double.
     * @param corpus (id, vec double[]) — full corpus
     * @param queries (q_id, qv double[]) — broadcast-small query set
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val c2 = corpus.select(col("id"), quantize(col("vec")).as("v"))
+      .withColumn("ni", dot(col("v"), col("v")).cast("long"))
+    val q2 = queries.select(col("q_id"), quantize(col("qv")).as("qv"))
+      .withColumn("nq", dot(col("qv"), col("qv")).cast("long"))
+    val scored = c2.crossJoin(broadcast(q2))
       .filter(col("id") =!= col("q_id"))
       .select(col("q_id"), col("id").as("cand"),
-        round(cosine(col("qv"), col("vec")), 6).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("cand"))
+        dot(col("qv"), col("v")).cast("long").as("dot_l"),
+        col("nq"), col("ni"))
+      .withColumn("rk_key", cosRankKey(col("dot_l"), col("nq"), col("ni")))
+      .withColumn("cos", cosFromInts(col("dot_l"), col("nq"), col("ni")))
+    val w = Window.partitionBy("q_id").orderBy(desc("rk_key"), col("cand"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
