@@ -146,7 +146,10 @@ object QueriesExt {
         .filter(col("doc_id") =!= col("rep"))
         .select(col("doc_id").as("a"), col("rep").as("b"))
       val nodes = t(s, d, "documents").select("doc_id")
-      Dedup.connectedComponents(nodes, edges)
+      // parts=8: the doc-id node set is thousands of rows at bench SFs
+      // (and the label frame stays a few MB far beyond) — graph-sized
+      // pinning, the hitsInt contract
+      Dedup.connectedComponents(nodes, edges, parts = 8)
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
     },

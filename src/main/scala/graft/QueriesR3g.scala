@@ -122,7 +122,8 @@ object QueriesR3g {
           col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
         .filter(levenshtein(col("a.name"), col("b.name")) <= 2)
         .select(col("a.id").as("a"), col("b.id").as("b"))
-      Dedup.connectedComponents(ents().select("id"), edges)
+      // parts=8: ~1k nodes — the graph-sized pinning contract
+      Dedup.connectedComponents(ents().select("id"), edges, parts = 8)
         .select(col("id").as("entity_id"), col("component").as("cluster_id"))
         .orderBy("entity_id")
     },

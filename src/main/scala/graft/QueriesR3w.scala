@@ -183,6 +183,20 @@ object QueriesR3w {
       "actual compute on this 2000-row backbone).",
     (s, d) => {
       import graft.operators.Iterate.checkpointRdd
+      // loop discipline (the hitsInt/connectedComponents contract): AQE
+      // off — stage-at-a-time scheduling makes every exchange its own
+      // job; broadcasts off — each semi-join's broadcast build is its
+      // own job (2/round); parallelism pinned to the ≤2000-row backbone.
+      // Checkpoints go LAZY with the convergence count() as the
+      // materializing action: one scheduler job per checkpoint cadence
+      // instead of checkpoint + count (26 → ~8 jobs measured).
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val spWas = s.conf.get("spark.sql.shuffle.partitions")
+      val abWas = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
       // memoized top-2000 backbone (Graph.backbone) — shared across the
       // graph family instead of rebuilt per query
       var edges = Graph.backbone(s, d).select("a", "b")
@@ -203,16 +217,17 @@ object QueriesR3w {
           .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
           .select("a", "b")
         if (round % 2 == 0 || round == 6) {
-          val cp = next.localCheckpoint(true)
+          val cp = next.localCheckpoint(false)
+          // peeling is monotone: an unchanged edge count at a checkpoint
+          // means the fixpoint is reached and remaining rounds are no-ops
+          // (the oracle replays all 6 — identical by monotonicity). The
+          // count BOTH materializes the lazy checkpoint and reads the
+          // convergence scalar — one job, not two.
+          val n = cp.count()
           Option(lastCp).flatMap(checkpointRdd)
             .foreach(_.unpersist(blocking = false))
           lastCp = cp
           edges = cp
-          // peeling is monotone: an unchanged edge count at a checkpoint
-          // means the fixpoint is reached and remaining rounds are no-ops
-          // (the oracle replays all 6 — identical by monotonicity). The
-          // count reads the just-materialized ≤2000-row checkpoint.
-          val n = cp.count()
           if (n == lastN) converged = true else lastN = n
         } else {
           edges = next
@@ -222,6 +237,11 @@ object QueriesR3w {
       undirected(edges).groupBy(col("v").as("node"))
         .agg(count(lit(1)).as("core_deg"))
         .orderBy("node")
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        s.conf.set("spark.sql.shuffle.partitions", spWas)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", abWas)
+      }
     },
     Some {
       // every CTE that later stages reference more than once is

@@ -139,9 +139,14 @@ object Dedup {
     *
     * @param nodes  single-column frame of node ids (long)
     * @param edges  two-column frame (a, b); symmetrized internally
+    * @param parts  pinned partition count for the loop's exchanges; 0 =
+    *               session shuffle parallelism. Size it to the GRAPH (the
+    *               hitsInt/pageRankInt contract): label frames are a few
+    *               MB even for large candidate graphs, and slicing them
+    *               across 32 near-empty tasks per round is pure floor.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25, parts: Int = 0): DataFrame = {
     // Constraint propagation OFF for the loop: checkpointed labels keep
     // their attribute ids across rounds, so each round's union + pointer-
     // jumping self-join re-exposes one id on multiple plan branches and
@@ -156,6 +161,27 @@ object Dedup {
     val ccKey = "spark.sql.constraintPropagation.enabled"
     val ccPrev = spark.conf.getOption(ccKey)
     spark.conf.set(ccKey, "false")
+    // AQE off + pinned parallelism for the loop (the hitsInt discipline):
+    // AQE's stage-at-a-time scheduling turns every exchange of every
+    // round into its own scheduler job — measured 38 jobs on
+    // er_name_cluster with AQE vs 16 without at identical results — and
+    // contributes nothing here since the loop's frames are uniformly
+    // hash-keyed. Restored in the finally; queries run sequentially.
+    val np = if (parts > 0) parts
+             else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    val spKey = "spark.sql.shuffle.partitions"
+    val spWas = spark.conf.get(spKey)
+    // broadcasts off too: each BroadcastExchange build is its own driver
+    // job (2 per round), and broadcasting the per-NODE label table is
+    // exactly what a 100 TB run must not do — shuffle joins on the pinned
+    // partitioning are the honest plan at every scale
+    val abKey = "spark.sql.autoBroadcastJoinThreshold"
+    val abWas = spark.conf.get(abKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(spKey, np.toString)
+    spark.conf.set(abKey, "-1")
     // each round's checkpoint blocks are freed eagerly via the underlying
     // RDD (see Iterate.checkpointRdd for why Dataset.unpersist can't)
     import Iterate.checkpointRdd
@@ -170,8 +196,10 @@ object Dedup {
     // localCheckpoint (not cache): each round's plan would otherwise carry
     // the ENTIRE prior lineage — re-analyzed by the optimizer every round,
     // so planning cost grows superlinearly with rounds (measured 105 s at
-    // 5 k docs before truncation)
-    var labels = n.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    // 5 k docs before truncation). LAZY checkpoints: the labelSum read is
+    // the materializing job, so each round schedules ONE driver job, not
+    // checkpoint + sum (measured 44 → ~24 jobs on er_name_cluster)
+    var labels = n.select(col("id"), col("id").as("label")).localCheckpoint(false)
     var checksum = labelSum(labels)
     var converged = false
     var it = 0
@@ -198,7 +226,7 @@ object Dedup {
           stepped("label") === col("lid"), "left")
         .select(stepped("id"),
           coalesce(col("llabel"), stepped("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       checkpointRdd(labels).foreach(_.unpersist(blocking = false))
       labels = next
@@ -215,6 +243,9 @@ object Dedup {
         case Some(v) => spark.conf.set(ccKey, v)
         case None    => spark.conf.unset(ccKey)
       }
+      spark.conf.set(aqeKey, aqeWas)
+      spark.conf.set(spKey, spWas)
+      spark.conf.set(abKey, abWas)
     }
   }
 

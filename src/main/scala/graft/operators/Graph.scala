@@ -357,6 +357,13 @@ object Graph {
     val sp = "spark.sql.shuffle.partitions"
     val spWas = spark.conf.get(sp)
     spark.conf.set(sp, np.toString)
+    // broadcasts off: the per-half-round 1-row max would otherwise plan
+    // as BroadcastNestedLoopJoin, whose build is its own scheduler job
+    // (6 of them at 3 rounds); as a cartesian with a 1-row side it rides
+    // the main job's stages instead
+    val ab = "spark.sql.autoBroadcastJoinThreshold"
+    val abWas = spark.conf.get(ab)
+    spark.conf.set(ab, "-1")
     val e0 = edgesIn.toDF("src", "dst")
     val ed = if (assumeDistinct) e0 else e0.distinct()
     // TWO cached copies of the edge list, hash-partitioned on src and on
@@ -370,11 +377,19 @@ object Graph {
     val eBySrc = ed.repartition(np, col("src")).cache()
     val eByDst = ed.repartition(np, col("dst")).cache()
     val raws = scala.collection.mutable.Buffer.empty[DataFrame]
+    // the max stays INSIDE the lineage (crossJoin of a broadcast 1-row
+    // agg, the w9_time_decay idiom) instead of an eager per-half-round
+    // collect: the whole multi-round chain is now ONE lazily-planned DAG
+    // whose broadcast builds overlap as futures, not 2 blocking driver
+    // jobs per round (measured 17 → 10 jobs on g7_hits). The cache on
+    // raw keeps the agg branch and the score branch from re-running the
+    // half-round join.
     def normalized(raw0: DataFrame): DataFrame = {
       val raw = raw0.cache()
       raws += raw
-      val mx = raw.agg(max("raw")).collect()(0).getLong(0)
-      raw.select(col("node"), expr(s"(raw * $Scale) div $mx").as("score"))
+      val mx = raw.agg(max("raw").as("mx"))
+      raw.crossJoin(mx)
+        .select(col("node"), expr(s"(raw * $Scale) div mx").as("score"))
     }
     try {
       // distinct on the src-partitioned cache: clustering already
@@ -401,6 +416,7 @@ object Graph {
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.conf.set(sp, spWas)
+      spark.conf.set(ab, abWas)
       raws.foreach(_.unpersist(blocking = false))
       eBySrc.unpersist(blocking = false)
       eByDst.unpersist(blocking = false)
