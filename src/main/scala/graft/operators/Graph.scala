@@ -230,6 +230,20 @@ object Graph {
     // 1-2 cores; a user-pinned count it keeps
     val np = if (parts > 0) parts
              else edgesIn.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // loop discipline (the hitsInt/connectedComponents contract): AQE off
+    // for the loop — stage-at-a-time scheduling otherwise turns the ~3
+    // stages of every checkpoint cadence into separate scheduler jobs
+    // (measured 28 → 8 jobs on g1_pagerank at identical results);
+    // broadcasts off so no per-round build jobs; parallelism already
+    // pinned to np everywhere. Restored in the finally.
+    val spark0 = edgesIn.sparkSession
+    val aqeWas = spark0.conf.get("spark.sql.adaptive.enabled", "true")
+    val spWas = spark0.conf.get("spark.sql.shuffle.partitions")
+    val abWas = spark0.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark0.conf.set("spark.sql.adaptive.enabled", "false")
+    spark0.conf.set("spark.sql.shuffle.partitions", np.toString)
+    spark0.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
     val edges = edgesIn.toDF("src", "dst").repartition(np, col("src"))
       .dropDuplicates("src", "dst")
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
@@ -290,6 +304,11 @@ object Graph {
         ranks
       } finally nodes.unpersist(blocking = false)
     } finally edges.unpersist(blocking = false)
+    } finally {
+      spark0.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark0.conf.set("spark.sql.shuffle.partitions", spWas)
+      spark0.conf.set("spark.sql.autoBroadcastJoinThreshold", abWas)
+    }
   }
   /** HITS hubs & authorities (Kleinberg) over a DIRECTED bipartite edge
     * list, in INTEGER arithmetic with per-round max-normalization so
@@ -314,18 +333,18 @@ object Graph {
     * scheduler jobs — 8 s of local job floor for <1 s of compute), and
     * lazy caches + broadcast max-over-cache (the broadcast futures all
     * launch at job start and race to compute the yet-uncached raw
-    * tables concurrently — the round-3 storm again, 29 s). Final shape:
-    * each half-round's RAW score table gets a cache, and the
-    * normalizing max is COLLECTED to the driver as one exact BIGINT — a
-    * 1-row action that doubles as the cache's materialization — then
-    * embedded as a LITERAL in the normalized projection. Integer max is
-    * order-independent, so the driver round-trip carries no
-    * nondeterminism (it is the same driver-side control a fixpoint
-    * count() already is), and the plan has no broadcast future, no
-    * O(|V|) one-task stage, and exactly one small action per
-    * half-round. Caches free deterministically in the finally — the
-    * returned frame is eagerly checkpointed first, so nothing recomputes
-    * at the caller's sink.
+    * tables concurrently — the round-3 storm again, 29 s). Round 5
+    * landed on caching each half-round's raw table and COLLECTING its
+    * max per half-round (2 blocking driver jobs/round, 17 jobs total).
+    * Round-6 final shape: the max stays in the lineage as a 1-row
+    * CARTESIAN join (broadcasts disabled for the loop, so no broadcast
+    * future exists to race — the mx stage is a plain DEPENDENT stage
+    * that the scheduler orders after its cached input, unlike the
+    * round-3/5 future storms) and the whole multi-round DAG materializes
+    * once at the final eager checkpoint: 5 scheduler jobs total, no
+    * O(|V|) one-task stage, identical integer results. Caches free
+    * deterministically in the finally — the returned frame is eagerly
+    * checkpointed first, so nothing recomputes at the caller's sink.
     *
     * @param assumeDistinct the input edge frame is already distinct
     *                       (e.g. the memoized [[tradeEdges]]) — skips the
