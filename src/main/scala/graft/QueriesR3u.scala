@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.engine.Engine
 
@@ -94,18 +94,24 @@ object QueriesR3u {
         .agg(count(lit(1)).as("c_ls"))
       val byL = docs.groupBy("lang").agg(count(lit(1)).as("c_l"))
       val byS = docs.groupBy("source").agg(count(lit(1)).as("c_s"))
+      // cross-row double sums are accumulation-order-dependent (and ln is
+      // libm-ulp-sensitive): every term nano-rounds to BIGINT before the
+      // sum, the output reconstructs with one exact-integer division —
+      // the micro-rounded-terms-then-integer-sum discipline
       val mi = joint.join(broadcast(byL), "lang")
         .join(broadcast(byS), "source")
         .crossJoin(broadcast(tot))
-        .agg(round(sum(col("c_ls") / col("n") *
-          log(col("c_ls") * col("n") / (col("c_l") * col("c_s")))), 6)
-          .as("mi_nats"))
+        .agg(round(sum(round(col("c_ls") / col("n") *
+          log(col("c_ls") * col("n") / (col("c_l") * col("c_s"))) * 1e9,
+          0).cast(LongType)).cast(DoubleType) / 1e9, 6).as("mi_nats"))
       val hL = byL.crossJoin(broadcast(tot))
-        .agg(round(-sum(col("c_l") / col("n") * log(col("c_l") / col("n"))), 6)
-          .as("h_lang"))
+        .agg(round(-sum(round(col("c_l") / col("n") *
+          log(col("c_l") / col("n")) * 1e9, 0).cast(LongType))
+          .cast(DoubleType) / 1e9, 6).as("h_lang"))
       val hS = byS.crossJoin(broadcast(tot))
-        .agg(round(-sum(col("c_s") / col("n") * log(col("c_s") / col("n"))), 6)
-          .as("h_source"))
+        .agg(round(-sum(round(col("c_s") / col("n") *
+          log(col("c_s") / col("n")) * 1e9, 0).cast(LongType))
+          .cast(DoubleType) / 1e9, 6).as("h_source"))
       tot.select(col("n").as("n_docs"))
         .crossJoin(hL).crossJoin(hS).crossJoin(mi)
     },
@@ -118,15 +124,18 @@ object QueriesR3u {
             s AS (SELECT source, CAST(count(*) AS BIGINT) AS c_s
                   FROM d GROUP BY 1)
             SELECT (SELECT n FROM n) AS n_docs,
-                   (SELECT round(-sum((c_l * 1.0 / n.n) *
-                                      ln(c_l * 1.0 / n.n)), 6)
+                   (SELECT round(-CAST(sum(CAST(round((c_l * 1.0 / n.n) *
+                                      ln(c_l * 1.0 / n.n) * 1e9, 0)
+                                    AS BIGINT)) AS DOUBLE) / 1e9, 6)
                     FROM l, n) AS h_lang,
-                   (SELECT round(-sum((c_s * 1.0 / n.n) *
-                                      ln(c_s * 1.0 / n.n)), 6)
+                   (SELECT round(-CAST(sum(CAST(round((c_s * 1.0 / n.n) *
+                                      ln(c_s * 1.0 / n.n) * 1e9, 0)
+                                    AS BIGINT)) AS DOUBLE) / 1e9, 6)
                     FROM s, n) AS h_source,
-                   (SELECT round(sum((c_ls * 1.0 / n.n) *
+                   (SELECT round(CAST(sum(CAST(round((c_ls * 1.0 / n.n) *
                                      ln((c_ls * 1.0 * n.n) /
-                                        (c_l * 1.0 * c_s))), 6)
+                                        (c_l * 1.0 * c_s)) * 1e9, 0)
+                                   AS BIGINT)) AS DOUBLE) / 1e9, 6)
                     FROM j JOIN l USING (lang) JOIN s USING (source), n)
                      AS mi_nats"""))
 

@@ -140,8 +140,12 @@ object QueriesR3y {
         // ties at the threshold value are excluded on BOTH engines alike
         .filter(col("cents") > col("x_thr"))
         .agg(count(lit(1)).as("k"), first("x_thr").as("x_thr_cents"),
+          // nano-rounded log-ratio terms, exact integer sum (500-term
+          // double sums are accumulation-order-dependent; ln is
+          // libm-ulp-sensitive) — one identical division reconstructs
           round(count(lit(1)) /
-            sum(log(col("cents").cast("double") / col("x_thr"))), 6)
+            (sum(round(log(col("cents").cast("double") / col("x_thr")) *
+              1e9, 0).cast("long")).cast("double") / 1e9), 6)
             .as("alpha"))
     },
     Some("""WITH cents AS (SELECT o_orderkey,
@@ -154,8 +158,9 @@ object QueriesR3y {
             SELECT CAST(count(*) AS BIGINT) AS k,
                    (SELECT x_thr FROM thr) AS x_thr_cents,
                    round(count(*) /
-                         sum(ln(CAST(cents AS DOUBLE) /
-                                (SELECT x_thr FROM thr))), 6) AS alpha
+                         (CAST(sum(CAST(round(ln(CAST(cents AS DOUBLE) /
+                                (SELECT x_thr FROM thr)) * 1e9, 0)
+                              AS BIGINT)) AS DOUBLE) / 1e9), 6) AS alpha
             FROM top WHERE cents > (SELECT x_thr FROM thr)"""))
 
   val all: Seq[Q] = Seq(giniSplit, hill)

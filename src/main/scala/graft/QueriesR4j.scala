@@ -51,8 +51,12 @@ object QueriesR4j {
         .withColumn("p_base", round(pb, 6))
         .withColumn("p_cur", round(pc, 6))
         .withColumn("psi_contrib", round((pc - pb) * log(pc / pb), 6))
-      val total = contrib.agg(round(sum((pc - pb) * log(pc / pb)), 6)
-        .as("psi_total"))
+      // headline PSI: nano-rounded per-bin terms, exact integer sum (a
+      // ~40-term double sum is accumulation-order-dependent; ln is
+      // libm-ulp-sensitive) — psi_contrib stays a per-row round
+      val total = contrib.agg(
+        round(sum(round((pc - pb) * log(pc / pb) * 1e9, 0)
+          .cast(LongType)).cast("double") / 1e9, 6).as("psi_total"))
       contrib.crossJoin(broadcast(total))
         .select("bin", "n_base", "n_cur", "p_base", "p_cur",
           "psi_contrib", "psi_total")
@@ -83,8 +87,9 @@ object QueriesR4j {
                        (CAST(nc_tot AS DOUBLE) + 0.5 * k) AS pcx
               FROM grp, tot),
             ttl AS (
-              SELECT round(sum((pcx - pbx) * ln(pcx / pbx)), 6)
-                AS psi_total FROM c)
+              SELECT round(CAST(sum(CAST(round((pcx - pbx) *
+                       ln(pcx / pbx) * 1e9, 0) AS BIGINT)) AS DOUBLE)
+                     / 1e9, 6) AS psi_total FROM c)
             SELECT bin, n_base, n_cur,
                    round(pbx, 6) AS p_base, round(pcx, 6) AS p_cur,
                    round((pcx - pbx) * ln(pcx / pbx), 6) AS psi_contrib,

@@ -221,7 +221,10 @@ object QueriesR4n {
         .withColumn("cum_all",
           sum(col("n_b").cast(DoubleType) / col("tot")).over(wc))
         .groupBy("c_nationkey")
-        .agg(round(sum(abs(col("cum_g") - col("cum_all"))) /
+        // nano-rounded per-band terms, exact integer sum (cum_* are
+        // bit-identical window prefixes; the per-nation SUM order is not)
+        .agg(round(sum(round(abs(col("cum_g") - col("cum_all")) * 1e9, 0)
+          .cast(LongType)).cast(DoubleType) / 1e9 /
           (first("n_bands") - 1).cast(DoubleType), 6).as("t"))
         .withColumn("close", col("t") <= 0.25)
         .orderBy("c_nationkey")
@@ -249,9 +252,11 @@ object QueriesR4n {
                        (PARTITION BY c_nationkey ORDER BY band) AS cum_all
               FROM grid)
             SELECT c_nationkey,
-                   round(sum(abs(cum_g - cum_all)) /
+                   round(CAST(sum(CAST(round(abs(cum_g - cum_all) * 1e9,
+                           0) AS BIGINT)) AS DOUBLE) / 1e9 /
                          ((SELECT count(*) FROM gb) - 1), 6) AS t,
-                   round(sum(abs(cum_g - cum_all)) /
+                   round(CAST(sum(CAST(round(abs(cum_g - cum_all) * 1e9,
+                           0) AS BIGINT)) AS DOUBLE) / 1e9 /
                          ((SELECT count(*) FROM gb) - 1), 6) <= 0.25
                      AS close
             FROM cums GROUP BY c_nationkey

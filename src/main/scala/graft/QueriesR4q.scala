@@ -197,10 +197,16 @@ object QueriesR4q {
           ((hour(col("ts")) * 3600 + minute(col("ts")) * 60 +
             second(col("ts"))).cast(DoubleType) / 86400.0 * twoPi)
             .as("theta"))
+      // nano-rounded per-event sin/cos terms, exact integer sums: a
+      // cross-row double sum is accumulation-order-dependent, and libm
+      // trig can differ by an ulp across engines — the
+      // micro-rounded-terms-then-integer-sum discipline
       val agg = ev.groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          round(sum(sin(col("theta"))), 6).as("ss"),
-          round(sum(cos(col("theta"))), 6).as("sc"))
+          round(sum(round(sin(col("theta")) * 1e9, 0).cast(LongType))
+            .cast(DoubleType) / 1e9, 6).as("ss"),
+          round(sum(round(cos(col("theta")) * 1e9, 0).cast(LongType))
+            .cast(DoubleType) / 1e9, 6).as("sc"))
       agg.select(col("event_type"), col("n"),
           round((atan2(col("ss"), col("sc")) / twoPi + 1.0) % 1.0 * 24.0, 4)
             .as("mean_hour"),
@@ -218,8 +224,10 @@ object QueriesR4q {
               FROM events),
             agg AS (
               SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                     round(sum(sin(theta)), 6) AS ss,
-                     round(sum(cos(theta)), 6) AS sc
+                     round(CAST(sum(CAST(round(sin(theta) * 1e9, 0)
+                       AS BIGINT)) AS DOUBLE) / 1e9, 6) AS ss,
+                     round(CAST(sum(CAST(round(cos(theta) * 1e9, 0)
+                       AS BIGINT)) AS DOUBLE) / 1e9, 6) AS sc
               FROM ev GROUP BY 1)
             SELECT event_type, n,
                    round(((atan2(ss, sc) / (2 * pi())) + 1.0) % 1.0 * 24.0,

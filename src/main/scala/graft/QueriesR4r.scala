@@ -53,7 +53,12 @@ object QueriesR4r {
       pairs.join(broadcast(probs), Seq("prv", "nxt"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_transitions"),
-          round(-sum(log2(col("p"))) / count(lit(1)), 6).as("bits_per_step"))
+          // nano-rounded per-transition log terms, exact integer sum
+          // (cross-row double sums are order-dependent; log2 is
+          // libm-ulp-sensitive) — one identical division reconstructs
+          round(-(sum(round(log2(col("p")) * 1e9, 0).cast("long"))
+            .cast("double") / 1e9) / count(lit(1)), 6)
+            .as("bits_per_step"))
         .filter(col("n_transitions") >= 5)
         .orderBy(desc("bits_per_step"), col("user_id"))
         .limit(20)
@@ -79,7 +84,9 @@ object QueriesR4r {
               FROM grid LEFT JOIN counts
                 ON grid.prv = counts.prv AND grid.nxt = counts.nxt)
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_transitions,
-                   round(-sum(log2(p)) / count(*), 6) AS bits_per_step
+                   round(-(CAST(sum(CAST(round(log2(p) * 1e9, 0)
+                       AS BIGINT)) AS DOUBLE) / 1e9) / count(*), 6)
+                     AS bits_per_step
             FROM pairs JOIN probs USING (prv, nxt)
             GROUP BY user_id HAVING count(*) >= 5
             ORDER BY bits_per_step DESC, user_id LIMIT 20"""))

@@ -59,10 +59,14 @@ object QueriesR5j {
             lnfAt(col("n") - col("c1") - col("r1") + col("k")) -
             (lnfAt(col("n")) - lnfAt(col("r1")) -
               lnfAt(col("n") - col("r1")))).as("pk"))
+      // nano-rounded tail terms, exact integer sum (exp/ln are
+      // libm-ulp-sensitive and the tail sum order is engine-dependent)
       tail.groupBy("n", "r1", "c1", "a")
-        .agg(sum("pk").as("p"))
+        .agg(sum(round(col("pk") * 1e9, 0).cast(LongType))
+          .as("p_nano"))
         .select(col("n"), col("r1"), col("c1"), col("a"),
-          round(col("p") * 1e6, 0).cast(LongType).as("p_micro"))
+          round(col("p_nano").cast(DoubleType) / 1e3, 0).cast(LongType)
+            .as("p_micro"))
     },
     Some("""WITH panel AS (
               SELECT CAST(s_acctbal < 0 AS BIGINT) AS r,
@@ -100,7 +104,8 @@ object QueriesR5j {
               FROM m CROSS JOIN arr
               CROSS JOIN unnest(range(a, least(r1, c1) + 1)) AS u(k))
             SELECT n, r1, c1, a,
-                   CAST(round(sum(pk) * 1e6, 0) AS BIGINT) AS p_micro
+                   CAST(round(CAST(sum(CAST(round(pk * 1e9, 0) AS BIGINT))
+                     AS DOUBLE) / 1e3, 0) AS BIGINT) AS p_micro
             FROM tail GROUP BY 1, 2, 3, 4"""))
 
   // ------- curate_kcenter: greedy k-center coreset over a panel

@@ -164,12 +164,20 @@ object QueriesR5n {
           (lit(1.0) - pow(lit(1.0) - pow(col("s"), col("r")),
             col("b"))).as("p"))
       def dd(c: String) = col(c).cast(DoubleType)
+      // nano-rounded per-pair s-curve terms, exact integer sums (pow is
+      // libm-ulp-sensitive and pair-sum order is engine-dependent); the
+      // double reconstructs via one identical division per output
       swept.groupBy("b", "r")
         .agg(count(lit(1)).as("n_pairs"),
-          round(sum("p"), 3).as("exp_cand"),
-          sum(when(col("s") >= 0.7, col("p"))).as("hit"),
+          round(sum(round(col("p") * 1e9, 0).cast(LongType))
+            .cast(DoubleType) / 1e9, 3).as("exp_cand"),
+          (sum(when(col("s") >= 0.7,
+            round(col("p") * 1e9, 0).cast(LongType)))
+            .cast(DoubleType) / 1e9).as("hit"),
           sum(when(col("s") >= 0.7, 1.0)).as("trueDup"),
-          round(sum(when(col("s") < 0.7, col("p"))), 3).as("falseCand"))
+          round(sum(when(col("s") < 0.7,
+            round(col("p") * 1e9, 0).cast(LongType)))
+            .cast(DoubleType) / 1e9, 3).as("falseCand"))
         .select(col("b").cast(LongType).as("bands"),
           col("r").cast(LongType).as("rows_per_band"), col("n_pairs"),
           round(col("exp_cand") * 1e3, 0).cast(LongType)
@@ -199,13 +207,18 @@ object QueriesR5n {
             SELECT CAST(b AS BIGINT) AS bands,
                    CAST(r AS BIGINT) AS rows_per_band,
                    CAST(count(*) AS BIGINT) AS n_pairs,
-                   CAST(round(round(sum(p), 3) * 1e3, 0) AS BIGINT)
-                     AS exp_candidates_milli,
-                   CAST(round(sum(CASE WHEN s >= 0.7 THEN p END) * 1e6 /
+                   CAST(round(round(CAST(sum(CAST(round(p * 1e9, 0)
+                       AS BIGINT)) AS DOUBLE) / 1e9, 3) * 1e3, 0)
+                     AS BIGINT) AS exp_candidates_milli,
+                   CAST(round(CAST(sum(CASE WHEN s >= 0.7 THEN
+                       CAST(round(p * 1e9, 0) AS BIGINT) END)
+                       AS DOUBLE) / 1e9 * 1e6 /
                      sum(CASE WHEN s >= 0.7 THEN 1.0 END), 0) AS BIGINT)
                      AS exp_recall_micro,
-                   CAST(round(round(sum(CASE WHEN s < 0.7 THEN p END),
-                     3) * 1e3, 0) AS BIGINT) AS exp_false_cand_milli
+                   CAST(round(round(CAST(sum(CASE WHEN s < 0.7 THEN
+                       CAST(round(p * 1e9, 0) AS BIGINT) END)
+                       AS DOUBLE) / 1e9, 3) * 1e3, 0) AS BIGINT)
+                     AS exp_false_cand_milli
             FROM swept GROUP BY b, r ORDER BY bands DESC"""))
 
   val all: Seq[Q] = Seq(srmCheck, readability, lshPlanner)

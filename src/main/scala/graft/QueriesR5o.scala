@@ -55,6 +55,10 @@ object QueriesR5o {
         sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx1"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
         .localCheckpoint(true)
+      // float-sum audit: every aggregate above is an exact BIGINT sum
+      // (order-proof); the doubles below derive from those identical
+      // integers via op-for-op mirrored IEEE arithmetic — bit-equal on
+      // both engines, so the micro rounds cannot straddle a boundary
       def dd(c: String) = col(c).cast(DoubleType)
       val theta = (dd("sxy") - dd("sx") * dd("sy") / dd("n")) /
         (dd("sxx") - dd("sx") * dd("sx") / dd("n"))

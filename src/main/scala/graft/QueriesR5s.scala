@@ -47,28 +47,32 @@ object QueriesR5s {
           (col("n_conv").cast(DoubleType) /
             col("n_users").cast(DoubleType)).as("v"))
         .localCheckpoint(true)
-      // all 12 (channel, base-coalition) marginal terms, explicit weights
+      // all 12 (channel, base-coalition) marginal terms. Weights ship as
+      // integer SIXTHS (1/3 = 2/6): each term micro-rounds BEFORE the
+      // per-channel sum, so the sum is exact BIGINT arithmetic — a
+      // 4-term double sum is accumulation-order-dependent across
+      // engines, the rag hazard class (the repo's
+      // micro-rounded-terms-then-integer-sum discipline)
       import s.implicits._
       val terms = Seq(
         // channel bit 1 = view
-        (1L, 0L, 1.0 / 3), (1L, 2L, 1.0 / 6), (1L, 4L, 1.0 / 6),
-        (1L, 6L, 1.0 / 3),
+        (1L, 0L, 2L), (1L, 2L, 1L), (1L, 4L, 1L), (1L, 6L, 2L),
         // channel bit 2 = click
-        (2L, 0L, 1.0 / 3), (2L, 1L, 1.0 / 6), (2L, 4L, 1.0 / 6),
-        (2L, 5L, 1.0 / 3),
+        (2L, 0L, 2L), (2L, 1L, 1L), (2L, 4L, 1L), (2L, 5L, 2L),
         // channel bit 4 = signup
-        (4L, 0L, 1.0 / 3), (4L, 1L, 1.0 / 6), (4L, 2L, 1.0 / 6),
-        (4L, 3L, 1.0 / 3))
-        .toDF("bit", "base", "w")
+        (4L, 0L, 2L), (4L, 1L, 1L), (4L, 2L, 1L), (4L, 3L, 2L))
+        .toDF("bit", "base", "w6")
       val scored = terms
         .join(v.select(col("m").as("mw"), col("v").as("v_with")),
           col("base") + col("bit") === col("mw"), "left")
         .join(v.select(col("m").as("mo"), col("v").as("v_without")),
           col("base") === col("mo"), "left")
         .select(col("bit"),
-          (col("w") * (coalesce(col("v_with"), lit(0.0)) -
-            coalesce(col("v_without"), lit(0.0)))).as("term"))
-        .groupBy("bit").agg(sum("term").as("phi"))
+          round(col("w6").cast(DoubleType) *
+            (coalesce(col("v_with"), lit(0.0)) -
+              coalesce(col("v_without"), lit(0.0))) * 1e6, 0)
+            .cast(LongType).as("term6_micro"))
+        .groupBy("bit").agg(sum("term6_micro").as("phi6_micro"))
       val exposure = v
         .select(explode(expr(
           "filter(array(1L, 2L, 4L), b -> (m div b) % 2 = 1)"))
@@ -80,7 +84,9 @@ object QueriesR5s {
           when(col("bit") === 1, "view").when(col("bit") === 2, "click")
             .otherwise("signup").as("channel"),
           col("n_exposed"),
-          round(col("phi") * 1e6, 0).cast(LongType).as("shapley_micro"))
+          // one division of the exact integer sum by 6.0 — bit-identical
+          round(col("phi6_micro").cast(DoubleType) / 6.0, 0)
+            .cast(LongType).as("shapley_micro"))
         .orderBy("channel")
     },
     Some("""WITH mask AS (
@@ -98,16 +104,15 @@ object QueriesR5s {
               FROM mask GROUP BY 1),
             terms AS (
               SELECT * FROM (VALUES
-                (1, 0, 1.0/3), (1, 2, 1.0/6), (1, 4, 1.0/6),
-                (1, 6, 1.0/3),
-                (2, 0, 1.0/3), (2, 1, 1.0/6), (2, 4, 1.0/6),
-                (2, 5, 1.0/3),
-                (4, 0, 1.0/3), (4, 1, 1.0/6), (4, 2, 1.0/6),
-                (4, 3, 1.0/3)) AS t(bit, base, w)),
+                (1, 0, 2), (1, 2, 1), (1, 4, 1), (1, 6, 2),
+                (2, 0, 2), (2, 1, 1), (2, 4, 1), (2, 5, 2),
+                (4, 0, 2), (4, 1, 1), (4, 2, 1), (4, 3, 2))
+                AS t(bit, base, w6)),
             scored AS (
               SELECT bit,
-                     sum(w * (coalesce(vw.v, 0.0) -
-                              coalesce(vo.v, 0.0))) AS phi
+                     CAST(sum(CAST(round(CAST(w6 AS DOUBLE) *
+                       (coalesce(vw.v, 0.0) - coalesce(vo.v, 0.0)) *
+                       1e6, 0) AS BIGINT)) AS BIGINT) AS phi6_micro
               FROM terms
               LEFT JOIN v vw ON terms.base + terms.bit = vw.m
               LEFT JOIN v vo ON terms.base = vo.m
@@ -122,7 +127,8 @@ object QueriesR5s {
                         WHEN scored.bit = 2 THEN 'click'
                         ELSE 'signup' END AS channel,
                    coalesce(n_exposed, 0) AS n_exposed,
-                   CAST(round(phi * 1e6, 0) AS BIGINT) AS shapley_micro
+                   CAST(round(CAST(phi6_micro AS DOUBLE) / 6.0, 0)
+                     AS BIGINT) AS shapley_micro
             FROM scored LEFT JOIN exposure ON scored.bit = exposure.bit
             ORDER BY channel"""))
 
