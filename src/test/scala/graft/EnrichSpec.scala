@@ -103,6 +103,36 @@ class EnrichSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("home_xg")))
   }
 
+  test("empty dim leaves a pre-existing null-bearing fact column untouched") {
+    // reference parity (ADVICE r5, enrich_features.py ensure_cols): with
+    // teams EMPTY, a fact that already carries home_gk_rating keeps its
+    // nulls (no default fill); with teams NON-empty, precedence resolves
+    // existing ▸ joined ▸ default exactly as before
+    val factWithCol = fact
+      .withColumn("home_gk_rating",
+        when(col("home_team") === "Man City", lit(0.55))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("home_injury_index", lit(null).cast("double"))
+      .withColumn("home_key_att_out", lit(null).cast("int"))
+      .withColumn("crowd_index", lit(null).cast("double"))
+    val out = Enrich.mergeTeamMaster(factWithCol, empty(Schemas.teamsMaster))
+    val rows = out.orderBy("date").collect()
+    assert(rows(0).getAs[Double]("home_gk_rating") == 0.55)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("home_gk_rating")),
+      "empty dim must not default-fill a pre-existing null")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("crowd_index")))
+    val outInj = Enrich.applyInjuries(factWithCol, empty(Schemas.injuries))
+      .orderBy("date").collect()
+    assert(outInj(0).isNullAt(outInj(0).fieldIndex("home_injury_index")))
+    val outLu = Enrich.applyLineupFlags(factWithCol, empty(Schemas.lineups))
+      .orderBy("date").collect()
+    assert(outLu(0).isNullAt(outLu(0).fieldIndex("home_key_att_out")))
+    // non-empty dims still fill: the existing behavior is unchanged
+    val outFull = Enrich.mergeTeamMaster(factWithCol, teams)
+      .orderBy("date").collect()
+    assert(outFull(1).getAs[Double]("home_gk_rating") == 0.6)
+  }
+
   test("buildFinal projects canonical order and sorts by date") {
     val enriched = Enrich.enrich(fact, teams, stad, refs, inj, lu, xg, nameMap)
       .withColumn("home_goals", lit(2)).withColumn("away_goals", lit(1))

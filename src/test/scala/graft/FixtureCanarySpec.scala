@@ -75,6 +75,22 @@ class FixtureCanarySpec extends SparkSpec {
     }
   }
 
+  test("fixture contract: lang is functionally dependent on doc_id") {
+    // ml_naive_bayes_lang's one-explode-pass groups by (doc_id, lang,
+    // tok), which silently assumes each doc carries exactly one lang; a
+    // doc under two langs would split per-doc counts and skew the model
+    // (ADVICE r5). Pin the dependency so fixture drift fails loudly.
+    import org.apache.spark.sql.functions.{col, countDistinct, max}
+    val viol = Engine.table(spark, sfDir, "documents")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("lang")).as("nl"))
+      .agg(max(col("nl")))
+      .head().getLong(0)
+    assert(viol == 1L,
+      s"a doc_id appears under $viol langs; the (doc_id, lang, tok) " +
+        "grouping contract in ml_naive_bayes_lang no longer holds")
+  }
+
   test("events.ts NTZ branch: a synthesized timestamp_ntz fixture normalizes") {
     // The live fixture exercises whichever physical encoding the driver
     // last generated; this pins the TIMESTAMP_NTZ branch regardless.
