@@ -97,8 +97,17 @@ object Bench {
     //     every prior round's line-wise parse).
     val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // provenance stamp (VERDICT r5 task 7): BENCH_DETAIL.json is rewritten
+    // by EVERY Bench run — driver, judge, or local dev — so the artifact
+    // self-describes its origin instead of silently impersonating the
+    // previous writer. `run` is declared via SPARK_GRAFT_BENCH_RUN
+    // (driver/judge could export it); absent that, "local". No
+    // timestamps: deterministic replays must stay byte-identical.
+    val provenance =
+      s""""run":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_RUN", "local")}"""" +
+        s""","cpus":$cpus,"host_procs":${Runtime.getRuntime.availableProcessors()}"""
     val detailLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$provenance,"n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
     val out = new java.io.PrintWriter("BENCH_DETAIL.json")
     try out.println(detailLine) finally out.close()
     spark.stop() // stop FIRST: shutdown logs must not land after the line
@@ -106,7 +115,7 @@ object Bench {
     println(detailLine)
     val tail = s""","sf":"$sfDir"}"""
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$provenance,"n_queries":${results.size},"queries":"""
     var budget = 1700 - head.length - tail.length - 2 // braces of queries map
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((k, v) <- results.sortBy(-_._2)) {
