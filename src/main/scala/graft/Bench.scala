@@ -29,6 +29,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // dev knob (mirrors TimeQ): SPARK_EXTRA_CONF="k=v;k=v" for A/B runs
+    sys.env.get("SPARK_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     // ERROR, not WARN: the driver keeps only a bounded TAIL of this run's
     // output and parses the JSON contract line out of it — stray WARNs
     // (e.g. WindowExec partition warnings) between the line and EOF eat

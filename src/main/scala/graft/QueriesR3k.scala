@@ -134,15 +134,20 @@ object QueriesR3k {
           round(log2(col("dl").cast(DoubleType) /
             col("dt").cast(DoubleType)) * 1e6, 0)
             .cast(LongType).as("prior_micro"))
-      val langs = prior.select("l")
-      val scored = tokCnt.crossJoin(broadcast(langs))
+      // ONE 5-row per-language constants frame (language list ∪ smoothing
+      // floor ∪ log-prior) = ONE broadcast build — as three separate
+      // broadcasts (langs/unseen/prior) each tiny lazy lineage was its
+      // own scheduler job; prior_micro rides the doc-score groupBy key
+      // (constant per l, so the grouping is unchanged) instead of a
+      // fourth post-agg broadcast join
+      val langConst = unseen.join(prior, "l")
+      val scored = tokCnt.crossJoin(broadcast(langConst))
         .join(model, Seq("l", "tok"), "left")
-        .join(broadcast(unseen), "l")
-        .select(col("doc_id"), col("l"),
+        .select(col("doc_id"), col("l"), col("prior_micro"),
           (col("cnt") * coalesce(col("logp_micro"), col("floor_micro")))
             .as("term"))
-        .groupBy("doc_id", "l").agg(sum("term").as("tok_score"))
-        .join(broadcast(prior), "l")
+        .groupBy("doc_id", "l", "prior_micro")
+        .agg(sum("term").as("tok_score"))
         .select(col("doc_id"), col("l"),
           (col("tok_score") + col("prior_micro")).as("score"))
       val pred = scored.withColumn("rn", row_number().over(

@@ -120,24 +120,30 @@ object QueriesR4j {
           col("l_quantity").as("x"), col("l_extendedprice").as("y"))
       // doubled average rank of value v in flag f:
       //   2*min_rank + ties - 1, min_rank = bucket_offset + rank_in_bucket
-      def dr(base: DataFrame, c: String, width: Double): DataFrame = {
-        val withB = base.withColumn("bk", floor(col(c) / width))
-        val offsets = withB.groupBy("flag", "bk")
+      //
+      // BOTH columns' bucket-offset maps derive from the RAW base frame
+      // (offsets only depend on per-(flag, bucket) counts) — deriving the
+      // y-offsets from the x-ranked lineage, as an earlier version did,
+      // re-executed the whole x-rank sort inside the y broadcast build
+      val offsetsOf = (c: String, width: Double) =>
+        base.groupBy(col("flag"), floor(col(c) / width).as("bk"))
           .agg(count(lit(1)).as("nb"))
           .withColumn("off",
             coalesce(sum("nb").over(Window.partitionBy("flag")
               .orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
               lit(0L)))
           .select("flag", "bk", "off")
+      def dr(in: DataFrame, c: String, width: Double): DataFrame = {
+        val withB = in.withColumn("bk", floor(col(c) / width))
         val wIn = Window.partitionBy("flag", "bk").orderBy(c)
         val wTie = Window.partitionBy("flag", "bk", c)
         // explicit partition count: the rank sort is CPU-bound, and AQE's
         // size-based coalescing would fold these few-MB-but-expensive
         // partitions onto a couple of cores; a user-pinned count it keeps
-        val parts = base.sparkSession.conf
+        val parts = in.sparkSession.conf
           .get("spark.sql.shuffle.partitions").toInt
         withB.repartition(parts, col("flag"), col("bk"))
-          .join(broadcast(offsets), Seq("flag", "bk"))
+          .join(broadcast(offsetsOf(c, width)), Seq("flag", "bk"))
           .withColumn(s"r_$c",
             (lit(2L) * (col("off") + rank().over(wIn)) +
               count(lit(1)).over(wTie) - 1L).cast(LongType))

@@ -396,11 +396,10 @@ object Graph {
     val eBySrc = ed.repartition(np, col("src")).cache()
     val eByDst = ed.repartition(np, col("dst")).cache()
     val raws = scala.collection.mutable.Buffer.empty[DataFrame]
+    val cps = scala.collection.mutable.Buffer.empty[DataFrame]
     // the max stays INSIDE the lineage (crossJoin of a broadcast 1-row
     // agg, the w9_time_decay idiom) instead of an eager per-half-round
-    // collect: the whole multi-round chain is now ONE lazily-planned DAG
-    // whose broadcast builds overlap as futures, not 2 blocking driver
-    // jobs per round (measured 17 → 10 jobs on g7_hits). The cache on
+    // collect — no blocking driver job per normalization. The cache on
     // raw keeps the agg branch and the score branch from re-running the
     // half-round join.
     def normalized(raw0: DataFrame): DataFrame = {
@@ -416,7 +415,7 @@ object Graph {
       var hubs = eBySrc.select(col("src").as("node")).distinct()
         .select(col("node"), lit(Scale).as("score"))
       var auths: DataFrame = null
-      for (_ <- 1 to rounds) {
+      for (r <- 1 to rounds) {
         val a = normalized(eBySrc
           .join(hubs.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
@@ -425,7 +424,18 @@ object Graph {
           .join(a.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node"))
           .agg(sum("score").as("raw")))
-        hubs = h
+        // ONE eager checkpoint per FULL round truncates the logical plan:
+        // crossJoin(mx) references its raw subtree TWICE, so a fully lazy
+        // multi-round chain (round 5's shape) quadruples the analyzer's
+        // tree per round — exponential DRIVER-side planning cost that
+        // execution (which dedups via the runtime cache) never pays back.
+        // One small blocking job per round buys linear plan growth. The
+        // round checkpoints (node-count-sized, a handful of rounds) stay
+        // persisted until the finally: the final auths branch may fall
+        // back to round r−1's checkpoint if a raw-cache block evicts, so
+        // freeing them mid-loop would be an eviction-triggered failure.
+        hubs = h.localCheckpoint(true)
+        cps += hubs
         auths = a
       }
       hubs.select(lit("hub").as("side"), col("node"), col("score"))
@@ -437,6 +447,10 @@ object Graph {
       spark.conf.set(sp, spWas)
       spark.conf.set(ab, abWas)
       raws.foreach(_.unpersist(blocking = false))
+      // checkpoint blocks live on the backing RDD, not the CacheManager —
+      // Dataset.unpersist can't see them (Iterate.checkpointRdd rationale)
+      cps.foreach(df => Iterate.checkpointRdd(df)
+        .foreach(_.unpersist(blocking = false)))
       eBySrc.unpersist(blocking = false)
       eByDst.unpersist(blocking = false)
     }
