@@ -98,26 +98,50 @@ object QueriesR5u {
       "max gap between the positive and negative score CDFs, and the " +
       "score cut where it happens): scoring order value against the " +
       "returned-flag label, per-value positive/negative counts roll " +
-      "up exactly, CDFs ride one cumulative window over the bounded " +
-      "value-count frame (the stat_levene discipline — never a " +
-      "row-level sort), and the argmax row is a deterministic top-1 " +
-      "cut. Output: KS, the optimal threshold, and the class totals.",
+      "up exactly, CDFs ride TWO-LEVEL bucketed cumulative windows " +
+      "(the stat_levene discipline): the distinct-price frame is " +
+      "nearly row-sized, so a whole-frame cumulative window would be " +
+      "one serial task at any scale — instead rows cumsum inside " +
+      "(4096-dollar bucket) windows and a broadcast bucket rollup " +
+      "supplies each bucket's global offset and the class totals. " +
+      "The argmax row is a deterministic top-1 cut. Output: KS, the " +
+      "optimal threshold, and the class totals.",
     (s, d) => {
+      // ONE exchange end-to-end: hash(bk) clusters every later key —
+      // the (bk, score) value rollup, the per-bucket offset rollup, and
+      // the within-bucket cumulative window all reuse it (bk is a
+      // function of score, so bk-partitioning clusters scores too).
+      // Checkpointed because the rollup feeds both the offset build and
+      // the CDF pass.
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val vc = t(s, d, "lineitem")
         .select(round(col("l_extendedprice") * 100, 0).cast(LongType)
           .as("score"),
           (col("l_returnflag") === "R").cast(LongType).as("pos"))
-        .groupBy("score")
+        .withColumn("bk", expr("score div 409600"))
+        .repartition(parts, col("bk"))
+        .groupBy("bk", "score")
         .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
-      val w = Window.partitionBy(lit(1)).orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .localCheckpoint(true)
+      // bucket rollup: offsets (exclusive prefix sums) + class totals —
+      // bounded by the VALUE RANGE, not the corpus, so the whole-frame
+      // windows here run over a few hundred rows
+      val wPre = Window.orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
       val wAll = Window.partitionBy(lit(1))
+      val off = vc.groupBy("bk")
+        .agg(sum("np").as("bp"), sum("nn").as("bn"))
+        .withColumn("op", coalesce(sum("bp").over(wPre), lit(0L)))
+        .withColumn("onn", coalesce(sum("bn").over(wPre), lit(0L)))
+        .withColumn("tp", sum("bp").over(wAll))
+        .withColumn("tn", sum("bn").over(wAll))
+        .select("bk", "op", "onn", "tp", "tn")
+      val wIn = Window.partitionBy("bk").orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       def dd(c: String) = col(c).cast(DoubleType)
-      vc
-        .withColumn("cp", sum("np").over(w))
-        .withColumn("cn", sum("nn").over(w))
-        .withColumn("tp", sum("np").over(wAll))
-        .withColumn("tn", sum("nn").over(wAll))
+      vc.join(broadcast(off), "bk")
+        .withColumn("cp", col("op") + sum("np").over(wIn))
+        .withColumn("cn", col("onn") + sum("nn").over(wIn))
         .select(col("score"), col("tp"), col("tn"),
           round(abs(dd("cp") / dd("tp") - dd("cn") / dd("tn")) * 1e6, 0)
             .cast(LongType).as("ks_micro"))
