@@ -115,15 +115,16 @@ object QueriesPipe {
         FROM region)
       SELECT f.cid, f.date, f.home_team, f.away_team,
              -- home carried nulls: existing ▸ joined(0.8) ▸ 0.6
-             coalesce(f.home_gk_rating, 0.8) AS home_gk_rating,
+             CAST(coalesce(f.home_gk_rating, 0.8) AS DOUBLE) AS home_gk_rating,
              -- away ensured const 0.6 wins over dim
              CAST(0.6 AS DOUBLE) AS away_gk_rating,
              CAST(0.6 AS DOUBLE) AS home_setpiece_rating,
              CAST(0.6 AS DOUBLE) AS away_setpiece_rating,
              CAST(0.7 AS DOUBLE) AS crowd_index,
              -- home carried nulls: existing ▸ joined(0.55 on date match) ▸ 0.3
-             coalesce(f.home_injury_index,
-               CASE WHEN ih.k IS NOT NULL THEN 0.55 END, 0.3) AS home_injury_index,
+             CAST(coalesce(f.home_injury_index,
+               CASE WHEN ih.k IS NOT NULL THEN 0.55 END, 0.3)
+               AS DOUBLE) AS home_injury_index,
              CAST(0.3 AS DOUBLE) AS away_injury_index,
              -- lineup flags: fact lacked them → joined ▸ 0
              coalesce(lh.k % 2, 0) AS home_key_att_out,
@@ -142,10 +143,14 @@ object QueriesPipe {
                  cos(radians(sh.k*3-30)) * cos(radians(sa.k*3-30)) *
                  pow(sin(radians((sa.k*6-60) - (sh.k*6-60))/2), 2))))), 3)
                AS away_travel_km,
-             xh.k + 0.5 AS home_xg, xh.k * 0.25 AS home_xga,
-             xh.k - 2.0 AS home_xgd, xh.k * 0.125 - 1.0 AS home_xgd_per90,
-             xa.k + 0.5 AS away_xg, xa.k * 0.25 AS away_xga,
-             xa.k - 2.0 AS away_xgd, xa.k * 0.125 - 1.0 AS away_xgd_per90
+             CAST(xh.k + 0.5 AS DOUBLE) AS home_xg,
+             CAST(xh.k * 0.25 AS DOUBLE) AS home_xga,
+             CAST(xh.k - 2.0 AS DOUBLE) AS home_xgd,
+             CAST(xh.k * 0.125 - 1.0 AS DOUBLE) AS home_xgd_per90,
+             CAST(xa.k + 0.5 AS DOUBLE) AS away_xg,
+             CAST(xa.k * 0.25 AS DOUBLE) AS away_xga,
+             CAST(xa.k - 2.0 AS DOUBLE) AS away_xgd,
+             CAST(xa.k * 0.125 - 1.0 AS DOUBLE) AS away_xgd_per90
       FROM fact f
       LEFT JOIN dim ih ON f.date = ih.ddate AND f.home_team = ih.team
       LEFT JOIN dim lh ON f.date = lh.ddate AND f.home_team = lh.team

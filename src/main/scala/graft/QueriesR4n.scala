@@ -85,8 +85,9 @@ object QueriesR4n {
             packed AS (
               SELECT q_id, CAST(rank AS BIGINT) AS rank, cand, cos,
                      n_tokens,
-                     sum(n_tokens) OVER (PARTITION BY q_id ORDER BY rank)
-                       AS cum_tokens
+                     CAST(sum(n_tokens) OVER
+                            (PARTITION BY q_id ORDER BY rank)
+                          AS BIGINT) AS cum_tokens
               FROM hits JOIN toks USING (cand))
             SELECT q_id, rank, cand,
                    CAST(round(cos * 1e6, 0) AS BIGINT) AS cos_micro,

@@ -11,10 +11,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * in partition order, DuckDB in its own vectorized order, and different
   * DuckDB builds (the driver's vs the local one) may even sum the same
   * list in different orders — so a rounded float-sum output can flip a
-  * micro digit between engines even when every TERM is bit-identical
-  * (the rounds-4/5 `rag_context_pack` red cell). The repo-wide
-  * discipline is micro/nano-rounded-TERMS-then-exact-integer-SUM, with
-  * the output double reconstructed by one identical division.
+  * micro digit between engines even when every TERM is bit-identical.
+  * The repo-wide discipline is micro/nano-rounded-TERMS-then-exact-
+  * integer-SUM, with the output double reconstructed by one identical
+  * division.
+  *
+  * Historical note: the rounds-4/6 `rag_context_pack` red cell that
+  * motivated this spec turned out NOT to be float-sum ordering — the
+  * r6 judge traced it to the oracle's uncast `sum(BIGINT) OVER (...)`
+  * producing a DuckDB HUGEINT output column whose int128 serialization
+  * flips the driver's dtype-sensitive hash. That hazard class is now
+  * ratcheted separately: `tools/check.py` DESCRIBEs every oracle and
+  * fails on HUGEINT/UHUGEINT/DECIMAL output columns. This spec remains
+  * the guard for the (real, distinct) float-accumulation-order hazard.
   *
   * This spec scans the query sources: every textual `round(…sum(` site
   * must either be the hardened `round(sum(round(…` form or appear in the

@@ -46,6 +46,32 @@ def cells_equal(a, b):
     return a == b, a == b
 
 
+# Oracle output dtypes that hash differently from Spark's on the driver
+# side even when every value matches (int128 / decimal serialization).
+# rag_context_pack's uncast `sum(BIGINT) OVER (...)` (DuckDB → HUGEINT)
+# cost three rounds of red before a DESCRIBE sweep found it; round 2 paid
+# the same tax on three aggregate columns. Any oracle emitting one of
+# these must CAST the column (usually to BIGINT or DOUBLE).
+HAZARD_DTYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def dtype_ratchet(con, oracle):
+    """DESCRIBE every oracle; fail on int128/decimal output columns."""
+    bad = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            bad.append((name, f"DESCRIBE error: {e}"))
+            continue
+        for col_name, col_type, *_ in desc:
+            if any(h in col_type.upper() for h in HAZARD_DTYPES):
+                bad.append((name, f"column {col_name} is {col_type}"))
+    for name, why in bad:
+        print(f"DTYPE-FAIL {name}: {why} — CAST it in the oracle SQL")
+    return len(bad)
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -53,6 +79,7 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    n_fail += dtype_ratchet(con, oracle)
     for name, sql in sorted(oracle.items()):
         try:
             exp = canon(con.execute(sql).fetchdf())
