@@ -187,11 +187,13 @@ object QueriesR3w {
       "once converged). Each round is one degree aggregation + one semi-" +
       "join filter of the edge list — never a pair blowup; the backbone " +
       "cap (g3's top-2000 edges) bounds every round's work at any corpus " +
-      "size. Checkpoint cadence: every SECOND round (a round references " +
-      "its predecessor 3×, so a 2-round lazy span keeps plan size at 9 " +
-      "references while halving the blocking materialization jobs — the " +
-      "round-3 bench showed the per-round eager cadence costing 10× the " +
-      "actual compute on this 2000-row backbone).",
+      "size. Checkpoint cadence: EVERY round. On a ≤2000-row backbone " +
+      "the dominant cost is whole-stage-codegen COMPILATION of the " +
+      "count's fused plan, not compute — a 2-round lazy span quadruples " +
+      "the fused SMJ depth and tripled wall time in the round-7 A/B " +
+      "(3.8 s vs 0.6 s at sf0.1), while per-round counts keep each " +
+      "compiled unit one round deep AND fire the monotone-fixpoint exit " +
+      "a round earlier, so the job count stays at the same floor.",
     (s, d) => {
       import graft.operators.Iterate.checkpointRdd
       // loop discipline (the hitsInt/connectedComponents contract): AQE
@@ -227,22 +229,18 @@ object QueriesR3w {
           .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
           .select("a", "b")
-        if (round % 2 == 0 || round == 6) {
-          val cp = next.localCheckpoint(false)
-          // peeling is monotone: an unchanged edge count at a checkpoint
-          // means the fixpoint is reached and remaining rounds are no-ops
-          // (the oracle replays all 6 — identical by monotonicity). The
-          // count BOTH materializes the lazy checkpoint and reads the
-          // convergence scalar — one job, not two.
-          val n = cp.count()
-          Option(lastCp).flatMap(checkpointRdd)
-            .foreach(_.unpersist(blocking = false))
-          lastCp = cp
-          edges = cp
-          if (n == lastN) converged = true else lastN = n
-        } else {
-          edges = next
-        }
+        val cp = next.localCheckpoint(false)
+        // peeling is monotone: an unchanged edge count at a checkpoint
+        // means the fixpoint is reached and remaining rounds are no-ops
+        // (the oracle replays all 6 — identical by monotonicity). The
+        // count BOTH materializes the lazy checkpoint and reads the
+        // convergence scalar — one job, not two.
+        val n = cp.count()
+        Option(lastCp).flatMap(checkpointRdd)
+          .foreach(_.unpersist(blocking = false))
+        lastCp = cp
+        edges = cp
+        if (n == lastN) converged = true else lastN = n
         round += 1
       }
       undirected(edges).groupBy(col("v").as("node"))
