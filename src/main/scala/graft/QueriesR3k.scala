@@ -81,22 +81,33 @@ object QueriesR3k {
     "ml_naive_bayes_lang",
     "Multinomial naive Bayes TRAINED AND APPLIED in one relational plan: " +
       "per-language token counts with add-one smoothing become the " +
-      "model (log2 p(tok|lang) rounded ONCE to micro-bits, so per-doc " +
+      "model (log2 p(tok|lang) decomposed as log2(c+1) + the per-lang " +
+      "smoothing floor, each rounded ONCE to micro-bits, so per-doc " +
       "accumulation is exact integer arithmetic), log-priors come from " +
       "doc counts, every doc scores all 5 languages via doc-token " +
       "counts × a hash join to the model (unseen tokens fall back to " +
       "the per-language smoothing floor), argmax by windowed " +
       "row_number, and the output is the actual×predicted CONFUSION " +
       "MATRIX — the self-training language-ID evaluation a curation " +
-      "pipeline runs. Model and scoring both shard by token at scale; " +
-      "the 5-row language list is a broadcast multiplier.",
+      "pipeline runs. The model (vocab × langs) is broadcast — the " +
+      "standard bounded-vocab langid trade, same posture as the TF-IDF/" +
+      "BM25 vocab broadcasts; a shard-by-token shuffle join is the " +
+      "fallback for an unbounded vocabulary.",
     (s, d) => {
+      // scheduling-floor discipline (the graph-loop contract): with AQE
+      // on, EVERY exchange materializes as its own stage-at-a-time
+      // scheduler job — this DAG has ~13 exchanges, so the local floor
+      // was 14+ jobs regardless of caching. AQE off runs the whole
+      // train+classify+confusion plan as ONE job plus one build job per
+      // broadcast. Conf scoping is local-bench discipline (restored in
+      // finally); the plan itself is AQE-safe at cluster scale.
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       // ONE explode pass: per-doc token counts carry lang (functionally
-      // dependent on doc_id, so the extra key is free), and the per-lang
-      // model counts aggregate FROM the cached per-doc frame — the raw
-      // 6M-row token stream is never cached or re-scanned (it was the
-      // query's dominant cost: a second explode pass + a columnar cache
-      // of raw token strings)
+      // dependent on doc_id, so the extra key is free), and every
+      // downstream frame — model, constants, scoring — derives from this
+      // cached frame; the raw token stream is never cached or re-scanned
       val tokCnt = t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("tok"))
@@ -105,60 +116,77 @@ object QueriesR3k {
         .cache()
       val tc = tokCnt.groupBy(col("lang").as("l"), col("tok"))
         .agg(sum("cnt").as("c"))
-      val ctot = tc.groupBy("l").agg(sum("c").as("ctok"))
-      val vocab = tc.agg(countDistinct("tok").as("v"))
-      // ctok+v is needed by BOTH the model and the unseen floor — build
-      // the 5-row joined frame once and cache it, so vocab/ctot
-      // materialize one broadcast job instead of two apiece (each tiny
-      // broadcast-agg subquery on a lazy lineage is its own scheduler
-      // job locally; fusing them is pure stage-count savings)
-      val ctotv = ctot.crossJoin(broadcast(vocab)).cache()
-      val model = tc.join(ctotv, "l")
-        .select(col("l"), col("tok"),
-          round(log2((col("c") + 1).cast(DoubleType) /
-            (col("ctok") + col("v")).cast(DoubleType)) * 1e6, 0)
-            .cast(LongType).as("logp_micro"))
-      val unseen = ctotv
-        .select(col("l"),
+        .cache()
+      // ONE rollup pass over tc computes the token-side constants —
+      // per-language token totals at the lang level, global vocab size
+      // at the grand-total level (tc is distinct per (l, tok), so ONE
+      // countDistinct spans both levels); doc counts come straight off
+      // the cached documents table. Previously vocab/ctot/prior/doc-
+      // total were four broadcast-agg subqueries, each its own job.
+      val stats = tc.rollup("l")
+        .agg(sum("c").as("ctok"), countDistinct("tok").as("nv"),
+          grouping("l").as("g"))
+        // the grand-total row's vocab size reaches the 5 lang rows via a
+        // whole-frame window over this 6-row frame (bounded, not a scale
+        // hazard) — one fewer broadcast-subquery build than a crossJoin
+        .withColumn("v", max(when(col("g") === 1, col("nv")))
+          .over(Window.partitionBy()))
+      // the total-docs divisor rides a whole-frame window over the 5-row
+      // per-language rollup (bounded frame, not a scale hazard)
+      val dpl = t(s, d, "documents")
+        .groupBy(col("lang").as("l")).agg(count(lit(1)).as("dl"))
+        .withColumn("dt", sum("dl").over(Window.partitionBy()))
+      // the 5-row per-language constants frame (smoothing floor ∪
+      // log-prior ∪ model divisor), EAGERLY checkpointed: one job
+      // materializes the whole constants chain AND the tokCnt/tc caches,
+      // and the downstream broadcasts build from the 5-row checkpoint
+      // instead of re-planning the lazy agg lineage per build
+      val langConst = stats.filter(col("g") === 0)
+        .join(dpl, "l")
+        .select(col("l"), col("ctok"), col("v"),
           round(log2(lit(1.0) /
             (col("ctok") + col("v")).cast(DoubleType)) * 1e6, 0)
-            .cast(LongType).as("floor_micro"))
-      // the total-docs divisor rides a whole-frame window over the 5-row
-      // per-language rollup (bounded frame, not a scale hazard) — one
-      // fewer scan + broadcast than a separate count+crossJoin
-      val docsPerLang = t(s, d, "documents")
-        .groupBy(col("lang").as("l")).agg(count(lit(1)).as("dl"))
-      val prior = docsPerLang
-        .withColumn("dt", sum("dl").over(Window.partitionBy()))
-        .select(col("l"),
+            .cast(LongType).as("floor_micro"),
           round(log2(col("dl").cast(DoubleType) /
             col("dt").cast(DoubleType)) * 1e6, 0)
             .cast(LongType).as("prior_micro"))
-      // ONE 5-row per-language constants frame (language list ∪ smoothing
-      // floor ∪ log-prior) = ONE broadcast build — as three separate
-      // broadcasts (langs/unseen/prior) each tiny lazy lineage was its
-      // own scheduler job; prior_micro rides the doc-score groupBy key
-      // (constant per l, so the grouping is unchanged) instead of a
-      // fourth post-agg broadcast join
-      val langConst = unseen.join(prior, "l")
-      val scored = tokCnt.crossJoin(broadcast(langConst))
-        .join(model, Seq("l", "tok"), "left")
-        .select(col("doc_id"), col("l"), col("prior_micro"),
-          (col("cnt") * coalesce(col("logp_micro"), col("floor_micro")))
-            .as("term"))
-        .groupBy("doc_id", "l", "prior_micro")
-        .agg(sum("term").as("tok_score"))
-        .select(col("doc_id"), col("l"),
+        .localCheckpoint(true)
+      // additive model decomposition: log2 p(tok|lang) = log2(c+1) +
+      // log2(1/(ctok+v)), each micro-rounded separately — the seen-token
+      // part needs NO per-language divisor, so the model build is a pure
+      // projection of tc (no langConst join, one fewer broadcast build);
+      // an unseen token's c=0 makes its log2(c+1) term exactly 0
+      val model = tc
+        .select(col("l"), col("tok"),
+          round(log2((col("c") + 1).cast(DoubleType)) * 1e6, 0)
+            .cast(LongType).as("logc_micro"))
+      // broadcast model keeps the fact-side token stream entirely
+      // map-side until the per-doc aggregation
+      val scored = tokCnt
+        .crossJoin(broadcast(langConst))
+        .join(broadcast(model), Seq("l", "tok"), "left")
+        .groupBy(col("doc_id"), col("lang").as("actual"), col("l"),
+          col("prior_micro"))
+        .agg(sum(col("cnt") *
+          (coalesce(col("logc_micro"), lit(0L)) + col("floor_micro")))
+          .as("tok_score"))
+        .select(col("doc_id"), col("actual"), col("l"),
           (col("tok_score") + col("prior_micro")).as("score"))
-      val pred = scored.withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id")
-            .orderBy(desc("score"), col("l"))))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("l").as("predicted"))
-      t(s, d, "documents").select(col("doc_id"), col("lang").as("actual"))
-        .join(pred, "doc_id")
-        .groupBy("actual", "predicted").agg(count(lit(1)).as("n_docs"))
-        .orderBy("actual", "predicted")
+      // argmax as ONE map-side-combinable aggregate — min_by over the
+      // (-score, l) struct replicates ORDER BY score DESC, l — instead
+      // of a row_number window (full shuffle + per-partition sort);
+      // `actual` rides the keys, so the confusion matrix needs no join
+      // back to documents at all
+      val pred = scored.groupBy("doc_id", "actual")
+        .agg(min_by(col("l"),
+          struct((-col("score")).as("ns"), col("l"))).as("predicted"))
+      // the 25-row confusion matrix sorts in ONE partition — a range-
+      // partitioned orderBy would spend a separate sampling job on it
+      pred.groupBy("actual", "predicted").agg(count(lit(1)).as("n_docs"))
+        .coalesce(1).sortWithinPartitions("actual", "predicted")
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      }
     },
     Some("""WITH toks AS (SELECT doc_id, lang,
                                  unnest(string_split(text, ' ')) AS tok
@@ -171,10 +199,10 @@ object QueriesR3k {
                      FROM tc GROUP BY 1),
             vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
             model AS (SELECT l, tok,
-                             CAST(round(log2(CAST(c + 1 AS DOUBLE) /
-                                    CAST(ctok + v AS DOUBLE)) * 1e6, 0)
-                               AS BIGINT) AS logp_micro
-                      FROM tc JOIN ctot USING (l) CROSS JOIN vocab),
+                             CAST(round(log2(CAST(c + 1 AS DOUBLE))
+                                    * 1e6, 0)
+                               AS BIGINT) AS logc_micro
+                      FROM tc),
             unseen AS (SELECT l,
                               CAST(round(log2(1.0 /
                                      CAST(ctok + v AS DOUBLE)) * 1e6, 0)
@@ -190,7 +218,8 @@ object QueriesR3k {
                       FROM dpl CROSS JOIN dt),
             scored AS (
               SELECT doc_id, l,
-                     CAST(sum(cnt * coalesce(logp_micro, floor_micro))
+                     CAST(sum(cnt * (coalesce(logc_micro, 0)
+                                     + floor_micro))
                        AS BIGINT) AS tok_score
               FROM tok_cnt
               CROSS JOIN (SELECT l FROM dpl) langs

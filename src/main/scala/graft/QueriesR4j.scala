@@ -115,24 +115,37 @@ object QueriesR4j {
       "tasks; this is the distributed-ranking pattern that holds at " +
       "100 TB, where per-flag windows cannot).",
     (s, d) => {
+      // scheduling-floor discipline (the graph-loop contract): AQE's
+      // stage-at-a-time scheduling gave every exchange of this DAG its
+      // own scheduler job (12 locally); off, the whole plan runs as one
+      // job plus a build per broadcast. Restored in finally; the plan is
+      // AQE-safe at cluster scale.
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       val base = t(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"),
           col("l_quantity").as("x"), col("l_extendedprice").as("y"))
       // doubled average rank of value v in flag f:
       //   2*min_rank + ties - 1, min_rank = bucket_offset + rank_in_bucket
       //
-      // BOTH columns' bucket-offset maps derive from the RAW base frame
-      // (offsets only depend on per-(flag, bucket) counts) — deriving the
-      // y-offsets from the x-ranked lineage, as an earlier version did,
-      // re-executed the whole x-rank sort inside the y broadcast build
-      val offsetsOf = (c: String, width: Double) =>
-        base.groupBy(col("flag"), floor(col(c) / width).as("bk"))
-          .agg(count(lit(1)).as("nb"))
-          .withColumn("off",
-            coalesce(sum("nb").over(Window.partitionBy("flag")
-              .orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
-              lit(0L)))
-          .select("flag", "bk", "off")
+      // BOTH columns' bucket-offset maps (offsets only depend on per-
+      // (flag, bucket) counts) come from ONE union-tagged pass over the
+      // raw base frame, eagerly checkpointed: one job materializes both
+      // maps, and each side's broadcast builds from the tiny checkpoint
+      // instead of re-running a groupBy+window lineage per build
+      val offs = base
+        .select(col("flag"), lit("x").as("side"),
+          floor(col("x") / 4.0).as("bk"))
+        .unionAll(base.select(col("flag"), lit("y").as("side"),
+          floor(col("y") / 4096.0).as("bk")))
+        .groupBy("side", "flag", "bk").agg(count(lit(1)).as("nb"))
+        .withColumn("off",
+          coalesce(sum("nb").over(Window.partitionBy("side", "flag")
+            .orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("side", "flag", "bk", "off")
+        .localCheckpoint(true)
       def dr(in: DataFrame, c: String, width: Double): DataFrame = {
         val withB = in.withColumn("bk", floor(col(c) / width))
         val wIn = Window.partitionBy("flag", "bk").orderBy(c)
@@ -143,7 +156,8 @@ object QueriesR4j {
         val parts = in.sparkSession.conf
           .get("spark.sql.shuffle.partitions").toInt
         withB.repartition(parts, col("flag"), col("bk"))
-          .join(broadcast(offsetsOf(c, width)), Seq("flag", "bk"))
+          .join(broadcast(offs.filter(col("side") === c).drop("side")),
+            Seq("flag", "bk"))
           .withColumn(s"r_$c",
             (lit(2L) * (col("off") + rank().over(wIn)) +
               count(lit(1)).over(wTie) - 1L).cast(LongType))
@@ -166,10 +180,14 @@ object QueriesR4j {
       val denY = nD * col("syy").cast("double") -
         col("sy").cast("double") * col("sy").cast("double")
       val rho = num / sqrt(denX * denY)
+      // 3-row output: sort in one partition, skip the range-sample job
       agg.select(col("flag"), col("n"),
         round(rho, 6).as("rho"),
         round(rho * sqrt((nD - 2.0) / (lit(1.0) - rho * rho)), 6).as("t_stat"))
-        .orderBy("flag")
+        .coalesce(1).sortWithinPartitions("flag")
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      }
     },
     Some("""WITH base AS (
               SELECT l_returnflag AS flag, l_quantity AS x,

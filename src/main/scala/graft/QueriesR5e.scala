@@ -115,6 +115,13 @@ object QueriesR5e {
       "integer and flip the rank cross-engine. Clamp + sum are exact " +
       "BIGINT cents.",
     (s, d) => {
+      // scheduling-floor discipline (the graph-loop contract): AQE's
+      // stage-at-a-time scheduling gave every exchange its own job (13
+      // locally); off, the plan runs as one job plus a build per
+      // broadcast. Restored in finally; AQE-safe at cluster scale.
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       // checkpointed: the (g, cents, bucket) projection feeds the rollup,
       // the boundary-bucket ranking AND the final clamp pass — without it
       // the scan + round/div compute runs 3×
@@ -139,6 +146,10 @@ object QueriesR5e {
           col("off") < col("k95") && col("k95") <= col("off") + col("nb"))
         .filter(col("holds5") || col("holds95"))
         .select("g", "bk", "off", "k5", "k95", "holds5", "holds95")
+        // ≤2 rows per group: one eager checkpoint job materializes the
+        // whole rollup chain; the broadcast below builds from the tiny
+        // checkpoint instead of re-planning the lazy lineage
+        .localCheckpoint(true)
       val wIn = Window.partitionBy("g", "bk").orderBy("c")
       val th = base.join(broadcast(bounds), Seq("g", "bk"))
         .withColumn("rn", row_number().over(wIn) + col("off"))
@@ -149,6 +160,7 @@ object QueriesR5e {
             .as("hi_c"))
         .groupBy("g").agg(max("lo_c").as("lo_cents"),
           max("hi_c").as("hi_cents"))
+        .localCheckpoint(true)
       def dd(c: String) = col(c).cast(DoubleType)
       base.join(broadcast(th), "g")
         .groupBy("g").agg(count(lit(1)).as("n"),
@@ -166,7 +178,11 @@ object QueriesR5e {
           col("tn"),
           round(dd("tsum") / dd("tn"), 0).cast(LongType)
             .as("trim_mean_cents"))
-        .orderBy("g")
+        // 3-row output: sort in one partition, skip the range-sample job
+        .coalesce(1).sortWithinPartitions("g")
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      }
     },
     Some("""WITH base AS (
               SELECT l_returnflag AS g,
