@@ -44,13 +44,15 @@ object QueriesR3w {
       // `isn` marker keeps null child keys in their own group (parent
       // side is always isn=false), so they can never match a parent; the
       // fixture carries no null FKs, so graded hashes are unchanged.
-      def childS(relName: String, child: DataFrame, ck: String) =
-        child.select(lit(relName).as("rel"),
+      // the rel label ships as a branch id int, not a ~28-char string
+      // (rejoined as a literal-map projection on the 7-row report)
+      def childS(rid: Int, child: DataFrame, ck: String) =
+        child.select(lit(rid).as("rid"),
           coalesce(col(ck), lit(0L)).as("k"),
           col(ck).isNull.as("isn"),
           lit(1L).as("cnt"), lit(0).as("par"))
-      def parentS(relName: String, parent: DataFrame, pk: String) =
-        parent.select(lit(relName).as("rel"), col(pk).as("k"),
+      def parentS(rid: Int, parent: DataFrame, pk: String) =
+        parent.select(lit(rid).as("rid"), col(pk).as("k"),
           lit(false).as("isn"),
           lit(0L).as("cnt"), lit(1).as("par"))
       val li = t(s, d, "lineitem"); val od = t(s, d, "orders")
@@ -70,12 +72,15 @@ object QueriesR3w {
           t(s, d, "region"), "r_regionkey"),
         ("orders.o_custkey->customer", od, "o_custkey",
           cu, "c_custkey"))
-      edges.map { case (n, c, ck, p, pk) =>
-          childS(n, c, ck).unionAll(parentS(n, p, pk))
+      val relName = element_at(map(edges.zipWithIndex.flatMap {
+        case ((n, _, _, _, _), i) => Seq(lit(i), lit(n)) }: _*),
+        col("rid"))
+      edges.zipWithIndex.map { case ((_, c, ck, p, pk), i) =>
+          childS(i, c, ck).unionAll(parentS(i, p, pk))
         }.reduce(_ unionAll _)
-        .groupBy("rel", "k", "isn")
+        .groupBy("rid", "k", "isn")
         .agg(sum("cnt").as("rows_per_key"), max("par").as("in_parent"))
-        .groupBy("rel")
+        .groupBy("rid")
         .agg(
           sum("rows_per_key").cast(LongType).as("child_rows"),
           count(when(col("rows_per_key") > 0, lit(1))).as("child_keys"),
@@ -84,7 +89,9 @@ object QueriesR3w {
             .as("orphan_rows"),
           count(when(col("rows_per_key") === 0, lit(1)))
             .as("unref_parents"))
-        .orderBy("rel")
+        .select(relName.as("rel"), col("child_rows"), col("child_keys"),
+          col("orphan_rows"), col("unref_parents"))
+        .coalesce(1).sortWithinPartitions("rel")
     },
     Some {
       def rel(relName: String, child: String, ck: String,

@@ -35,35 +35,46 @@ object QueriesR4v {
       // lone NULL to "" - and a PK audit is exactly where null keys
       // matter; ADVICE r5). Fixture keys are non-null BIGINTs, so graded
       // hashes are unchanged.
-      def keyed(table: String, keyCols: Seq[String]): DataFrame =
-        t(s, d, table).select(lit(table).as("tbl"),
-          lit(keyCols.mkString("+")).as("pk"),
-          concat_ws("", keyCols.map(c =>
-            coalesce(col(c).cast("string"), lit("NULL"))): _*)
+      // the union stream ships (tid:int, k:long) — the table/pk labels
+      // fold into one branch id and the (null-sentineled) key string
+      // rides as xxhash64 (the hashed-key trade the dedup family
+      // documents: counts preserved, ~12 bytes/row through the shuffle
+      // instead of 30-50); labels rejoin as literal-map projections on
+      // the 10-row report
+      val tables = Seq(
+        ("region", Seq("r_regionkey")),
+        ("nation", Seq("n_nationkey")),
+        ("customer", Seq("c_custkey")),
+        ("supplier", Seq("s_suppkey")),
+        ("part", Seq("p_partkey")),
+        ("orders", Seq("o_orderkey")),
+        ("lineitem", Seq("l_orderkey", "l_linenumber")),
+        ("events", Seq("event_id")),
+        ("documents", Seq("doc_id")),
+        ("embeddings", Seq("vec_id")))
+      val stream = tables.zipWithIndex.map { case ((table, keyCols), i) =>
+        t(s, d, table).select(lit(i).as("tid"),
+          xxhash64(concat_ws("", keyCols.map(c =>
+            coalesce(col(c).cast("string"), lit("NULL"))): _*))
             .as("k"))
-      Seq(
-        keyed("region", Seq("r_regionkey")),
-        keyed("nation", Seq("n_nationkey")),
-        keyed("customer", Seq("c_custkey")),
-        keyed("supplier", Seq("s_suppkey")),
-        keyed("part", Seq("p_partkey")),
-        keyed("orders", Seq("o_orderkey")),
-        keyed("lineitem", Seq("l_orderkey", "l_linenumber")),
-        keyed("events", Seq("event_id")),
-        keyed("documents", Seq("doc_id")),
-        keyed("embeddings", Seq("vec_id")))
-        .reduce(_ unionByName _)
-        .groupBy("tbl", "pk", "k").agg(count(lit(1)).as("n"))
-        .groupBy("tbl", "pk")
+      }.reduce(_ unionByName _)
+      val tblName = element_at(map(tables.zipWithIndex.flatMap {
+        case ((table, _), i) => Seq(lit(i), lit(table)) }: _*), col("tid"))
+      val pkName = element_at(map(tables.zipWithIndex.flatMap {
+        case ((_, keyCols), i) =>
+          Seq(lit(i), lit(keyCols.mkString("+"))) }: _*), col("tid"))
+      stream
+        .groupBy("tid", "k").agg(count(lit(1)).as("n"))
+        .groupBy("tid")
         .agg(count(lit(1)).as("distinct_keys"),
           sum(when(col("n") > 1, 1L).otherwise(0L)).cast(LongType)
             .as("dup_keys"),
           sum(when(col("n") > 1, col("n")).otherwise(0L)).cast(LongType)
             .as("rows_in_dups"),
           max("n").cast(LongType).as("max_multiplicity"))
-        .select(col("tbl"), col("pk"), col("distinct_keys"),
+        .select(tblName.as("tbl"), pkName.as("pk"), col("distinct_keys"),
           col("dup_keys"), col("rows_in_dups"), col("max_multiplicity"))
-        .orderBy("tbl")
+        .coalesce(1).sortWithinPartitions("tbl")
     },
     Some {
       def audit(table: String, pk: String, keyExpr: String): String =

@@ -29,35 +29,45 @@ object QueriesR5m {
       "Same single-shuffle shape as the PK/FK audits; cost scales with " +
       "the scanned columns, never the rule count.",
     (s, d) => {
-      def cand(rule: String, tbl: String, a: String, b: String) =
-        t(s, d, tbl).select(lit(rule).as("rule"),
-          col(a).cast("string").as("lhs"), col(b).cast("string").as("rhs"))
-      val stream = Seq(
-        cand("orders: custkey->orderstatus", "orders",
+      // the union stream ships (rid:int, lhs:long, rhs:long) — values
+      // ride as xxhash64 of their string form instead of the strings
+      // themselves (the hashed-key trade the dedup family documents:
+      // ~20 bytes/row through the shuffle instead of 50+, counts
+      // preserved; the oracle keeps exact strings), and the rule NAME
+      // rejoins as a literal-map projection on the 6-row result
+      val rules = Seq(
+        ("orders: custkey->orderstatus", "orders",
           "o_custkey", "o_orderstatus"),
-        cand("lineitem: orderkey->returnflag", "lineitem",
+        ("lineitem: orderkey->returnflag", "lineitem",
           "l_orderkey", "l_returnflag"),
-        cand("lineitem: partkey->quantity", "lineitem",
+        ("lineitem: partkey->quantity", "lineitem",
           "l_partkey", "l_quantity"),
-        cand("events: user_id->event_type", "events",
+        ("events: user_id->event_type", "events",
           "user_id", "event_type"),
-        cand("documents: source->lang", "documents", "source", "lang"),
-        cand("part: brand->type", "part", "p_brand", "p_type"))
-        .reduce(_ unionByName _)
+        ("documents: source->lang", "documents", "source", "lang"),
+        ("part: brand->type", "part", "p_brand", "p_type"))
+      val stream = rules.zipWithIndex.map { case ((_, tbl, a, b), i) =>
+        t(s, d, tbl).select(lit(i).as("rid"),
+          xxhash64(col(a).cast("string")).as("lhs"),
+          xxhash64(col(b).cast("string")).as("rhs"))
+      }.reduce(_ unionByName _)
+      val ruleName = element_at(
+        map(rules.zipWithIndex.flatMap { case ((r, _, _, _), i) =>
+          Seq(lit(i), lit(r)) }: _*), col("rid"))
       def dd(c: String) = col(c).cast(DoubleType)
       stream
-        .groupBy("rule", "lhs").agg(countDistinct("rhs").as("n_rhs"))
-        .groupBy("rule")
+        .groupBy("rid", "lhs").agg(countDistinct("rhs").as("n_rhs"))
+        .groupBy("rid")
         .agg(count(lit(1)).as("n_lhs"),
           sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).cast(LongType)
             .as("violating_lhs"),
           max("n_rhs").cast(LongType).as("max_rhs_fanout"))
-        .select(col("rule"), col("n_lhs"), col("violating_lhs"),
+        .select(ruleName.as("rule"), col("n_lhs"), col("violating_lhs"),
           col("max_rhs_fanout"),
           round(dd("violating_lhs") * 1e6 / dd("n_lhs"), 0)
             .cast(LongType).as("violation_share_micro"),
           (col("violating_lhs") === 0).cast(LongType).as("holds"))
-        .orderBy("rule")
+        .coalesce(1).sortWithinPartitions("rule")
     },
     Some {
       def cand(rule: String, tbl: String, a: String, b: String) =
