@@ -33,13 +33,61 @@ class StreamingMultimodalSpec extends SparkSpec {
         .fn(spark, "/root/testdata/sf0.001")
       val rows = out.collect()
       assert(rows.nonEmpty, "CDC state table is empty")
-      // listener events are async — drain before asserting
+      // listener events are async — poll with a deadline instead of one
+      // fixed sleep (a loaded machine can outlast any single sleep)
       spark.streams.resetTerminated()
-      Thread.sleep(500)
+      awaitStarted(() => started)
       assert(started >= 1, "no Structured Streaming query ran")
       // state is latest-per-user: user ids unique
       val ids = rows.map(_.getAs[Long]("user_id"))
       assert(ids.distinct.length == ids.length)
+    } finally spark.streams.removeListener(listener)
+  }
+
+  private def awaitStarted(started: () => Int,
+                           deadlineMs: Long = 20000L): Unit = {
+    val end = System.nanoTime() + deadlineMs * 1000000L
+    while (started() < 1 && System.nanoTime() < end) Thread.sleep(50)
+  }
+
+  test("stream_session_state emits watermark-closed sessions via streaming") {
+    @volatile var started = 0
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+        started += 1
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val out = Queries.byName("stream_session_state")
+        .fn(spark, "/root/testdata/sf0.001")
+      val rows = out.collect()
+      assert(rows.nonEmpty, "no closed sessions emitted")
+      spark.streams.resetTerminated()
+      awaitStarted(() => started)
+      assert(started >= 1, "no Structured Streaming query ran")
+      // emitted sessions are exactly the batch session_window result
+      // minus sessions the final (ms-truncated) watermark never passed
+      val ev = graft.engine.Engine.table(spark, "/root/testdata/sf0.001", "events")
+      val batch = ev
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.end").as("ended"))
+      val maxMs = ev.agg(max("ts")).collect()(0).getTimestamp(0).getTime
+      val wm = new Timestamp(maxMs - 10 * 60 * 1000L)
+      val expected = batch.filter(col("ended") < lit(wm)).count()
+      assert(rows.length.toLong == expected,
+        s"emitted ${rows.length} sessions, batch-twin expects $expected")
+      // per-user sessions don't overlap: starts strictly increase
+      val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+      byUser.values.foreach { ss =>
+        val starts = ss.map(_.getAs[Timestamp]("started").getTime).sorted
+        assert(starts.distinct.length == starts.length)
+      }
     } finally spark.streams.removeListener(listener)
   }
 
