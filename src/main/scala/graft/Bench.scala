@@ -32,7 +32,11 @@ object Bench {
     // dev knob (mirrors TimeQ): SPARK_EXTRA_CONF="k=v;k=v" for A/B runs
     sys.env.get("SPARK_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => System.err.println(
+            s"[bench] skipping malformed conf entry '$kv'")
+        }
       })
     // ERROR, not WARN: the driver keeps only a bounded TAIL of this run's
     // output and parses the JSON contract line out of it — stray WARNs
@@ -108,8 +112,12 @@ object Bench {
     // previous writer. `run` is declared via SPARK_GRAFT_BENCH_RUN
     // (driver/judge could export it); absent that, "local". No
     // timestamps: deterministic replays must stay byte-identical.
+    // the env value lands inside a JSON string — strip anything that
+    // could break the contract line (quotes, backslashes, control chars)
+    val runName = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUN", "local")
+      .filter(c => c >= ' ' && c != '"' && c != '\\').take(64)
     val provenance =
-      s""""run":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_RUN", "local")}"""" +
+      s""""run":"$runName"""" +
         s""","cpus":$cpus,"host_procs":${Runtime.getRuntime.availableProcessors()}"""
     val detailLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$provenance,"n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""

@@ -383,6 +383,15 @@ object Graph {
     val ab = "spark.sql.autoBroadcastJoinThreshold"
     val abWas = spark.conf.get(ab)
     spark.conf.set(ab, "-1")
+    // the try opens IMMEDIATELY after the conf sets (ADVICE r6): an
+    // analysis error in the edge setup below must not leak disabled
+    // AQE/broadcast state into the rest of the session (the edge caches
+    // are pre-declared so the finally can release them)
+    var eBySrc: DataFrame = null
+    var eByDst: DataFrame = null
+    val raws = scala.collection.mutable.Buffer.empty[DataFrame]
+    val cps = scala.collection.mutable.Buffer.empty[DataFrame]
+    try {
     val e0 = edgesIn.toDF("src", "dst")
     val ed = if (assumeDistinct) e0 else e0.distinct()
     // TWO cached copies of the edge list, hash-partitioned on src and on
@@ -393,10 +402,8 @@ object Graph {
     // each half-round pays exactly ONE shuffle: the aggregation re-key
     // (pageRankInt's co-location discipline, doubled). At 100 TB the
     // same co-location comes from bucketing edges on both keys.
-    val eBySrc = ed.repartition(np, col("src")).cache()
-    val eByDst = ed.repartition(np, col("dst")).cache()
-    val raws = scala.collection.mutable.Buffer.empty[DataFrame]
-    val cps = scala.collection.mutable.Buffer.empty[DataFrame]
+    eBySrc = ed.repartition(np, col("src")).cache()
+    eByDst = ed.repartition(np, col("dst")).cache()
     // the max stays INSIDE the lineage (crossJoin of a broadcast 1-row
     // agg, the w9_time_decay idiom) instead of an eager per-half-round
     // collect — no blocking driver job per normalization. The cache on
@@ -409,7 +416,6 @@ object Graph {
       raw.crossJoin(mx)
         .select(col("node"), expr(s"(raw * $Scale) div mx").as("score"))
     }
-    try {
       // distinct on the src-partitioned cache: clustering already
       // satisfied, so the dedup adds no exchange
       var hubs = eBySrc.select(col("src").as("node")).distinct()
@@ -451,8 +457,8 @@ object Graph {
       // Dataset.unpersist can't see them (Iterate.checkpointRdd rationale)
       cps.foreach(df => Iterate.checkpointRdd(df)
         .foreach(_.unpersist(blocking = false)))
-      eBySrc.unpersist(blocking = false)
-      eByDst.unpersist(blocking = false)
+      Option(eBySrc).foreach(_.unpersist(blocking = false))
+      Option(eByDst).foreach(_.unpersist(blocking = false))
     }
   }
 

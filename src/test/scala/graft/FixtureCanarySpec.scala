@@ -108,6 +108,23 @@ class FixtureCanarySpec extends SparkSpec {
     assert(df.count() === 3L)
   }
 
+  test("fixture canary: embedding components stay inside [-1, 1]") {
+    // Similarity.cosRankKey's no-overflow proof (dot^2 * 1e10 < 10^38 on
+    // the HUGEINT oracle side, non-null DECIMAL on the Spark side) needs
+    // |component| <= 1 after quantization to round(x * 2^20). Fixture max
+    // is ~0.58 today; if a regenerated fixture ever drifts past 1 the
+    // failure would otherwise surface as an asymmetric cross-engine
+    // grading mismatch (Spark NULL rank keys vs a DuckDB overflow error)
+    // instead of here (ADVICE r6).
+    import org.apache.spark.sql.functions._
+    val mx = Engine.table(spark, sfDir, "embeddings")
+      .select(explode(col("embedding")).as("x"))
+      .agg(max(abs(col("x").cast("double")))).collect()(0).getDouble(0)
+    assert(mx <= 1.0,
+      s"max |embedding| = $mx > 1 — cosRankKey's integer-range proof " +
+        "no longer holds; re-derive the quantization scale")
+  }
+
   test("fixture canary: events.ts normalizes to session TimestampType exactly") {
     // Engine.table's one normalization promise beyond pass-through: whatever
     // the parquet physical encoding (nanos-as-long, µs NTZ, µs UTC), `ts`
