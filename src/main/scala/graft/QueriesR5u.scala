@@ -107,6 +107,14 @@ object QueriesR5u {
       "The argmax row is a deterministic top-1 cut. Output: KS, the " +
       "optimal threshold, and the class totals.",
     (s, d) => {
+      // scheduling-floor discipline: AQE's stage-at-a-time scheduling
+      // turns each exchange into its own scheduler job; off, the eager
+      // checkpoint + final materialization run as a handful of jobs.
+      // Materialized INSIDE the scope (conf matters at execution time),
+      // restored in finally; AQE-safe at cluster scale.
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       // ONE exchange end-to-end: hash(bk) clusters every later key —
       // the (bk, score) value rollup, the per-bucket offset rollup, and
       // the within-bucket cumulative window all reuse it (bk is a
@@ -148,6 +156,10 @@ object QueriesR5u {
         .orderBy(desc("ks_micro"), col("score")).limit(1)
         .select(col("score").as("threshold_cents"), col("tp").as("n_pos"),
           col("tn").as("n_neg"), col("ks_micro"))
+        .localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      }
     },
     Some("""WITH vc AS (
               SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
@@ -185,14 +197,25 @@ object QueriesR5u {
       "per-source verdict joins docs back on the span key (keyed " +
       "shuffles end to end).",
     (s, d) => {
+      // scheduling-floor discipline: AQE's stage-at-a-time scheduling
+      // turns each exchange into its own scheduler job; off, the eager
+      // checkpoint + final materialization run as a handful of jobs.
+      // Materialized INSIDE the scope (conf matters at execution time),
+      // restored in finally; AQE-safe at cluster scale.
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       val spans = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
           filter(split(regexp_replace(lower(col("text")),
             "[^a-z0-9 ]", " "), "\\s+"), x => x =!= "").as("toks"))
         .filter(size(col("toks")) >= 5)
         .select(col("doc_id"), col("source"),
+          // spans ship as xxhash64 longs, not ~40-byte 5-gram strings
+          // (the dedup family's hashed-shingle trade — the output
+          // carries only counts, the oracle keeps exact strings)
           explode(transform(sequence(lit(1), size(col("toks")) - 4),
-            i => concat_ws(" ", slice(col("toks"), i, lit(5)))))
+            i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(5))))))
             .as("span"))
         .localCheckpoint(true)
       val boiler = spans.groupBy("span")
@@ -216,7 +239,11 @@ object QueriesR5u {
             .cast(LongType).as("boiler_span_share_micro"),
           round(dd("docs_affected") * 1e6 / dd("n_docs"), 0)
             .cast(LongType).as("docs_affected_share_micro"))
-        .orderBy("source")
+        .coalesce(1).sortWithinPartitions("source")
+        .localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      }
     },
     Some("""WITH toks AS (
               SELECT doc_id, source,
