@@ -360,7 +360,13 @@ object QueriesR3b {
       // exploded df/signature pass + both verify sides) and the signature
       // frame feeds the self-join's two sides — materialize each once
       // (same discipline as g3's backbone): without the checkpoints the
-      // single lazy plan re-hashes the whole corpus three times
+      // single lazy plan re-hashes the whole corpus three times.
+      // AQE off for the scope: stage-at-a-time scheduling gave the two
+      // checkpoint actions + verify 13 scheduler jobs; restored in
+      // finally, result materialized inside the scope.
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       val tk = t(s, d, "documents")
         .select(col("doc_id"),
           array_distinct(transform(Dedup.bigramShingles(col("text")),
@@ -391,6 +397,10 @@ object QueriesR3b {
           (col("inter").cast(DoubleType) / col("uni").cast(DoubleType)).as("jac"))
         .filter(col("jac") >= 0.8)
         .orderBy(col("ida"), col("idb"))
+        .localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      }
     },
     Some("""WITH tk AS (SELECT doc_id,
                    CASE WHEN len(string_split(text, ' ')) >= 2

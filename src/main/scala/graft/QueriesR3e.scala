@@ -257,11 +257,19 @@ object QueriesR3e {
       "map-side join however large the corpus; totals come from 1-row " +
       "broadcast crossJoins, never a driver scalar.",
     (s, d) => {
+      // the hashed token stream feeds FOUR references (raw counts,
+      // target counts, the target total, scoring) — one eager checkpoint
+      // hashes the corpus once; AQE off for the scope (stage-at-a-time
+      // scheduling made this 13 scheduler jobs), restored in finally.
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       val toks = t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("tok"))
         .select(col("doc_id"), col("lang"),
           (Dedup.tokenId(col("tok")) % 1024).as("k"))
+        .localCheckpoint(true)
       val raw = toks.groupBy("k").agg(count(lit(1)).as("r"))
       val tgt = toks.filter(col("lang") === "en")
         .groupBy("k").agg(count(lit(1)).as("tc"))
@@ -281,6 +289,10 @@ object QueriesR3e {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"), sum("lr_micro").as("score_micro"))
         .orderBy("doc_id")
+        .localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      }
     },
     Some("""WITH toks AS (
               SELECT doc_id, lang,

@@ -32,6 +32,13 @@ object QueriesR3h {
       "float fan-out). All money stays integer cents end to end, so " +
       "per-channel sums are accumulation-order-proof at any scale.",
     (s, d) => {
+      // scheduling-floor discipline: touches/perConv are each referenced
+      // 3x — lazily that re-plans per AQE stage (19 scheduler jobs);
+      // eager checkpoints + AQE off run the whole settle as ~5 jobs.
+      // Materialized inside the scope, restored in finally.
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       val ev = t(s, d, "events")
         .filter(col("event_type").isin("click", "view", "purchase"))
         .select(col("user_id"), col("event_id"), col("event_type"),
@@ -49,11 +56,13 @@ object QueriesR3h {
           col("conv.cep") - col("ep") <= 604800000000L)
         .select(col("event_type").as("channel"), col("ep"), col("event_id"),
           col("conv.cid").as("conv_id"), col("conv.ccents").as("conv_cents"))
+        .localCheckpoint(true)
       val perConv = touches.groupBy("conv_id").agg(
         count(lit(1)).as("n"),
         min(struct(col("ep"), col("event_id"), col("channel"))).as("fi"),
         max(struct(col("ep"), col("event_id"), col("channel"))).as("la"),
         min("conv_cents").as("cents"))
+        .localCheckpoint(true)
       val firstC = perConv.groupBy(col("fi.channel").as("channel"))
         .agg(sum("cents").as("first_cents"))
       val lastC = perConv.groupBy(col("la.channel").as("channel"))
@@ -67,7 +76,11 @@ object QueriesR3h {
         .join(lastC, Seq("channel"), "left")
         .join(linC, Seq("channel"), "left")
         .na.fill(0L, Seq("first_cents", "last_cents", "linear_cents"))
-        .orderBy("channel")
+        .coalesce(1).sortWithinPartitions("channel")
+        .localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      }
     },
     Some("""WITH ev AS (
               SELECT user_id, event_id, event_type, epoch_us(ts) AS ep,

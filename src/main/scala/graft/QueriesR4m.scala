@@ -218,6 +218,14 @@ object QueriesR4m {
       "argument that makes DBSCAN feasible at all survives the " +
       "distributed version unchanged.",
     (s, d) => {
+      // scheduling-floor discipline: `counts` is referenced three times
+      // (core set, border probe, final report) — lazily that re-plans
+      // the whole grid join per AQE stage (19 scheduler jobs); an eager
+      // checkpoint + AQE off run the classification as ~5 jobs.
+      // Materialized inside the scope, restored in finally.
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       val pts = t(s, d, "customer").select(col("c_custkey").as("k"),
         ((col("c_custkey") % 12000) / 100.0 - 60).as("lat"),
         (((col("c_custkey") * 7) % 6000) / 100.0 - 30).as("lon"))
@@ -240,6 +248,7 @@ object QueriesR4m {
         near.groupBy("k").agg(count(lit(1)).as("n_neighbors")),
         Seq("k"), "left").na.fill(0L, Seq("n_neighbors"))
         .withColumn("is_core", col("n_neighbors") >= 50)
+        .localCheckpoint(true)
       val cores = counts.filter(col("is_core"))
         .select(col("k").as("k2"), col("lat").as("lat2"),
           col("lon").as("lon2"),
@@ -260,6 +269,10 @@ object QueriesR4m {
             .when(col("is_border"), lit("border"))
             .otherwise(lit("noise")).as("role"))
         .orderBy("custkey")
+        .localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      }
     },
     Some("""WITH pts AS (
               SELECT c_custkey AS k,

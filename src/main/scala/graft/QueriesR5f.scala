@@ -33,6 +33,13 @@ object QueriesR5f {
       "trees are the compositional forms that fold identically to the " +
       "oracle's list_dot_product.",
     (s, d) => {
+      // scheduling-floor discipline: the broadcast-heavy sweep ran as 12
+      // AQE stage-at-a-time scheduler jobs; off, it's the cache
+      // materialization plus a build per broadcast. Result materialized
+      // inside the scope, conf restored in finally.
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       def emb() = t(s, d, "embeddings")
         .select(col("vec_id").as("id"),
           Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
@@ -98,7 +105,11 @@ object QueriesR5f {
           col("n_cand"), col("hits"),
           round(dd("hits") / (dd("n_q") * 5.0) * 1e6, 0).cast(LongType)
             .as("recall_micro"))
-        .orderBy("nprobe")
+        .coalesce(1).sortWithinPartitions("nprobe")
+        .localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      }
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                        list_transform(embedding::DOUBLE[],
