@@ -85,6 +85,11 @@ object QueriesR3j {
       "sqrt + one divide over exact BIGINT counts — bit-identical " +
       "trees on both engines.",
     (s, d) => {
+      // scheduling-floor discipline: AQE-off scope + materialize inside,
+      // restored in finally (the usual stage-at-a-time job floor).
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       val items = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       // CPU-heavy generator + pair agg: pin the basket exchange to the
@@ -108,14 +113,24 @@ object QueriesR3j {
           explode(slice(col("ps"), col("i") + 2, size(col("ps")))).as("b"))
         .groupBy("a", "b")
         .agg(count(lit(1)).as("cab"))
+      // item counts are catalog-sized (bounded by the part table, not
+      // the order volume) — broadcast them so the pair stream never
+      // reshuffles on a/b; at a catalog too big to broadcast these fall
+      // back to the two hash joins
       pairs
-        .join(cnt.select(col("pk").as("a"), col("c").as("ca")), "a")
-        .join(cnt.select(col("pk").as("b"), col("c").as("cb")), "b")
+        .join(broadcast(cnt.select(col("pk").as("a"), col("c").as("ca"))),
+          "a")
+        .join(broadcast(cnt.select(col("pk").as("b"), col("c").as("cb"))),
+          "b")
         .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
           round(col("cab").cast(DoubleType) * 1e6 /
             sqrt((col("ca") * col("cb")).cast(DoubleType)), 0)
             .cast(LongType).as("cosine_micro"))
         .orderBy(desc("cab"), col("a"), col("b")).limit(20)
+        .localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      }
     },
     Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok,
                                            l_partkey AS pk
