@@ -37,19 +37,28 @@ object Enrich {
     * dict lookup never can). File order doesn't survive a distributed
     * read, so ties resolve deterministically by canonical ordering.
     */
-  def normalizeNames(df: DataFrame, nameMap: DataFrame, cols: Seq[String]): DataFrame = {
-    // dedup ONCE per call (not once per column): the window in
-    // dedupKeepFirst is a whole shuffle stage even on a tiny map, and the
-    // enrich DAG normalizes 6 frames — per-column dedup was ~12 extra
-    // stages of pure scheduling floor
-    // keep-first on a (key, value) pair IS min-by-key — an associative
-    // aggregate with map-side partial agg, not a ranking window (same
-    // deterministic result as Ops.dedupKeepFirst(raw, canonical), one
-    // fewer sort stage per normalized frame)
-    lazy val deduped = nameMap
+  def normalizeNames(df: DataFrame, nameMap: DataFrame, cols: Seq[String]): DataFrame =
+    normalizeWith(df, dedupedNameMap(nameMap), cols)
+
+  /** The dict the reference builds from the map file: unique by raw key,
+    * ties resolved deterministically by canonical ordering.
+    * Built ONCE per enrich() call and shared across all 7 normalize
+    * joins — the projections stay canonically identical so the broadcast
+    * materializes a single time (AQE exchange reuse).
+    *
+    * keep-first on a (key, value) pair IS min-by-key — an associative
+    * aggregate with map-side partial agg, not a ranking window (same
+    * deterministic result as Ops.dedupKeepFirst(raw, canonical), one
+    * fewer sort stage per normalized frame).
+    */
+  private def dedupedNameMap(nameMap: DataFrame): DataFrame =
+    nameMap
       .select(trim(col("raw")).as("__nm_raw"),
         trim(col("canonical")).as("__nm_canon"))
       .groupBy("__nm_raw").agg(min("__nm_canon").as("__nm_canon"))
+
+  private def normalizeWith(df: DataFrame, deduped: DataFrame,
+                            cols: Seq[String]): DataFrame =
     cols.filter(df.columns.contains).foldLeft(df) { (acc, c) =>
       val m = deduped.select(col("__nm_raw").as(s"__raw_$c"),
         col("__nm_canon").as(s"__canon_$c"))
@@ -57,7 +66,6 @@ object Enrich {
         .withColumn(c, coalesce(col(s"__canon_$c"), trim(col(c))))
         .drop(s"__raw_$c", s"__canon_$c")
     }
-  }
 
   /** The pre-merge constant defaults (enrich_features.py:160-169). */
   val preDefaults: Seq[(String, Column)] = Seq(
@@ -229,24 +237,153 @@ object Enrich {
   /** Entry point 2 parity (enrich_features.py:151-179): the full stage
     * order is load-bearing — each stage's precedence depends on the
     * columns ensured before it.
+    *
+    * FUSED physical shape (same semantics as composing the staged
+    * functions above, which remain the single-stage public API): the
+    * staged chain paid ~25 broadcast-exchange builds per run — a
+    * name-map build nested under every dim, a payload build per dim per
+    * side, and an emptiness-count agg per guarded stage per side. Here
+    * the name map is deduped ONCE and shared by all 7 normalize joins,
+    * the four emptiness guards ride a single union-count row instead of
+    * 8 per-stage count-agg broadcasts, and each dim's home/away payload
+    * projections are kept canonically identical so ReuseExchange builds
+    * every dim broadcast once. At 100 TB the fact side still streams
+    * through zero shuffles — one embarrassingly-parallel pass.
     */
   def enrich(fact: DataFrame, teams: DataFrame, stad: DataFrame, refs: DataFrame,
              inj: DataFrame, lu: DataFrame, xg: DataFrame, nameMap: DataFrame): DataFrame = {
     val dated = if (fact.columns.contains("date"))
       fact.withColumn("date", col("date").cast("timestamp")) else fact
-    val named = normalizeNames(dated, nameMap, Seq("home_team", "away_team"))
+    val mapD = dedupedNameMap(nameMap)
+    val named = normalizeWith(dated, mapD, Seq("home_team", "away_team"))
     val ensured = Ops.ensureCols(named, preDefaults)
-    val teamsN = normalizeNames(teams, nameMap, Seq("team"))
-    val stadN = normalizeNames(stad, nameMap, Seq("team"))
-    val injN = normalizeNames(inj, nameMap, Seq("team"))
-    val luN = normalizeNames(lu, nameMap, Seq("team"))
-    val xgN = normalizeNames(xg, nameMap, Seq("team"))
-    val s1 = mergeTeamMaster(ensured, teamsN)
-    val s2 = applyInjuries(s1, injN)
-    val s3 = applyLineupFlags(s2, luN)
-    val s4 = applyRefRates(s3, refs)
-    val s5 = computeTravel(s4, stadN)
-    mergeXgHybrid(s5, xgN)
+    val has = ensured.columns.toSet
+    val teamsN = normalizeWith(teams, mapD, Seq("team"))
+    val stadN = normalizeWith(stad, mapD, Seq("team"))
+    val injN = normalizeWith(inj, mapD, Seq("team"))
+    val luN = normalizeWith(lu, mapD, Seq("team"))
+    val xgN = normalizeWith(xg, mapD, Seq("team"))
+
+    // ONE guard row for the four emptiness-guarded dims (counted on the
+    // raw inputs — normalization is a unique-key left join, row counts
+    // unchanged); replaces a count-agg broadcast per guarded stage.
+    val guards = teams.select(lit("t").as("__d"))
+      .union(inj.select(lit("i").as("__d")))
+      .union(lu.select(lit("l").as("__d")))
+      .union(refs.select(lit("r").as("__d")))
+      .agg(count(when(col("__d") === "t", 1)).as("__n_teams"),
+        count(when(col("__d") === "i", 1)).as("__n_inj"),
+        count(when(col("__d") === "l", 1)).as("__n_lu"),
+        count(when(col("__d") === "r", 1)).as("__n_refs"))
+
+    // Per-side payload projections over each dim: the home and away
+    // selects are canonically identical, so every dim's broadcast
+    // materializes ONCE and the second side rides AQE exchange reuse.
+    def teamsSel(side: String) = teamsN.select(col("team").as(s"__k_$side"),
+      col("gk_rating").as(s"__j_${side}_gk_rating"),
+      col("setpiece_rating").as(s"__j_${side}_setpiece_rating"),
+      col("crowd_index").as(s"__j_${side}_crowd_index"))
+    def stadSel(side: String) = stadN.select(col("team").as(s"__s_$side"),
+      col("lat").as(s"${side}_lat"), col("lon").as(s"${side}_lon"))
+    def injSel(side: String) = injN.select(col("date").as(s"__di_$side"),
+      col("team").as(s"__ki_$side"),
+      col("injury_index").as(s"__j_${side}_injury_index"))
+    def luSel(side: String) = luN.select(col("date").as(s"__dl_$side"),
+      col("team").as(s"__kl_$side"),
+      col("key_att_out").as(s"__j_${side}_key_att_out"),
+      col("key_def_out").as(s"__j_${side}_key_def_out"),
+      col("keeper_changed").as(s"__j_${side}_keeper_changed"))
+    def xgSel(side: String) = xgN.select(col("team").as(s"__x_$side"),
+      col("xg_hybrid").as(s"${side}_xg"),
+      col("xga_hybrid").as(s"${side}_xga"),
+      col("xgd_hybrid").as(s"${side}_xgd"),
+      col("xgd90_hybrid").as(s"${side}_xgd_per90"))
+
+    val sided = Seq("home", "away").foldLeft(
+        ensured.crossJoin(broadcast(guards))) { (acc, side) =>
+      acc.join(broadcast(teamsSel(side)),
+          col(s"${side}_team") === col(s"__k_$side"), "left")
+        .drop(s"__k_$side")
+        .join(broadcast(injSel(side)),
+          col("date") === col(s"__di_$side") &&
+            col(s"${side}_team") === col(s"__ki_$side"), "left")
+        .drop(s"__di_$side", s"__ki_$side")
+        .join(broadcast(luSel(side)),
+          col("date") === col(s"__dl_$side") &&
+            col(s"${side}_team") === col(s"__kl_$side"), "left")
+        .drop(s"__dl_$side", s"__kl_$side")
+        .join(broadcast(stadSel(side)),
+          col(s"${side}_team") === col(s"__s_$side"), "left")
+        .drop(s"__s_$side")
+        .join(broadcast(xgSel(side)),
+          col(s"${side}_team") === col(s"__x_$side"), "left")
+        .drop(s"__x_$side")
+    }
+    val refJoined = if (has.contains("ref_name"))
+      sided.join(broadcast(refs.select(col("ref_name").as("__k_ref"),
+          col("ref_pen_rate").as("__j_ref_pen_rate"))),
+        col("ref_name") === col("__k_ref"), "left").drop("__k_ref")
+    else sided
+
+    // column resolutions — expression-for-expression the staged chain,
+    // with the shared counts row standing in for the per-stage __dim_n
+    def guarded(base: String, guard: Column, default: Double): Column =
+      if (has.contains(base))
+        when(guard === 0, col(base))
+          .otherwise(Ops.precedence(col(base), col(s"__j_$base"), lit(default)))
+      else Ops.precedence(lit(null).cast(DoubleType), col(s"__j_$base"),
+        lit(default))
+
+    val flags = Seq("key_att_out", "key_def_out", "keeper_changed")
+    var out = refJoined
+    for (side <- Seq("home", "away"); (c, d) <- Seq(
+        "gk_rating" -> D.gkRating, "setpiece_rating" -> D.setpieceRating))
+      out = out.withColumn(s"${side}_$c",
+        guarded(s"${side}_$c", col("__n_teams"), d))
+    out = out.withColumn("crowd_index", {
+      val existing = if (has.contains("crowd_index")) col("crowd_index")
+        else lit(null).cast(DoubleType)
+      if (has.contains("crowd_index"))
+        when(col("__n_teams") === 0, existing)
+          .otherwise(Ops.precedence(existing, col("__j_home_crowd_index"),
+            lit(D.crowdIndex)))
+      else Ops.precedence(existing, col("__j_home_crowd_index"),
+        lit(D.crowdIndex))
+    })
+    for (side <- Seq("home", "away"))
+      out = out.withColumn(s"${side}_injury_index",
+        guarded(s"${side}_injury_index", col("__n_inj"), D.injuryIndex))
+    for (side <- Seq("home", "away"); f <- flags) {
+      val base = s"${side}_$f"
+      val resolved = if (has.contains(base))
+        when(col("__n_lu") === 0, col(base).cast(IntegerType))
+          .otherwise(coalesce(col(base), col(s"__j_$base"), lit(0))
+            .cast(IntegerType))
+      else coalesce(lit(null).cast(IntegerType), col(s"__j_$base"), lit(0))
+        .cast(IntegerType)
+      out = out.withColumn(base, resolved)
+    }
+    out = if (has.contains("ref_name"))
+      out.withColumn("ref_pen_rate",
+        guarded("ref_pen_rate", col("__n_refs"), D.refPenRate))
+    else out.withColumn("ref_pen_rate",
+      coalesce(col("ref_pen_rate"), lit(D.refPenRate)))
+    out = out
+      .withColumn("home_travel_km",
+        coalesce(col("home_travel_km"), lit(D.travelKmHome)))
+      .withColumn("away_travel_km",
+        when(col("away_travel_km").isNotNull, col("away_travel_km"))
+          .otherwise(F.haversineKmOrDefault(col("home_lat"), col("home_lon"),
+            col("away_lat"), col("away_lon"), D.travelKmAway)))
+
+    // staged column order: the ensured frame first (in-place
+    // replacements), then the flags the fact lacked, then the xg metrics
+    val metrics = Seq("xg", "xga", "xgd", "xgd_per90")
+    val flagCols = for (s <- Seq("home", "away"); f <- flags) yield s"${s}_$f"
+    val xgCols = for (s <- Seq("home", "away"); m <- metrics) yield s"${s}_$m"
+    val order = ensured.columns.toSeq ++
+      flagCols.filterNot(has.contains) ++ xgCols
+    out.select(order.map(col): _*)
   }
 
   /** P1 + A2 — final projection to the canonical column order and global
