@@ -50,10 +50,19 @@ object QueriesR6a {
       val stream = s.readStream
         .schema(s.read.parquet(in).schema)
         .parquet(in)
+      // scoped: the upsert MERGE inside foreachBatch shuffles a
+      // fixture-sized state frame — 8 partitions cover it; 32 just adds
+      // state/task floor per micro-batch. Cluster runs size this to the
+      // real key cardinality (it is plain session conf, not plan shape).
+      val partsWere = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val sq = graft.streaming.Streaming.upsertStream(stream, statePath, ckpt)
       try {
         sq.processAllAvailable()
-      } finally sq.stop()
+      } finally {
+        sq.stop()
+        s.conf.set("spark.sql.shuffle.partitions", partsWere)
+      }
       // materialize the graded frame off the temp dir, then delete it —
       // accumulating per-execution state dirs across bench/verify passes
       // was a slow disk leak (ADVICE r6)
@@ -120,6 +129,14 @@ object QueriesR6a {
       val stream = s.readStream
         .schema(s.read.parquet(in).schema)
         .parquet(in)
+      // scoped: the session_window stateful shuffle allocates one state
+      // store (directory + provider + task) PER shuffle partition, each
+      // micro-batch — 32 stores for a fixture's worth of open sessions is
+      // pure floor. 8 keeps the replay parallel over users; the conf is
+      // read at stream START (fresh checkpoint per run), so restoring it
+      // after stop() cannot strand a mismatched state layout.
+      val partsWere = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val sq = graft.streaming.Streaming.sessionWindowAgg(stream)
         .withColumnRenamed("total_value", "cents")
         .writeStream
@@ -130,7 +147,10 @@ object QueriesR6a {
         .start()
       try {
         sq.processAllAvailable()
-      } finally sq.stop()
+      } finally {
+        sq.stop()
+        s.conf.set("spark.sql.shuffle.partitions", partsWere)
+      }
       val res = s.read.parquet(out)
         .select("user_id", "started", "ended", "n_events", "cents")
         .orderBy("user_id", "started")

@@ -10,9 +10,14 @@ class PlanShapeSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
-    Queries.byName(name).fn(spark, sf)
+  // floorScope off: these tests assert the query's OWN plan shape; the
+  // scheduling-floor scope would hand back a checkpoint scan instead
+  private def plan(name: String): String = {
+    spark.conf.set("spark.graft.floorScope", "false")
+    try Queries.byName(name).fn(spark, sf)
       .queryExecution.executedPlan.toString
+    finally spark.conf.unset("spark.graft.floorScope")
+  }
 
   test("er_survivorship: struct-ordered picks, no ranking window") {
     val p = plan("er_survivorship")

@@ -11,8 +11,13 @@ class PlanSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def planOf(name: String): String =
-    Queries.byName(name).fn(spark, sf).queryExecution.executedPlan.toString
+  // floorScope off: plan assertions target the query's own physical plan,
+  // not the checkpoint scan the scheduling-floor scope materializes
+  private def planOf(name: String): String = {
+    spark.conf.set("spark.graft.floorScope", "false")
+    try Queries.byName(name).fn(spark, sf).queryExecution.executedPlan.toString
+    finally spark.conf.unset("spark.graft.floorScope")
+  }
 
   test("s2: filter pushed to parquet scan, read schema pruned") {
     val plan = planOf("s2_scan_project")
@@ -66,14 +71,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("scan-heavy queries run inside whole-stage codegen") {
-    for (q <- Seq("f8_haversine", "f7_fractional_odds", "text_stats")) {
+    spark.conf.set("spark.graft.floorScope", "false")
+    try for (q <- Seq("f8_haversine", "f7_fractional_odds", "text_stats")) {
       val df = Queries.byName(q).fn(spark, sf)
       df.collect() // AQE only finalizes (and shows codegen spans) on execution
       val plan = df.queryExecution.executedPlan.toString
       // codegen'd spans render as "*(n) Operator" in the tree string
       assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
         s"$q dropped out of codegen")
-    }
+    } finally spark.conf.unset("spark.graft.floorScope")
   }
 
   test("tfidf: no forced broadcast of the unbounded df aggregate") {
