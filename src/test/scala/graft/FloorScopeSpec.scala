@@ -1,0 +1,45 @@
+package graft
+
+import graft.engine.Engine
+
+/** Engine.floorScoped contract: the scheduling-floor scope must change
+  * WHEN a query's plan executes (AQE off, materialized inside the scope)
+  * without changing WHAT it returns, and both of its gates must hold —
+  * the conf gate for cluster deployments / plan probes, and the
+  * session-conf restore so one scoped query can't leak a disabled AQE
+  * into the rest of the session.
+  */
+class FloorScopeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("scoped run returns identical rows, in order, to the raw fn") {
+    // stat_theil_sen ends in an orderBy; f7 is a plain scan-map — both are
+    // in SparkEntry.floorBound, so the registry hands back the scoped fn
+    for (name <- Seq("stat_theil_sen", "f7_fractional_odds")) {
+      val raw = Queries.byName(name).fn(spark, sf).collect().toSeq
+      val scoped = SparkEntry.queries(name)(spark, sf).collect().toSeq
+      assert(scoped == raw, s"$name: scoped result diverged from raw fn")
+    }
+  }
+
+  test("scoped frame is materialized; session AQE conf is restored") {
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val df = SparkEntry.queries("f9_numeric_coerce")(spark, sf)
+    // inside the scope the frame was eagerly checkpointed — its executed
+    // plan is a checkpoint scan, not the query's own operators
+    assert(df.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "floorBound query escaped the scope un-materialized")
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == before,
+      "floorScoped leaked its AQE setting into the session")
+  }
+
+  test("conf gate: floorScope=false hands back the raw lazy plan") {
+    spark.conf.set("spark.graft.floorScope", "false")
+    try {
+      val df = SparkEntry.queries("f9_numeric_coerce")(spark, sf)
+      assert(!df.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+        "scope engaged despite spark.graft.floorScope=false")
+    } finally spark.conf.unset("spark.graft.floorScope")
+  }
+}
