@@ -184,5 +184,71 @@ object QueriesR6a {
             HAVING max(ts) + INTERVAL 30 MINUTE < wm.w
             ORDER BY user_id, started"""))
 
-  val all: Seq[Q] = Seq(cdcState, sessionState)
+  // ------------- stream_view_click_join: stream-stream interval join
+
+  private val viewClickJoin = Q(
+    "stream_view_click_join",
+    "The STREAM-STREAM JOIN path, oracle-graded — the third graded " +
+      "streaming surface next to foreachBatch state (stream_cdc_state) " +
+      "and watermarked event-time aggregation (stream_session_state): " +
+      "views and clicks replay as two file streams through " +
+      "Streaming.clickAfterViewJoin (same-user clicks within 4 h of a " +
+      "view; both sides watermarked so buffered state evicts at scale), " +
+      "and the graded output is the emitted match log. INNER interval " +
+      "joins emit on match — the result is a set, independent of batch " +
+      "boundaries or arrival order — so the output is deterministic and " +
+      "exactly SQL-expressible as the events self-join; every output " +
+      "column is an id or a microsecond timestamp (no float surface). " +
+      "The single-file-per-side replay makes the whole log one " +
+      "micro-batch, but unlike the CDC upsert nothing here depends on " +
+      "that: more batches would emit the same set.",
+    (s, d) => {
+      val ev = t(s, d, "events").select("event_id", "ts", "user_id", "event_type")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_vcjoin_").toString
+      val inV = s"$base/views"
+      val inC = s"$base/clicks"
+      val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      ev.filter(col("event_type") === "view").drop("event_type")
+        .coalesce(1).write.mode("overwrite").parquet(inV)
+      ev.filter(col("event_type") === "click").drop("event_type")
+        .coalesce(1).write.mode("overwrite").parquet(inC)
+      val vs = s.readStream.schema(s.read.parquet(inV).schema).parquet(inV)
+      val cs = s.readStream.schema(s.read.parquet(inC).schema).parquet(inC)
+      // scoped to 8 state partitions, same rationale as the session query:
+      // the join buffers both sides in per-partition state stores
+      val partsWere = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val sq = graft.streaming.Streaming
+        .clickAfterViewJoin(vs, cs, windowMs = 240L * 60 * 1000)
+        .select(col("v_user").as("user_id"), col("view_id"),
+          col("view_ts"), col("click_id"), col("click_ts"))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try {
+        sq.processAllAvailable()
+      } finally {
+        sq.stop()
+        s.conf.set("spark.sql.shuffle.partitions", partsWere)
+      }
+      val res = s.read.parquet(out)
+        .orderBy("view_id", "click_id")
+        .localCheckpoint(true)
+      deleteRecursively(base)
+      res
+    },
+    Some("""SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+                   c.event_id AS click_id, c.ts AS click_ts
+            FROM events v JOIN events c
+              ON c.user_id = v.user_id
+             AND v.event_type = 'view' AND c.event_type = 'click'
+             AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
+            ORDER BY view_id, click_id"""))
+
+  val all: Seq[Q] = Seq(cdcState, sessionState, viewClickJoin)
 }

@@ -91,6 +91,49 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("stream_view_click_join emits the exact batch join set via streaming") {
+    @volatile var started = 0
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+        started += 1
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val out = Queries.byName("stream_view_click_join")
+        .fn(spark, "/root/testdata/sf0.001")
+      val rows = out.collect()
+      assert(rows.nonEmpty, "no view→click matches emitted")
+      spark.streams.resetTerminated()
+      awaitStarted(() => started)
+      assert(started >= 1, "no Structured Streaming query ran")
+      // the emitted set must equal the batch self-join exactly — inner
+      // interval joins emit on match, independent of batching
+      val ev = graft.engine.Engine.table(spark, "/root/testdata/sf0.001", "events")
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("event_id").as("view_id"), col("ts").as("vts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("cts"))
+      val batch = v.join(c, col("vu") === col("cu") &&
+          col("cts") >= col("vts") &&
+          col("cts") <= col("vts") + expr("INTERVAL 240 MINUTE"))
+        .select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamed = rows.map(r =>
+        (r.getAs[Long]("view_id"), r.getAs[Long]("click_id"))).toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} pairs, batch twin has ${batch.size}")
+      // every match is a click at-or-after its view
+      rows.foreach { r =>
+        assert(!r.getAs[Timestamp]("click_ts").before(r.getAs[Timestamp]("view_ts")))
+      }
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming hourly window agg over MemoryStream matches batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
