@@ -42,4 +42,29 @@ class FloorScopeSpec extends SparkSpec {
         "scope engaged despite spark.graft.floorScope=false")
     } finally spark.conf.unset("spark.graft.floorScope")
   }
+
+  test("size gate: a production-sized source dir never engages the scope") {
+    // a sparse 2 GB file makes the dir read as over-gate without writing
+    // 2 GB — File.length reports the logical size
+    val dir = java.nio.file.Files.createTempDirectory("graft_big_")
+    val big = new java.io.RandomAccessFile(
+      dir.resolve("huge.parquet").toFile, "rw")
+    try {
+      big.setLength(2L << 30)
+      big.close()
+      val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      var bodyRanWithAqe: String = null
+      val out = Engine.floorScoped(spark, dir.toString) {
+        bodyRanWithAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.range(3).toDF("id")
+      }
+      assert(bodyRanWithAqe == before,
+        "scope flipped AQE despite an over-gate source dir")
+      assert(!out.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+        "scope materialized despite an over-gate source dir")
+    } finally {
+      java.nio.file.Files.deleteIfExists(dir.resolve("huge.parquet"))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
 }
