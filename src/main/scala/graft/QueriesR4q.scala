@@ -110,30 +110,25 @@ object QueriesR4q {
         .select(col("l_returnflag").as("g"),
           round(col("l_extendedprice") * 100, 0).cast(LongType).as("x"))
       // exact lower median per group from the (g, value)-COUNT frame:
-      // the raw 600k-row frame collapses to distinct cents values first
-      // (one partial-aggregated shuffle), then the two-level bucketed
-      // ranking (the stat_spearman pattern) walks CUMULATIVE COUNTS on
-      // the ~3× smaller frame — the median is the value whose cumsum
-      // brackets rank (n+1)/2. The deviation aggregation reuses the same
+      // the raw frame collapses to distinct cents values first (the one
+      // corpus-scale shuffle, partial-aggregated), then ONE per-group
+      // cumulative-count window brackets rank (n+1)/2 — distinct price
+      // values are RANGE-bounded (cents in a fixed price band), so the
+      // window's per-group input saturates at any corpus size and a
+      // per-g sort is the 100 TB shape. (This replaces the round-5
+      // two-level bucket ranking, which paid a SECOND full shuffle of
+      // the value-count frame — repartition on (g, bucket) — plus an
+      // offset rollup and broadcast to avoid a sort the bounded frame
+      // never needed.) The deviation aggregation reuses the same
       // value-count frame with count weights, so the raw table is
-      // scanned ONCE end to end (it was scanned twice and fully sorted
-      // before). Distinct price values are range-bounded at any corpus
-      // size — the value-count rollup is the 100 TB shape.
+      // scanned once end to end.
       val vc = base.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true)
-      val withB = vc.withColumn("bk", expr("x div 409600"))
-      val offs = withB.groupBy("g", "bk").agg(sum("cnt").as("nb"))
-        .withColumn("off", coalesce(sum("nb").over(
-          Window.partitionBy("g").orderBy("bk")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("n", sum("nb").over(Window.partitionBy("g")))
-        .select("g", "bk", "off", "n")
-      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val med = withB.repartition(parts, col("g"), col("bk"))
-        .join(broadcast(offs), Seq("g", "bk"))
-        .withColumn("cum", col("off") + sum("cnt").over(
-          Window.partitionBy("g", "bk").orderBy("x")
+      val med = vc
+        .withColumn("cum", sum("cnt").over(
+          Window.partitionBy("g").orderBy("x")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("g")))
         .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
           expr("(n + 1) div 2") <= col("cum"))
         .select(col("g"), col("x").as("med"))
