@@ -126,52 +126,55 @@ object QueriesR4j {
       val base = t(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"),
           col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-      // doubled average rank of value v in flag f:
-      //   2*min_rank + ties - 1, min_rank = bucket_offset + rank_in_bucket
-      //
-      // BOTH columns' bucket-offset maps (offsets only depend on per-
-      // (flag, bucket) counts) come from ONE union-tagged pass over the
-      // raw base frame, eagerly checkpointed: one job materializes both
-      // maps, and each side's broadcast builds from the tiny checkpoint
-      // instead of re-running a groupBy+window lineage per build
-      val offs = base
-        .select(col("flag"), lit("x").as("side"),
-          floor(col("x") / 4.0).as("bk"))
-        .unionAll(base.select(col("flag"), lit("y").as("side"),
-          floor(col("y") / 4096.0).as("bk")))
-        .groupBy("side", "flag", "bk").agg(count(lit(1)).as("nb"))
-        .withColumn("off",
-          coalesce(sum("nb").over(Window.partitionBy("side", "flag")
-            .orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-        .select("side", "flag", "bk", "off")
+      // A rank depends only on its VALUE, so rank the distinct values and
+      // weight every sum by multiplicity instead of ranking 600k rows
+      // twice: one corpus-scale pass collapses to (flag, x, y) pair
+      // counts (partial-aggregated; both value domains are range-bounded
+      // — quantity ~50 integers, price a fixed cents band — so the pair
+      // frame saturates at any corpus size), and each side's doubled
+      // average rank comes from a per-flag cumulative-count window over
+      // its value-count rollup (the stat_levene shape):
+      //   2*avg_rank = 2*min_rank + ties - 1 = 2*cum - nb + 1.
+      // BOTH maps broadcast: the quantity map is ~50 values per flag and
+      // the price map saturates with the price band (it stops growing
+      // with the corpus — the same bounded-vocabulary argument the text
+      // tier's broadcasts rest on), so the pair frame never shuffles
+      // again after its one keyed aggregation. This replaces the
+      // round-5/6 two-level bucket ranking, which repartitioned the RAW
+      // frame once per column. Weighted sums (c·r, c·r², c·rx·ry) have
+      // the exact same BIGINT bounds as the per-row sums they replace.
+      val pairs = base.groupBy("flag", "x", "y").agg(count(lit(1)).as("c"))
         .localCheckpoint(true)
-      def dr(in: DataFrame, c: String, width: Double): DataFrame = {
-        val withB = in.withColumn("bk", floor(col(c) / width))
-        val wIn = Window.partitionBy("flag", "bk").orderBy(c)
-        val wTie = Window.partitionBy("flag", "bk", c)
-        // explicit partition count: the rank sort is CPU-bound, and AQE's
-        // size-based coalescing would fold these few-MB-but-expensive
-        // partitions onto a couple of cores; a user-pinned count it keeps
-        val parts = in.sparkSession.conf
-          .get("spark.sql.shuffle.partitions").toInt
-        withB.repartition(parts, col("flag"), col("bk"))
-          .join(broadcast(offs.filter(col("side") === c).drop("side")),
-            Seq("flag", "bk"))
-          .withColumn(s"r_$c",
-            (lit(2L) * (col("off") + rank().over(wIn)) +
-              count(lit(1)).over(wTie) - 1L).cast(LongType))
-          .drop("bk", "off")
-      }
-      val ranked = dr(dr(base, "x", 4.0), "y", 4096.0)
-        .withColumnRenamed("r_x", "rx").withColumnRenamed("r_y", "ry")
+      // both maps from ONE union-tagged pass over the pair checkpoint,
+      // themselves checkpointed: each broadcast then builds from the
+      // tiny materialized frame instead of re-running an agg+window
+      // lineage per side (the round-6 offs-map discipline, kept)
+      val maps = pairs
+        .select(col("flag"), lit("x").as("side"), col("x").as("v"), col("c"))
+        .unionAll(pairs
+          .select(col("flag"), lit("y").as("side"), col("y").as("v"), col("c")))
+        .groupBy("side", "flag", "v").agg(sum("c").as("nb"))
+        .withColumn("cum", sum("nb").over(
+          Window.partitionBy("side", "flag").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("side"), col("flag"), col("v"),
+          (lit(2L) * col("cum") - col("nb") + 1L).cast(LongType).as("r"))
+        .localCheckpoint(true)
+      def rankMap(side: String, vcol: String): DataFrame =
+        maps.filter(col("side") === side)
+          .select(col("flag"), col("v").as(vcol), col("r").as(s"r_$vcol"))
+      val ranked = pairs
+        .join(broadcast(rankMap("x", "x")), Seq("flag", "x"))
+        .join(broadcast(rankMap("y", "y")), Seq("flag", "y"))
+        .select(col("flag"), col("c"),
+          col("r_x").as("rx"), col("r_y").as("ry"))
       val agg = ranked.groupBy("flag")
-        .agg(count(lit(1)).as("n"),
-          sum("rx").cast(LongType).as("sx"),
-          sum("ry").cast(LongType).as("sy"),
-          sum(col("rx") * col("rx")).cast(LongType).as("sxx"),
-          sum(col("ry") * col("ry")).cast(LongType).as("syy"),
-          sum(col("rx") * col("ry")).cast(LongType).as("sxy"))
+        .agg(sum("c").cast(LongType).as("n"),
+          sum(col("c") * col("rx")).cast(LongType).as("sx"),
+          sum(col("c") * col("ry")).cast(LongType).as("sy"),
+          sum(col("c") * col("rx") * col("rx")).cast(LongType).as("sxx"),
+          sum(col("c") * col("ry") * col("ry")).cast(LongType).as("syy"),
+          sum(col("c") * col("rx") * col("ry")).cast(LongType).as("sxy"))
       val nD = col("n").cast("double")
       val num = nD * col("sxy").cast("double") -
         col("sx").cast("double") * col("sy").cast("double")
@@ -180,11 +183,15 @@ object QueriesR4j {
       val denY = nD * col("syy").cast("double") -
         col("sy").cast("double") * col("sy").cast("double")
       val rho = num / sqrt(denX * denY)
-      // 3-row output: sort in one partition, skip the range-sample job
+      // 3-row output: sort in one partition, skip the range-sample job;
+      // materialized INSIDE the scope (stat_levene's discipline) — an
+      // un-executed frame would escape the AQE-off block and run with
+      // the session's stage-per-job scheduling after the finally
       agg.select(col("flag"), col("n"),
         round(rho, 6).as("rho"),
         round(rho * sqrt((nD - 2.0) / (lit(1.0) - rho * rho)), 6).as("t_stat"))
         .coalesce(1).sortWithinPartitions("flag")
+        .localCheckpoint(true)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }
