@@ -181,9 +181,13 @@ object QueriesR3k {
         .agg(min_by(col("l"),
           struct((-col("score")).as("ns"), col("l"))).as("predicted"))
       // the 25-row confusion matrix sorts in ONE partition — a range-
-      // partitioned orderBy would spend a separate sampling job on it
+      // partitioned orderBy would spend a separate sampling job on it.
+      // Materialized INSIDE the scope (stat_levene's discipline): an
+      // un-executed frame would escape the AQE-off block and run with
+      // the session's stage-per-job scheduling after the finally
       pred.groupBy("actual", "predicted").agg(count(lit(1)).as("n_docs"))
         .coalesce(1).sortWithinPartitions("actual", "predicted")
+        .localCheckpoint(true)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }
