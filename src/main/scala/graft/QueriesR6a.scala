@@ -250,5 +250,73 @@ object QueriesR6a {
              AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
             ORDER BY view_id, click_id"""))
 
-  val all: Seq[Q] = Seq(cdcState, sessionState, viewClickJoin)
+  // ------------- stream_running_stats: transformWithState (state v2)
+
+  private val runningStats = Q(
+    "stream_running_stats",
+    "The ARBITRARY-STATE streaming path (transformWithState, Spark 4's " +
+      "state v2 on the RocksDB store), oracle-graded — the fourth graded " +
+      "streaming shape next to foreachBatch upsert, event-time session " +
+      "aggregation, and the stream-stream join: events replay through " +
+      "Streaming.runningUserStats (typed ValueState accumulating " +
+      "per-user count and max inside a StatefulProcessor) and the " +
+      "graded output is each user's emitted running stats. Count and " +
+      "max are order-independent, so the one-batch replay's Update-mode " +
+      "emission IS the final state and exactly the batch groupBy twin; " +
+      "a multi-batch replay would emit intermediate snapshots, which is " +
+      "why the single-file input is part of the graded contract here " +
+      "(same dependency as stream_cdc_state, documented there). The max " +
+      "is quantized to cents at the OUTPUT (state keeps the raw double; " +
+      "max commutes with the monotone cents transform, so both engines " +
+      "round the identical double once).",
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tws_").toString
+      val in = s"$base/in"
+      val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      ev.coalesce(1).write.mode("overwrite").parquet(in)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val provWas = s.conf.getOption(provKey)
+      val partsWere = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = graft.streaming.Streaming.readEventsStream(s, in)
+        .as[graft.streaming.Streaming.Event]
+      val sq = graft.streaming.Streaming.runningUserStats(stream)
+        .toDF()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+      try {
+        sq.processAllAvailable()
+      } finally {
+        sq.stop()
+        s.conf.set("spark.sql.shuffle.partitions", partsWere)
+        provWas match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      }
+      val res = s.read.parquet(out)
+        .select(col("user_id"), col("n_events"),
+          round(col("max_value") * 100, 0).cast(LongType).as("max_cents"))
+        .orderBy("user_id")
+        .localCheckpoint(true)
+      deleteRecursively(base)
+      res
+    },
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(round(max(value) * 100, 0) AS BIGINT) AS max_cents
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(cdcState, sessionState, viewClickJoin, runningStats)
 }

@@ -134,6 +134,41 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("stream_running_stats emits final per-user state via transformWithState") {
+    @volatile var started = 0
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+        started += 1
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val out = Queries.byName("stream_running_stats")
+        .fn(spark, "/root/testdata/sf0.001")
+      val rows = out.collect()
+      assert(rows.nonEmpty, "no running stats emitted")
+      spark.streams.resetTerminated()
+      awaitStarted(() => started)
+      assert(started >= 1, "no Structured Streaming query ran")
+      // the single-batch emission equals the batch groupBy twin exactly
+      val ev = graft.engine.Engine.table(spark, "/root/testdata/sf0.001", "events")
+      val batch = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          round(max("value") * 100, 0).cast("long").as("mc"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      rows.foreach { r =>
+        val exp = batch(r.getAs[Long]("user_id"))
+        assert((r.getAs[Long]("n_events"), r.getAs[Long]("max_cents")) == exp)
+      }
+      assert(rows.length == batch.size, "a user is missing from the state")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming hourly window agg over MemoryStream matches batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
