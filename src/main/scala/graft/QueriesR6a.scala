@@ -318,5 +318,62 @@ object QueriesR6a {
                    CAST(round(max(value) * 100, 0) AS BIGINT) AS max_cents
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
-  val all: Seq[Q] = Seq(cdcState, sessionState, viewClickJoin, runningStats)
+  // ------------- stream_enrich_dim: stream-static broadcast enrichment
+
+  private val enrichDim = Q(
+    "stream_enrich_dim",
+    "The STREAM-STATIC JOIN path, oracle-graded — the enrichment-at-" +
+      "ingest shape every training-data stream runs in front of its " +
+      "sink: events replay as a file stream and every micro-batch " +
+      "broadcast-joins the static customer dimension " +
+      "(Streaming.enrichStream, the J1 broadcast discipline lifted " +
+      "into streaming; the static side re-plans per batch, so a dim " +
+      "refreshed on disk is picked up without restarting the query). " +
+      "Stateless — no watermark, no state store, Append mode — and the " +
+      "dimension key is unique, so the enriched log is a deterministic " +
+      "1:1 image of the input and exactly the batch join twin.",
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          round(col("value") * 100, 0).cast(LongType).as("value_cents"))
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_name").as("user_name"),
+          col("c_nationkey").as("nation_key"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_sdim_").toString
+      val in = s"$base/in"
+      val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      ev.coalesce(1).write.mode("overwrite").parquet(in)
+      val stream = s.readStream
+        .schema(s.read.parquet(in).schema)
+        .parquet(in)
+      val sq = graft.streaming.Streaming.enrichStream(stream, dim)
+        .select("event_id", "ts", "user_id", "user_name",
+          "nation_key", "value_cents")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try {
+        sq.processAllAvailable()
+      } finally sq.stop()
+      val res = s.read.parquet(out)
+        .orderBy("event_id")
+        .localCheckpoint(true)
+      deleteRecursively(base)
+      res
+    },
+    Some("""SELECT e.event_id, e.ts, e.user_id,
+                   c.c_name AS user_name,
+                   c.c_nationkey AS nation_key,
+                   CAST(round(e.value * 100, 0) AS BIGINT) AS value_cents
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+            ORDER BY e.event_id"""))
+
+  val all: Seq[Q] =
+    Seq(cdcState, sessionState, viewClickJoin, runningStats, enrichDim)
 }

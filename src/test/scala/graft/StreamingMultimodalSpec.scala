@@ -169,6 +169,35 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("stream_enrich_dim broadcast-enriches the stream 1:1 with the batch join") {
+    @volatile var started = 0
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+        started += 1
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val out = Queries.byName("stream_enrich_dim")
+        .fn(spark, "/root/testdata/sf0.001")
+      val rows = out.collect()
+      spark.streams.resetTerminated()
+      awaitStarted(() => started)
+      assert(started >= 1, "no Structured Streaming query ran")
+      // stateless 1:1 enrichment: one output row per input event, and
+      // every row resolved its dimension columns (full key coverage)
+      val sf = "/root/testdata/sf0.001"
+      val nEvents = graft.engine.Engine.table(spark, sf, "events").count()
+      assert(rows.length.toLong == nEvents, "enrichment dropped or duplicated rows")
+      assert(rows.forall(r => !r.isNullAt(r.fieldIndex("user_name"))),
+        "a joined dimension column came back null despite full key coverage")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming hourly window agg over MemoryStream matches batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
