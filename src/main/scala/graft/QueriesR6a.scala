@@ -15,6 +15,32 @@ object QueriesR6a {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
 
+  /** ONE replay input per (session, fixture): all five streaming queries
+    * replay the same events log, and each used to write its own
+    * single-file copy before streaming it — five full scans + five
+    * single-threaded parquet writes per inventory pass, pure duplicated
+    * setup. The superset projection (event_id, ts, user_id, event_type,
+    * value) is written ONCE and every query narrows/filters on the
+    * STREAM side — a stateless projection the planner treats exactly
+    * like a narrower input file. Still ONE file, so the single-batch
+    * replay contract (stream_cdc_state / stream_running_stats) is
+    * unchanged. Per-query state/out/ckpt dirs remain per-execution and
+    * are deleted eagerly; this shared dir lives for the session and is
+    * removed by a shutdown hook.
+    */
+  private val replayMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def replayInput(s: SparkSession, d: String): String =
+    replayMemo.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stream_in_").toString
+      t(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      sys.addShutdownHook(deleteRecursively(dir))
+      dir
+    })
+
   // ------------- stream_cdc_state: foreachBatch upsert, batch-twin graded
 
   private val cdcState = Q(
@@ -32,24 +58,19 @@ object QueriesR6a {
       "events frame re-written once so the file stream sees a stable " +
       "schema regardless of the fixture's physical ts encoding.",
     (s, d) => {
-      val ev = t(s, d, "events")
-        .select("event_id", "ts", "user_id", "event_type", "value")
+      val in = replayInput(s, d)
       val base = java.nio.file.Files
         .createTempDirectory("graft_cdc_state_").toString
-      val in = s"$base/in"
       val statePath = s"$base/state"
       val ckpt = s"$base/ckpt"
-      // ONE input file → the file source replays everything as ONE
-      // micro-batch (no maxFilesPerTrigger in any harness session), so
-      // upsertStream's latest-batch-wins MERGE can never see an
-      // earlier-ts row arrive in a LATER batch and overwrite newer
-      // state — the single-batch replay IS the graded contract (a
+      // ONE input file (replayInput's contract) → the file source replays
+      // everything as ONE micro-batch (no maxFilesPerTrigger in any
+      // harness session), so upsertStream's latest-batch-wins MERGE can
+      // never see an earlier-ts row arrive in a LATER batch and overwrite
+      // newer state — the single-batch replay IS the graded contract (a
       // multi-batch replay in ts order would grade identically; one
       // that splits a user's events across unordered batches would not)
-      ev.coalesce(1).write.mode("overwrite").parquet(in)
-      val stream = s.readStream
-        .schema(s.read.parquet(in).schema)
-        .parquet(in)
+      val stream = graft.streaming.Streaming.readEventsStream(s, in)
       // scoped: the upsert MERGE inside foreachBatch shuffles a
       // fixture-sized state frame — 8 partitions cover it; 32 just adds
       // state/task floor per micro-batch. Cluster runs size this to the
@@ -117,18 +138,17 @@ object QueriesR6a {
       "microsecond precision against a ms watermark, so the <-vs-≤ " +
       "eviction edge is never exercised by ms-truncated fixtures.",
     (s, d) => {
-      val ev = t(s, d, "events")
-        .select(col("event_id"), col("ts"), col("user_id"),
-          round(col("value") * 100, 0).cast(LongType).as("value"))
+      val in = replayInput(s, d)
       val base = java.nio.file.Files
         .createTempDirectory("graft_session_state_").toString
-      val in = s"$base/in"
       val out = s"$base/out"
       val ckpt = s"$base/ckpt"
-      ev.coalesce(1).write.mode("overwrite").parquet(in)
-      val stream = s.readStream
-        .schema(s.read.parquet(in).schema)
-        .parquet(in)
+      // cents quantization happens ON the stream (stateless projection
+      // before the stateful agg — identical plan to a pre-quantized
+      // input file), so the session sum is still exact BIGINT
+      val stream = graft.streaming.Streaming.readEventsStream(s, in)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          round(col("value") * 100, 0).cast(LongType).as("value"))
       // scoped: the session_window stateful shuffle allocates one state
       // store (directory + provider + task) PER shuffle partition, each
       // micro-batch — 32 stores for a fixture's worth of open sessions is
@@ -203,19 +223,23 @@ object QueriesR6a {
       "micro-batch, but unlike the CDC upsert nothing here depends on " +
       "that: more batches would emit the same set.",
     (s, d) => {
-      val ev = t(s, d, "events").select("event_id", "ts", "user_id", "event_type")
+      val in = replayInput(s, d)
       val base = java.nio.file.Files
         .createTempDirectory("graft_vcjoin_").toString
-      val inV = s"$base/views"
-      val inC = s"$base/clicks"
       val out = s"$base/out"
       val ckpt = s"$base/ckpt"
-      ev.filter(col("event_type") === "view").drop("event_type")
-        .coalesce(1).write.mode("overwrite").parquet(inV)
-      ev.filter(col("event_type") === "click").drop("event_type")
-        .coalesce(1).write.mode("overwrite").parquet(inC)
-      val vs = s.readStream.schema(s.read.parquet(inV).schema).parquet(inV)
-      val cs = s.readStream.schema(s.read.parquet(inC).schema).parquet(inC)
+      // both sides stream the SAME shared replay file and filter
+      // in-stream — two independent file-source instances, so the
+      // stream-stream join still sees two genuine streams. The watermark
+      // sits after the filter, but the inner interval join's output is a
+      // set (emit-on-match), so per-side watermark positions only govern
+      // state eviction, never the emitted rows.
+      def side(tpe: String): DataFrame =
+        graft.streaming.Streaming.readEventsStream(s, in)
+          .filter(col("event_type") === tpe)
+          .select("event_id", "ts", "user_id")
+      val vs = side("view")
+      val cs = side("click")
       // scoped to 8 state partitions, same rationale as the session query:
       // the join buffers both sides in per-partition state stores
       val partsWere = s.conf.get("spark.sql.shuffle.partitions")
@@ -271,14 +295,11 @@ object QueriesR6a {
       "round the identical double once).",
     (s, d) => {
       import s.implicits._
-      val ev = t(s, d, "events")
-        .select("event_id", "ts", "user_id", "event_type", "value")
+      val in = replayInput(s, d)
       val base = java.nio.file.Files
         .createTempDirectory("graft_tws_").toString
-      val in = s"$base/in"
       val out = s"$base/out"
       val ckpt = s"$base/ckpt"
-      ev.coalesce(1).write.mode("overwrite").parquet(in)
       val provKey = "spark.sql.streaming.stateStore.providerClass"
       val provWas = s.conf.getOption(provKey)
       val partsWere = s.conf.get("spark.sql.shuffle.partitions")
@@ -333,22 +354,18 @@ object QueriesR6a {
       "dimension key is unique, so the enriched log is a deterministic " +
       "1:1 image of the input and exactly the batch join twin.",
     (s, d) => {
-      val ev = t(s, d, "events")
-        .select(col("event_id"), col("ts"), col("user_id"),
-          round(col("value") * 100, 0).cast(LongType).as("value_cents"))
       val dim = t(s, d, "customer")
         .select(col("c_custkey").as("user_id"),
           col("c_name").as("user_name"),
           col("c_nationkey").as("nation_key"))
+      val in = replayInput(s, d)
       val base = java.nio.file.Files
         .createTempDirectory("graft_sdim_").toString
-      val in = s"$base/in"
       val out = s"$base/out"
       val ckpt = s"$base/ckpt"
-      ev.coalesce(1).write.mode("overwrite").parquet(in)
-      val stream = s.readStream
-        .schema(s.read.parquet(in).schema)
-        .parquet(in)
+      val stream = graft.streaming.Streaming.readEventsStream(s, in)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          round(col("value") * 100, 0).cast(LongType).as("value_cents"))
       val sq = graft.streaming.Streaming.enrichStream(stream, dim)
         .select("event_id", "ts", "user_id", "user_name",
           "nation_key", "value_cents")
