@@ -161,11 +161,20 @@ object QueriesR3p {
       "G = (2Σr·x − (n+1)Σx)/(nΣx) as one micro-rounded double tree " +
       "over exact DECIMAL sums.",
     (s, d) => {
+      // spend feeds BOTH the band histogram and the ranked join, and
+      // ranked feeds BOTH the scalar totals and the decile rollup — each
+      // re-derivation used to run as its own broadcast-build subquery
+      // (18 driver jobs of pure scheduling floor). Materialize each
+      // shared frame once; the two 1-row broadcasts (n for the decile
+      // split, gini/sx for the final select) fuse into ONE scalar frame
+      // crossJoined before the decile groupBy, which carries the
+      // constants through as grouping columns.
       val spend = t(s, d, "orders")
         .groupBy("o_custkey")
         .agg(sum(round(col("o_totalprice") * 100, 0).cast(LongType))
           .as("x"))
         .withColumn("band", expr("x div 1000000"))
+        .localCheckpoint(true)
       val bandW = Window.orderBy("band")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val hist = spend.groupBy("band").agg(count(lit(1)).as("bc"))
@@ -175,24 +184,25 @@ object QueriesR3p {
         .select(col("o_custkey"), col("x"),
           (col("off") + row_number().over(Window.partitionBy("band")
             .orderBy("x", "o_custkey"))).as("r"))
+        .localCheckpoint(true)
       val tot = ranked.agg(
         count(lit(1)).as("n"),
         sum("x").as("sx"),
         sum((col("r") * col("x")).cast(DecimalType(38, 0))).as("srx"))
       def dd(c: String) = col(c).cast(DoubleType)
-      val giniScalar = tot.select(col("n"), col("sx"),
+      val scal = tot.select(col("n"), col("sx"),
         round((lit(2.0) * dd("srx") - (dd("n") + 1) * dd("sx")) /
           (dd("n") * dd("sx")) * 1e6, 0).cast(LongType)
           .as("gini_micro"))
-      val deciles = ranked.crossJoin(broadcast(tot.select("n")))
-        .select(expr("((r - 1) * 10) div n").as("decile"), col("x"))
-        .groupBy("decile")
+      val deciles = ranked.crossJoin(broadcast(scal))
+        .select(expr("((r - 1) * 10) div n").as("decile"), col("x"),
+          col("sx"), col("gini_micro"))
+        .groupBy("decile", "sx", "gini_micro")
         .agg(count(lit(1)).as("n_cust"), sum("x").as("decile_cents"))
       val decW = Window.orderBy("decile")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       deciles
         .withColumn("cum_cents", sum("decile_cents").over(decW))
-        .crossJoin(broadcast(giniScalar))
         .select(col("decile"), col("n_cust"), col("decile_cents"),
           col("cum_cents"),
           expr("cum_cents * 1000000 div sx").as("cum_share_micro"),

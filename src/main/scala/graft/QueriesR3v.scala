@@ -74,15 +74,24 @@ object QueriesR3v {
       "posting sampling keeps the join linear-ish. Dot stays BIGINT-" +
       "exact; only the final cosine rounds.",
     (s, d) => {
+      // tf feeds BOTH the norm rollup and the df-capped postings, and
+      // kept self-joins — without materialization every reference
+      // replans the token explode (12 driver jobs; the two norm
+      // broadcast builds each re-derived the full explode). One
+      // checkpoint per shared frame; the per-doc norm is tiny and makes
+      // its two broadcast builds free.
       val tf = t(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val norm = tf.groupBy("doc_id")
         .agg(sqrt(sum(col("tf") * col("tf"))).as("nrm"))
+        .localCheckpoint(true)
       val kept = tf.withColumn("df",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy("tok")))
         .filter(col("df") <= 50)
+        .localCheckpoint(true)
       val pairs = kept.select(col("doc_id").as("doc_a"), col("tok"),
           col("tf").as("tf_a"))
         .join(kept.select(col("doc_id").as("doc_b"), col("tok"),

@@ -139,9 +139,19 @@ object Engine {
     if (!enabled || dirBytes(sfDir) >= (1L << 30)) body
     else {
       val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val partsWere = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.adaptive.enabled", "false")
+      // fixture-sized shuffles: 8 partitions right-sizes the per-stage
+      // task count the same way AQE's coalesce would (which the scope
+      // turns off) — a full-inventory A/B at sf0.1 showed 32-partition
+      // stages are ~30% task-scheduling floor on this set. Size-gated
+      // like the AQE scope: production reads never engage it.
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       try body.localCheckpoint(true)
-      finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        s.conf.set("spark.sql.shuffle.partitions", partsWere)
+      }
     }
   }
 
