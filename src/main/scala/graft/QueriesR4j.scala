@@ -123,58 +123,55 @@ object QueriesR4j {
       val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
       s.conf.set("spark.sql.adaptive.enabled", "false")
       try {
+      // cents-exact price: ordering/ties/buckets on the integer image of
+      // a 2-dp value are exactly the double's (monotone transform)
       val base = t(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"),
-          col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-      // A rank depends only on its VALUE, so rank the distinct values and
-      // weight every sum by multiplicity instead of ranking 600k rows
-      // twice: one corpus-scale pass collapses to (flag, x, y) pair
-      // counts (partial-aggregated; both value domains are range-bounded
-      // — quantity ~50 integers, price a fixed cents band — so the pair
-      // frame saturates at any corpus size), and each side's doubled
-      // average rank comes from a per-flag cumulative-count window over
-      // its value-count rollup (the stat_levene shape):
-      //   2*avg_rank = 2*min_rank + ties - 1 = 2*cum - nb + 1.
-      // BOTH maps broadcast: the quantity map is ~50 values per flag and
-      // the price map saturates with the price band (it stops growing
-      // with the corpus — the same bounded-vocabulary argument the text
-      // tier's broadcasts rest on), so the pair frame never shuffles
-      // again after its one keyed aggregation. This replaces the
-      // round-5/6 two-level bucket ranking, which repartitioned the RAW
-      // frame once per column. Weighted sums (c·r, c·r², c·rx·ry) have
-      // the exact same BIGINT bounds as the per-row sums they replace.
-      val pairs = base.groupBy("flag", "x", "y").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
-      // both maps from ONE union-tagged pass over the pair checkpoint,
-      // themselves checkpointed: each broadcast then builds from the
-      // tiny materialized frame instead of re-running an agg+window
-      // lineage per side (the round-6 offs-map discipline, kept)
-      val maps = pairs
-        .select(col("flag"), lit("x").as("side"), col("x").as("v"), col("c"))
-        .unionAll(pairs
-          .select(col("flag"), lit("y").as("side"), col("y").as("v"), col("c")))
-        .groupBy("side", "flag", "v").agg(sum("c").as("nb"))
+          col("l_quantity").as("x"),
+          round(col("l_extendedprice") * 100, 0).cast(LongType).as("yc"))
+      // HYBRID ranking — each side by its cardinality. A rank depends
+      // only on its value, so the ~50-value quantity side ranks via a
+      // broadcast value-count map (2*avg_rank = 2*cum - nb + 1, the
+      // stat_levene shape). The PRICE side is the opposite regime —
+      // 583k distinct of 600k rows at sf0.1 — so a value map degenerates
+      // to the raw frame (the round-6.5 form checkpointed 1.8M rows and
+      // broadcast a 583k-row map); it ranks TWO-LEVEL instead: rows rank
+      // within (flag, $1000-band) windows off ONE shuffle — the band key
+      // also satisfies the tie-count window's (flag, band, yc) clustering,
+      // so both windows share that exchange — and a broadcast band-count
+      // rollup supplies each band's global offset. Band count scales
+      // with the price RANGE, not the corpus, so the rollup broadcast
+      // and per-band sort parallelism both hold at 100 TB.
+      val xmap = base.groupBy("flag", "x").agg(count(lit(1)).as("nb"))
         .withColumn("cum", sum("nb").over(
-          Window.partitionBy("side", "flag").orderBy("v")
+          Window.partitionBy("flag").orderBy("x")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("side"), col("flag"), col("v"),
-          (lit(2L) * col("cum") - col("nb") + 1L).cast(LongType).as("r"))
-        .localCheckpoint(true)
-      def rankMap(side: String, vcol: String): DataFrame =
-        maps.filter(col("side") === side)
-          .select(col("flag"), col("v").as(vcol), col("r").as(s"r_$vcol"))
-      val ranked = pairs
-        .join(broadcast(rankMap("x", "x")), Seq("flag", "x"))
-        .join(broadcast(rankMap("y", "y")), Seq("flag", "y"))
-        .select(col("flag"), col("c"),
-          col("r_x").as("rx"), col("r_y").as("ry"))
+        .select(col("flag"), col("x"),
+          (lit(2L) * col("cum") - col("nb") + 1L).cast(LongType).as("rx"))
+      val banded = base.withColumn("bkt", expr("yc div 100000"))
+      val offs = banded.groupBy("flag", "bkt").agg(count(lit(1)).as("bc"))
+        .withColumn("off", sum("bc").over(
+          Window.partitionBy("flag").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("bc"))
+        .select("flag", "bkt", "off")
+      val bandW = Window.partitionBy("flag", "bkt").orderBy("yc")
+      val tieW = Window.partitionBy("flag", "bkt", "yc")
+      val ranked = banded
+        .withColumn("rnk", rank().over(bandW))
+        .withColumn("ties", count(lit(1)).over(tieW))
+        .join(broadcast(offs), Seq("flag", "bkt"))
+        .join(broadcast(xmap), Seq("flag", "x"))
+        .select(col("flag"), col("rx"),
+          (lit(2L) * (col("off") + col("rnk")) + col("ties") - 1L)
+            .cast(LongType).as("ry"))
       val agg = ranked.groupBy("flag")
-        .agg(sum("c").cast(LongType).as("n"),
-          sum(col("c") * col("rx")).cast(LongType).as("sx"),
-          sum(col("c") * col("ry")).cast(LongType).as("sy"),
-          sum(col("c") * col("rx") * col("rx")).cast(LongType).as("sxx"),
-          sum(col("c") * col("ry") * col("ry")).cast(LongType).as("syy"),
-          sum(col("c") * col("rx") * col("ry")).cast(LongType).as("sxy"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(col("rx")).cast(LongType).as("sx"),
+          sum(col("ry")).cast(LongType).as("sy"),
+          sum(col("rx") * col("rx")).cast(LongType).as("sxx"),
+          sum(col("ry") * col("ry")).cast(LongType).as("syy"),
+          sum(col("rx") * col("ry")).cast(LongType).as("sxy"))
       val nD = col("n").cast("double")
       val num = nD * col("sxy").cast("double") -
         col("sx").cast("double") * col("sy").cast("double")
