@@ -60,7 +60,13 @@ object SparkEntry {
     // restores to the outer scope's setting
     "curate_boilerplate_effect", "ml_naive_bayes_lang", "sim_ivf_probe_sweep",
     "sim_sparse_cosine", "stat_gini_lorenz", "stat_levene", "stat_spearman",
-    "text_tfidf_top", "w30_winsorized")
+    "text_tfidf_top", "w30_winsorized",
+    // round-7 third sweep: job storms on tiny task counts (9-16 driver
+    // jobs over <100 tasks — AQE stage-per-job + broadcast rebuilds, not
+    // compute) plus two 32-partition task-floor cases
+    "curate_boilerplate", "seq_markov_perplexity", "seq_next_event",
+    "sim_centroid_classify", "stat_bootstrap_poisson", "text_bigram_lm",
+    "text_keyphrase_rake", "text_ppl_filter_sweep", "w16_attribution")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
