@@ -345,7 +345,14 @@ object QueriesNext {
       // map-side partial aggregation instead of materializing a wide
       // dedup hash (measured: the distinct version GC-stalled an 8 GB
       // driver for 6 min at sf0.1; this shape streams).
-      val pairs = banded(og, "sa", "ea").join(banded(c, "sb", "eb"), Seq("band"))
+      // pin the join's parallelism: the band shuffle is tiny (33k + 20k
+      // rows) so AQE coalesces it to 2-3 tasks, but the JOIN OUTPUT is
+      // the ~13M-pair stream — the classic input-sized-vs-output-sized
+      // misestimate. An explicit fixed-width repartition on the key
+      // blocks the coalesce and spreads the pair enumeration.
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val pairs = banded(og, "sa", "ea").repartition(parts, col("band"))
+        .join(banded(c, "sb", "eb"), Seq("band"))
         .filter(col("sa") <= col("eb") && col("sb") <= col("ea") &&
           col("band") === (greatest(col("sa"), col("sb")) / 32).cast(IntegerType))
       pairs.groupBy("campaign_id", "sb", "eb")

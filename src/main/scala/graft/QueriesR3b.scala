@@ -374,10 +374,15 @@ object QueriesR3b {
         .localCheckpoint(true)
       val ex = tk.select(col("doc_id"), explode(col("gs")).as("g"))
       val dfr = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      // sig0 feeds BOTH the hot-bucket rollup and the anti-join's left
+      // side — un-materialized, each reference re-ran the explode→df→
+      // rank-window chain over the full posting list. It is ~3 rows/doc,
+      // so the checkpoint is tiny and both consumers read it locally.
       val sig0 = ex.join(dfr, "g")
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy("df", "g")))
         .filter(col("rk") <= 3).select("doc_id", "g")
+        .localCheckpoint(true)
       val hot = sig0.groupBy("g").agg(count(lit(1)).as("c"))
         .filter(col("c") > 64).select("g")
       val sig = sig0.join(hot, Seq("g"), "left_anti").localCheckpoint(true)
