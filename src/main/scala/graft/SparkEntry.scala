@@ -66,7 +66,16 @@ object SparkEntry {
     // compute) plus two 32-partition task-floor cases
     "curate_boilerplate", "seq_markov_perplexity", "seq_next_event",
     "sim_centroid_classify", "stat_bootstrap_poisson", "text_bigram_lm",
-    "text_keyphrase_rake", "text_ppl_filter_sweep", "w16_attribution")
+    "text_keyphrase_rake", "text_ppl_filter_sweep", "w16_attribution",
+    // round-7 fourth sweep: the 0.8-1.3s bench tail — 7-29 driver jobs
+    // over two-digit task counts each
+    "a24_quantile_sketch", "curate_domain_mix", "eval_minhash_err",
+    "g15_personalized_pagerank", "g5_adamic_adar", "ml_ks_separation",
+    "ml_lift_gains", "rec_als_rank1", "seq_absorbing_funnel",
+    "seq_entropy_rate", "seq_step_flow", "sim_ann_recall",
+    "sim_hamming_topk", "sim_pq_adc", "stat_cramers_v",
+    "text_code_switch", "text_js_source_drift", "text_mmr_diversify",
+    "w4_ntile_percent_rank")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
