@@ -391,6 +391,68 @@ object QueriesR6a {
             FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
             ORDER BY e.event_id"""))
 
+  // ------------- stream_hourly_rollup: tumbling event-time windows
+
+  private val hourlyRollup = Q(
+    "stream_hourly_rollup",
+    "The TUMBLING-WINDOW streaming path, oracle-graded — the canonical " +
+      "always-on rollup every ingest pipeline runs (hourly counts and " +
+      "sums per event type), and the sixth graded streaming shape: " +
+      "events replay through Streaming.hourlyWindowAgg (1-hour window " +
+      "under a 2-hour watermark, Append mode) → a parquet sink, and " +
+      "the graded output is the emitted CLOSED-window log — every " +
+      "window whose end the final watermark passed. Values " +
+      "pre-quantize to cents IN the stream so the windowed sum is " +
+      "exact BIGINT; the watermark is max event time truncated to ms " +
+      "minus the delay (the session query's convention), and window " +
+      "ends are exact hours against a µs-offset watermark, so the " +
+      "<-vs-≤ eviction edge is never exercised by the fixture.",
+    (s, d) => {
+      val in = replayInput(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_hourly_").toString
+      val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val stream = graft.streaming.Streaming.readEventsStream(s, in)
+        .select(col("ts"), col("event_type"),
+          round(col("value") * 100, 0).cast(LongType).as("value"))
+      val partsWere = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val sq = graft.streaming.Streaming.hourlyWindowAgg(stream, "2 hours")
+        .withColumnRenamed("sum_value", "cents")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try {
+        sq.processAllAvailable()
+      } finally {
+        sq.stop()
+        s.conf.set("spark.sql.shuffle.partitions", partsWere)
+      }
+      val res = s.read.parquet(out)
+        .select("hour", "event_type", "n", "cents")
+        .orderBy("hour", "event_type")
+        .localCheckpoint(true)
+      deleteRecursively(base)
+      res
+    },
+    Some("""WITH wm AS (
+              SELECT make_timestamp((max(epoch_ms(ts)) - 7200000) * 1000)
+                       AS w
+              FROM events)
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                     AS BIGINT) AS cents
+            FROM events, wm
+            GROUP BY 1, 2, wm.w
+            HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR < wm.w
+            ORDER BY hour, event_type"""))
+
   val all: Seq[Q] =
-    Seq(cdcState, sessionState, viewClickJoin, runningStats, enrichDim)
+    Seq(cdcState, sessionState, viewClickJoin, runningStats, enrichDim,
+      hourlyRollup)
 }

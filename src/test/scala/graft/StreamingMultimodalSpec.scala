@@ -198,6 +198,45 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("stream_hourly_rollup emits watermark-closed tumbling windows via streaming") {
+    @volatile var started = 0
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+        started += 1
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val out = Queries.byName("stream_hourly_rollup")
+        .fn(spark, "/root/testdata/sf0.001")
+      val rows = out.collect()
+      assert(rows.nonEmpty, "no closed windows emitted")
+      spark.streams.resetTerminated()
+      awaitStarted(() => started)
+      assert(started >= 1, "no Structured Streaming query ran")
+      // emitted windows are exactly the batch tumbling-window rollup
+      // minus windows the final (ms-truncated) watermark never passed
+      val ev = graft.engine.Engine.table(spark, "/root/testdata/sf0.001", "events")
+      val maxMs = ev.agg(max("ts")).collect()(0).getTimestamp(0).getTime
+      val wm = new Timestamp(maxMs - 2 * 60 * 60 * 1000L)
+      val expected = ev
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("window.end") < lit(wm))
+        .count()
+      assert(rows.length.toLong == expected,
+        s"emitted ${rows.length} windows, batch-twin expects $expected")
+      // append-only closed-window log: (hour, type) keys are unique
+      val keys = rows.map(r => (r.getAs[Timestamp]("hour"),
+        r.getAs[String]("event_type")))
+      assert(keys.distinct.length == keys.length, "duplicate window emitted")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming hourly window agg over MemoryStream matches batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
