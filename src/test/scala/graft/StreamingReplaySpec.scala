@@ -1,0 +1,148 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+
+/** Multi-batch replay: the graded streaming queries feed on a SINGLE
+  * replay file (one micro-batch) for determinism, and two of them
+  * (stream_cdc_state, stream_running_stats) document that single batch as
+  * part of their contract. The OTHER graded shapes claim batch-boundary
+  * INDEPENDENCE — the stream-stream join emits a set, the event-time
+  * windows depend only on watermark progression over ordered input. This
+  * spec proves those claims: the same event log split into three
+  * ts-ordered files and replayed one file per trigger (three real
+  * micro-batches, watermark advancing between them) must emit exactly
+  * the single-batch result. Ordered multi-file replay mirrors real
+  * ingest (late data inside the watermark delay, never behind it);
+  * unordered replay is exactly what the CDC/state contracts exclude.
+  */
+class StreamingReplaySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** events at sf0.001, split into 3 ts-ordered files with strictly
+    * increasing modification times so the file source replays them in
+    * order, one per trigger.
+    */
+  private def splitInput(): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_replay_split_").toString
+    val ev = graft.engine.Engine.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect()
+    val n = ev.length
+    val schema = graft.engine.Engine.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value").schema
+    Seq(0 until n / 3, n / 3 until 2 * n / 3, 2 * n / 3 until n)
+      .zipWithIndex.foreach { case (range, i) =>
+        val part = spark.createDataFrame(
+          java.util.Arrays.asList(range.map(ev): _*), schema)
+        val sub = s"$dir/part$i"
+        part.coalesce(1).write.mode("overwrite").parquet(sub)
+        // one data file per chunk, mtimes strictly increasing
+        val f = new java.io.File(sub).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val ok = f.setLastModified(1700000000000L + i * 60000L)
+        assert(ok, s"could not stamp mtime on $f")
+        f.renameTo(new java.io.File(s"$dir/chunk$i.parquet"))
+      }
+    dir
+  }
+
+  private def streamOneFilePerTrigger(dir: String): DataFrame =
+    spark.readStream
+      .schema(Streaming.readEventsStream(spark, dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  private def runToParquet(out: DataFrame, base: String,
+                           minBatches: Int = 1): DataFrame = {
+    val sq = out.writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      sq.processAllAvailable()
+      // batchId is 0-based: seeing id >= minBatches-1 proves the source
+      // really split the replay (otherwise maxFilesPerTrigger silently
+      // ignored would make the multi-batch test vacuous)
+      val lastId = Option(sq.lastProgress).map(_.batchId).getOrElse(-1L)
+      assert(lastId >= minBatches - 1,
+        s"expected >= $minBatches micro-batches, last batchId was $lastId")
+    } finally sq.stop()
+    spark.read.parquet(s"$base/out")
+  }
+
+  test("stream-stream join emits the identical set across 3 ordered micro-batches") {
+    val dir = splitInput()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_replay_vc_").toString
+    def side(tpe: String) = streamOneFilePerTrigger(dir)
+      .filter(col("event_type") === tpe)
+      .select("event_id", "ts", "user_id")
+    val multi = runToParquet(
+      Streaming.clickAfterViewJoin(side("view"), side("click"),
+        windowMs = 240L * 60 * 1000)
+        .select(col("view_id"), col("click_id")), base, minBatches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin: the same interval join as a plain self-join
+    val ev = graft.engine.Engine.table(spark, sf, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("u"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val expected = v.join(c, "u")
+      .filter(col("cts") >= col("vts") &&
+        col("cts") <= col("vts") + expr("INTERVAL 240 MINUTE"))
+      .select("view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi == expected,
+      s"multi-batch join emitted ${multi.size} pairs, batch twin has " +
+        s"${expected.size}; symm-diff ${(multi diff expected).size + (expected diff multi).size}")
+  }
+
+  test("session windows close identically across 3 ordered micro-batches") {
+    val dir = splitInput()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_replay_ss_").toString
+    val stream = streamOneFilePerTrigger(dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("value"))
+    val multi = runToParquet(
+      Streaming.sessionWindowAgg(stream)
+        .select("user_id", "started", "ended", "n_events"), base,
+      minBatches = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    // single-batch twin through the SAME operator: ordered replay means
+    // no event is ever behind the watermark, so only watermark
+    // PROGRESSION differs — and closed-session emission is cumulative,
+    // so the final sets must agree
+    val base2 = java.nio.file.Files
+      .createTempDirectory("graft_replay_ss1_").toString
+    val single = runToParquet(
+      Streaming.sessionWindowAgg(
+        spark.readStream
+          .schema(Streaming.readEventsStream(spark, dir).schema)
+          .parquet(dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            round(col("value") * 100, 0).cast("long").as("value")))
+        .select("user_id", "started", "ended", "n_events"), base2)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    assert(multi == single,
+      s"multi-batch emitted ${multi.size} sessions, single-batch " +
+        s"${single.size}")
+  }
+}
