@@ -30,14 +30,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // dev knob (mirrors TimeQ): SPARK_EXTRA_CONF="k=v;k=v" for A/B runs
+    val extraKeys = scala.collection.mutable.Set.empty[String]
     sys.env.get("SPARK_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
         kv.split("=", 2) match {
-          case Array(k, v) => spark.conf.set(k, v)
+          case Array(k, v) => spark.conf.set(k, v); extraKeys += k
           case _ => System.err.println(
             s"[bench] skipping malformed conf entry '$kv'")
         }
       })
+    // fixture-scale scheduling-floor confs (size- and conf-gated; see
+    // Engine.fixtureFloorConfs) — A/B overrides above take precedence
+    graft.engine.Engine.fixtureFloorConfs(spark, sfDir, extraKeys.toSet)
     // ERROR, not WARN: the driver keeps only a bounded TAIL of this run's
     // output and parses the JSON contract line out of it — stray WARNs
     // (e.g. WindowExec partition warnings) between the line and EOF eat

@@ -19,25 +19,22 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.
     *
-    * EVERY query runs inside [[graft.engine.Engine.floorScoped]] (AQE off,
-    * 8-partition shuffles, materialized inside the scope). Round 6-7 grew
-    * an allowlist through four TimeQ sweeps — 49, then 58, then 77 names —
-    * each sweep finding the same signature (driver jobs ≫ genuine stages
-    * over two-digit task counts: AQE stage-per-job scheduling plus
-    * per-reference broadcast rebuilds, not compute) deeper into the bench
-    * tail; a full-inventory A/B at sf0.1 then showed the REMAINING ~275
-    * queries win another ~30 s collectively (199.8 s vs 230.8 s total)
-    * with zero per-query regressions, so the allowlist inverted to
-    * scope-everything. The scope stays size- and conf-gated in the
-    * engine: production-scale reads (and plan-shape specs probing the
-    * raw fn via [[Queries.byName]]) still get the native AQE plan with
-    * its skew/coalesce safety nets.
+    * Entries are the RAW query fns. The fixture-scale scheduling-floor
+    * confs (AQE off, 8-partition shuffles) are applied ONCE per session
+    * by the harness mains via [[graft.engine.Engine.fixtureFloorConfs]] —
+    * the end state of round 6-7's floor work: an allowlist of
+    * [[graft.engine.Engine.floorScoped]]-wrapped queries grew through
+    * four TimeQ sweeps (49 → 58 → 77 names, each finding the same
+    * jobs≫stages storm signature deeper in the bench tail), a
+    * full-inventory A/B showed the remaining ~275 queries win another
+    * ~30 s collectively with zero regressions, and the session-level
+    * form then beat wrap-everything by skipping 353 per-query eager
+    * checkpoints (~10 s/pass). Both forms share the size and conf gates,
+    * so production-scale reads keep the native AQE plan with its
+    * skew/coalesce safety nets.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all.map { q =>
-      q.name -> ((s: SparkSession, d: String) =>
-        graft.engine.Engine.floorScoped(s, d)(q.fn(s, d)))
-    }.toMap
+    Queries.all.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

@@ -31,6 +31,11 @@ object TimeQ {
       })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture-scale scheduling-floor confs, gated like Bench/Verify;
+    // SPARK_EXTRA_CONF keys win for A/B runs
+    graft.engine.Engine.fixtureFloorConfs(spark, sfDir,
+      sys.env.get("SPARK_EXTRA_CONF").toSeq
+        .flatMap(_.split(";")).flatMap(_.split("=", 2).headOption).toSet)
 
     @volatile var jobs = 0
     @volatile var stages = 0

@@ -20,6 +20,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture-scale scheduling-floor confs (size- and conf-gated; see
+    // Engine.fixtureFloorConfs)
+    graft.engine.Engine.fixtureFloorConfs(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // shared one-scan-per-table cache pays off across the full inventory;
     // filtered dev runs skip it

@@ -155,6 +155,28 @@ object Engine {
     }
   }
 
+  /** Session-level twin of [[floorScoped]] for the harness mains (Bench /
+    * Verify / TimeQ): applies the fixture-scale scheduling-floor confs
+    * ONCE per session — AQE off, 8-partition shuffles — under the same
+    * size and conf gates. Versus wrapping every query in [[floorScoped]],
+    * this skips the per-query eager checkpoint (353 extra
+    * materializations per inventory pass, ~10 s at sf0.1) and keeps
+    * executed plans exactly what a user running those session confs
+    * would get. Production-scale dirs (or floorScope=false) leave the
+    * session untouched; `skip` lets a harness exempt keys its caller
+    * already pinned (e.g. SPARK_EXTRA_CONF A/B overrides).
+    */
+  def fixtureFloorConfs(s: SparkSession, sfDir: String,
+                        skip: Set[String] = Set.empty): Unit = {
+    val enabled = s.conf.get("spark.graft.floorScope", "true").toBoolean
+    if (enabled && dirBytes(sfDir) < (1L << 30)) {
+      if (!skip.contains("spark.sql.adaptive.enabled"))
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+      if (!skip.contains("spark.sql.shuffle.partitions"))
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+    }
+  }
+
   private def dirBytes(sfDir: String): Long =
     dirBytesCache.getOrElseUpdate(sfDir, {
       val d = new java.io.File(sfDir)
