@@ -111,24 +111,31 @@ object QueriesR4q {
           round(col("l_extendedprice") * 100, 0).cast(LongType).as("x"))
       // exact lower median per group from the (g, value)-COUNT frame:
       // the raw frame collapses to distinct cents values first (the one
-      // corpus-scale shuffle, partial-aggregated), then ONE per-group
-      // cumulative-count window brackets rank (n+1)/2 — distinct price
-      // values are RANGE-bounded (cents in a fixed price band), so the
-      // window's per-group input saturates at any corpus size and a
-      // per-g sort is the 100 TB shape. (This replaces the round-5
-      // two-level bucket ranking, which paid a SECOND full shuffle of
-      // the value-count frame — repartition on (g, bucket) — plus an
-      // offset rollup and broadcast to avoid a sort the bounded frame
-      // never needed.) The deviation aggregation reuses the same
-      // value-count frame with count weights, so the raw table is
+      // corpus-scale shuffle, partial-aggregated). The price domain is
+      // NOT small — 583k distinct cents at sf0.1, growing toward the
+      // full band — so a per-g cumulative window would serialize each
+      // flag through one task (measured ~200k rows/task locally; worse
+      // at scale). Rank the bracket TWO-LEVEL instead (the spearman /
+      // ml_ks_separation scheme): cum counts inside (g, $4096-band)
+      // windows — parallelism g×bands — plus a broadcast band rollup
+      // carrying each band's exclusive offset and the group total; the
+      // global cum is offset + within, and rank (n+1)/2 brackets the
+      // median exactly as before. The deviation aggregation reuses the
+      // same value-count frame with count weights, so the raw table is
       // scanned once end to end.
       val vc = base.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+        .withColumn("bk", expr("x div 409600"))
         .localCheckpoint(true)
-      val med = vc
-        .withColumn("cum", sum("cnt").over(
-          Window.partitionBy("g").orderBy("x")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("n", sum("cnt").over(Window.partitionBy("g")))
+      val offW = Window.partitionBy("g").orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = vc.groupBy("g", "bk").agg(sum("cnt").as("bc"))
+        .withColumn("op", coalesce(sum("bc").over(offW), lit(0L)))
+        .withColumn("n", sum("bc").over(Window.partitionBy("g")))
+        .select("g", "bk", "op", "n")
+      val wIn = Window.partitionBy("g", "bk").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = vc.join(broadcast(off), Seq("g", "bk"))
+        .withColumn("cum", col("op") + sum("cnt").over(wIn))
         .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
           expr("(n + 1) div 2") <= col("cum"))
         .select(col("g"), col("x").as("med"))
