@@ -452,7 +452,69 @@ object QueriesR6a {
             HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR < wm.w
             ORDER BY hour, event_type"""))
 
+  // ------------- stream_ingest_dedup: bounded-state streaming dedup
+
+  private val ingestDedup = Q(
+    "stream_ingest_dedup",
+    "The STREAMING-DEDUP path, oracle-graded — the shape a training-" +
+      "data ingest runs in front of every sink (at-least-once upstreams " +
+      "re-deliver; a plain stream dropDuplicates keeps ALL keys forever " +
+      "— unbounded state — so dropDuplicatesWithinWatermark, which " +
+      "evicts a key once the watermark passes it, is the only form " +
+      "that survives always-on scale), and the seventh graded " +
+      "streaming shape: the events log UNIONED WITH ITSELF (the " +
+      "deterministic at-least-once double-delivery) replays through " +
+      "Streaming.dedupStream keyed on event_id. First-arrival-wins is " +
+      "normally order-dependent, but both deliveries of a key are " +
+      "IDENTICAL rows, so whichever copy wins the output is the same — " +
+      "exactly DISTINCT of the log, which is what the oracle grades. " +
+      "Values quantize to cents in-stream (the float-sum discipline " +
+      "on the output surface).",
+    (s, d) => {
+      val in = replayInput(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_sdedup_").toString
+      val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val one = graft.streaming.Streaming.readEventsStream(s, in)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"),
+          round(col("value") * 100, 0).cast(LongType).as("value_cents"))
+      // two file-source instances over the same log = every event
+      // delivered exactly twice into the union
+      val doubled = one.unionAll(
+        graft.streaming.Streaming.readEventsStream(s, in)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"),
+            round(col("value") * 100, 0).cast(LongType).as("value_cents")))
+      val partsWere = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val sq = graft.streaming.Streaming
+        .dedupStream(doubled, Seq("event_id"))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try {
+        sq.processAllAvailable()
+      } finally {
+        sq.stop()
+        s.conf.set("spark.sql.shuffle.partitions", partsWere)
+      }
+      val res = s.read.parquet(out)
+        .orderBy("event_id")
+        .localCheckpoint(true)
+      deleteRecursively(base)
+      res
+    },
+    Some("""SELECT event_id, ts, user_id, event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+            FROM events
+            ORDER BY event_id"""))
+
   val all: Seq[Q] =
     Seq(cdcState, sessionState, viewClickJoin, runningStats, enrichDim,
-      hourlyRollup)
+      hourlyRollup, ingestDedup)
 }

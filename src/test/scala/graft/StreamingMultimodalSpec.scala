@@ -237,6 +237,36 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("stream_ingest_dedup collapses the doubled delivery via streaming state") {
+    @volatile var started = 0
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+        started += 1
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val out = Queries.byName("stream_ingest_dedup")
+        .fn(spark, "/root/testdata/sf0.001")
+      val rows = out.collect()
+      spark.streams.resetTerminated()
+      awaitStarted(() => started)
+      assert(started >= 1, "no Structured Streaming query ran")
+      // the input was every event delivered twice; the output must be the
+      // log itself — exactly one row per event_id, count = table count
+      val n = graft.engine.Engine
+        .table(spark, "/root/testdata/sf0.001", "events").count()
+      assert(rows.length.toLong == n,
+        s"dedup emitted ${rows.length} rows, log has $n")
+      val ids = rows.map(_.getAs[Long]("event_id"))
+      assert(ids.distinct.length == ids.length, "duplicate event_id emitted")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming hourly window agg over MemoryStream matches batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
