@@ -27,11 +27,17 @@ object QueriesR6a {
     * unchanged. Per-query state/out/ckpt dirs remain per-execution and
     * are deleted eagerly; this shared dir lives for the session and is
     * removed by a shutdown hook.
+    *
+    * Keyed on the FIXTURE alone, not the session: the written content is
+    * a deterministic projection of the fixture, so every session of the
+    * JVM can share one copy — and keying on the session object would
+    * strongly retain stopped SparkSessions (and their contexts) for the
+    * JVM lifetime.
     */
   private val replayMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    scala.collection.concurrent.TrieMap.empty[String, String]
   private def replayInput(s: SparkSession, d: String): String =
-    replayMemo.getOrElseUpdate((s, d), {
+    replayMemo.getOrElseUpdate(new java.io.File(d).getCanonicalPath, {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_stream_in_").toString
       t(s, d, "events")
@@ -134,9 +140,11 @@ object QueriesR6a {
       "session sum is exact BIGINT (the float-sum discipline; the raw " +
       "operator would fold doubles in arrival order). The one-file " +
       "input replays as one micro-batch; session emission only depends " +
-      "on the FINAL watermark, and the boundary session ends carry " +
-      "microsecond precision against a ms watermark, so the <-vs-≤ " +
-      "eviction edge is never exercised by ms-truncated fixtures.",
+      "on the FINAL watermark, and the oracle keeps sessions with " +
+      "ended ≤ watermark — Spark's WatermarkSupport builds its " +
+      "eviction predicate with LessThanOrEqual (verified against the " +
+      "4.1.2 bytecode), so a session ending exactly ON the watermark " +
+      "is emitted.",
     (s, d) => {
       val in = replayInput(s, d)
       val base = java.nio.file.Files
@@ -201,7 +209,7 @@ object QueriesR6a {
                      AS BIGINT) AS cents
             FROM sess, wm
             GROUP BY user_id, sid, wm.w
-            HAVING max(ts) + INTERVAL 30 MINUTE < wm.w
+            HAVING max(ts) + INTERVAL 30 MINUTE <= wm.w
             ORDER BY user_id, started"""))
 
   // ------------- stream_view_click_join: stream-stream interval join
@@ -404,9 +412,11 @@ object QueriesR6a {
       "window whose end the final watermark passed. Values " +
       "pre-quantize to cents IN the stream so the windowed sum is " +
       "exact BIGINT; the watermark is max event time truncated to ms " +
-      "minus the delay (the session query's convention), and window " +
-      "ends are exact hours against a µs-offset watermark, so the " +
-      "<-vs-≤ eviction edge is never exercised by the fixture.",
+      "minus the delay (the session query's convention). Window ends " +
+      "are exactly hour-aligned, so the eviction comparator MATTERS " +
+      "here whenever max(ts) itself lands on an hour boundary: Spark's " +
+      "WatermarkSupport emits with end ≤ watermark (LessThanOrEqual in " +
+      "the 4.1.2 bytecode), and the oracle's HAVING uses ≤ to match.",
     (s, d) => {
       val in = replayInput(s, d)
       val base = java.nio.file.Files
@@ -449,7 +459,7 @@ object QueriesR6a {
                      AS BIGINT) AS cents
             FROM events, wm
             GROUP BY 1, 2, wm.w
-            HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR < wm.w
+            HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
             ORDER BY hour, event_type"""))
 
   // ------------- stream_ingest_dedup: bounded-state streaming dedup
@@ -476,17 +486,14 @@ object QueriesR6a {
         .createTempDirectory("graft_sdedup_").toString
       val out = s"$base/out"
       val ckpt = s"$base/ckpt"
-      val one = graft.streaming.Streaming.readEventsStream(s, in)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"),
-          round(col("value") * 100, 0).cast(LongType).as("value_cents"))
       // two file-source instances over the same log = every event
       // delivered exactly twice into the union
-      val doubled = one.unionAll(
+      def delivery(): DataFrame =
         graft.streaming.Streaming.readEventsStream(s, in)
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"),
-            round(col("value") * 100, 0).cast(LongType).as("value_cents")))
+            round(col("value") * 100, 0).cast(LongType).as("value_cents"))
+      val doubled = delivery().unionAll(delivery())
       val partsWere = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val sq = graft.streaming.Streaming

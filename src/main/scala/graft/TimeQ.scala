@@ -33,9 +33,16 @@ object TimeQ {
     spark.sparkContext.setLogLevel("WARN")
     // fixture-scale scheduling-floor confs, gated like Bench/Verify;
     // SPARK_EXTRA_CONF keys win for A/B runs
+    // only WELL-FORMED k=v entries count as caller-pinned keys — a
+    // malformed entry was rejected by the builder loop above and must
+    // not suppress the floor conf it never actually set
     graft.engine.Engine.fixtureFloorConfs(spark, sfDir,
       sys.env.get("SPARK_EXTRA_CONF").toSeq
-        .flatMap(_.split(";")).flatMap(_.split("=", 2).headOption).toSet)
+        .flatMap(_.split(";"))
+        .flatMap(_.split("=", 2) match {
+          case Array(k, _) => Some(k)
+          case _           => None
+        }).toSet)
 
     @volatile var jobs = 0
     @volatile var stages = 0

@@ -79,7 +79,10 @@ class StreamingMultimodalSpec extends SparkSpec {
         .select(col("user_id"), col("session_window.end").as("ended"))
       val maxMs = ev.agg(max("ts")).collect()(0).getTimestamp(0).getTime
       val wm = new Timestamp(maxMs - 10 * 60 * 1000L)
-      val expected = batch.filter(col("ended") < lit(wm)).count()
+      // <= : Spark's WatermarkSupport eviction predicate is
+      // LessThanOrEqual (4.1.2 bytecode) — a session ending exactly ON
+      // the watermark is emitted
+      val expected = batch.filter(col("ended") <= lit(wm)).count()
       assert(rows.length.toLong == expected,
         s"emitted ${rows.length} sessions, batch-twin expects $expected")
       // per-user sessions don't overlap: starts strictly increase
@@ -219,17 +222,30 @@ class StreamingMultimodalSpec extends SparkSpec {
       awaitStarted(() => started)
       assert(started >= 1, "no Structured Streaming query ran")
       // emitted windows are exactly the batch tumbling-window rollup
-      // minus windows the final (ms-truncated) watermark never passed
+      // minus windows the final (ms-truncated) watermark never passed —
+      // <= because WatermarkSupport evicts/emits with LessThanOrEqual
+      // (4.1.2 bytecode), and compare VALUES per window, not just the
+      // emitted count, so a broken rename/quantization upstream of the
+      // agg fails here rather than only in the DuckDB pass
       val ev = graft.engine.Engine.table(spark, "/root/testdata/sf0.001", "events")
       val maxMs = ev.agg(max("ts")).collect()(0).getTimestamp(0).getTime
       val wm = new Timestamp(maxMs - 2 * 60 * 60 * 1000L)
       val expected = ev
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("window.end") < lit(wm))
-        .count()
-      assert(rows.length.toLong == expected,
-        s"emitted ${rows.length} windows, batch-twin expects $expected")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        .filter(col("window.end") <= lit(wm))
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n"), col("cents"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val got = rows
+        .map(r => (r.getAs[Timestamp]("hour"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Long]("cents"))).toSet
+      assert(got == expected,
+        s"emitted ${got.size} windows, batch-twin expects ${expected.size}" +
+          s" (value-level symm-diff ${(got diff expected).size + (expected diff got).size})")
       // append-only closed-window log: (hour, type) keys are unique
       val keys = rows.map(r => (r.getAs[Timestamp]("hour"),
         r.getAs[String]("event_type")))
