@@ -80,6 +80,31 @@ class StreamingReplaySpec extends SparkSpec {
     spark.read.parquet(s"$base/out")
   }
 
+  test("shared replay input is ONE data file — the single-batch contract's foundation") {
+    // stream_cdc_state and stream_running_stats grade latest/Update-mode
+    // output whose determinism rests on the whole log replaying as one
+    // micro-batch; that in turn rests on the shared replay dir holding
+    // exactly one parquet part. Ratchet it: a future coalesce removal
+    // fails here, not as a cross-engine grading mystery.
+    val df = Queries.byName("stream_cdc_state").fn(spark, sf)
+    assert(df.count() > 0)
+    val dirs = java.nio.file.Files
+      .list(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .iterator()
+    var found = false
+    while (dirs.hasNext) {
+      val p = dirs.next()
+      if (p.getFileName.toString.startsWith("graft_stream_in_")) {
+        val parts = Option(p.toFile.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet"))
+        assert(parts == 1,
+          s"replay input $p holds $parts parquet parts, contract is 1")
+        found = true
+      }
+    }
+    assert(found, "no shared replay input dir found after a stream query ran")
+  }
+
   test("stream-stream join emits the identical set across 3 ordered micro-batches") {
     val dir = splitInput()
     val base = java.nio.file.Files
