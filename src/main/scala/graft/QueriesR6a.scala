@@ -36,8 +36,20 @@ object QueriesR6a {
     */
   private val replayMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private def replayInput(s: SparkSession, d: String): String =
-    replayMemo.getOrElseUpdate(new java.io.File(d).getCanonicalPath, {
+  /** The memoized dir is only trusted while it still holds exactly one
+    * parquet part (the single-batch replay contract): a tmp cleaner on a
+    * long-lived session can delete it out from under the memo, and
+    * TrieMap.getOrElseUpdate may race two first callers — re-validating
+    * on every lookup heals both (the loser's orphan dir is swept by its
+    * own shutdown hook). ADVICE r7.
+    */
+  private def replayDirValid(dir: String): Boolean = {
+    val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    fs.count(f => f.isFile && f.getName.endsWith(".parquet")) == 1
+  }
+  private def replayInput(s: SparkSession, d: String): String = {
+    val key = new java.io.File(d).getCanonicalPath
+    def build(): String = {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_stream_in_").toString
       t(s, d, "events")
@@ -45,7 +57,17 @@ object QueriesR6a {
         .coalesce(1).write.mode("overwrite").parquet(dir)
       sys.addShutdownHook(deleteRecursively(dir))
       dir
-    })
+    }
+    val dir = replayMemo.getOrElseUpdate(key, build())
+    if (replayDirValid(dir)) dir
+    else { val fresh = build(); replayMemo.put(key, fresh); fresh }
+  }
+  /** Test hook (StreamingReplaySpec's one-data-file ratchet): the exact
+    * replay dir this JVM memoized for `d`, rather than a global tmpdir
+    * scan that could hit stale dirs from crashed prior JVMs. ADVICE r7.
+    */
+  private[graft] def replayDirFor(s: SparkSession, d: String): String =
+    replayInput(s, d)
 
   // ------------- stream_cdc_state: foreachBatch upsert, batch-twin graded
 

@@ -34,7 +34,12 @@ object QueriesR7a {
     (s, d) => {
       val D = 6 // finest zoom: 2^6 × 2^6 = 4096 tiles
       // the inventory's synthetic coordinate scheme (j26_nearest_geo /
-      // geo_grid_join): lat ∈ [-90, 94), lon ∈ [-180, 184)
+      // geo_grid_join). The /184 and /368 divisors are sized for the
+      // scheme's NOMINAL envelope lat ∈ [-90, 94), lon ∈ [-180, 184) —
+      // base mod range plus the +4 fractional jitter — so x,y ≤ 63 holds
+      // even if the fixture ever uses the full key space; the attainable
+      // values today (c_nationkey ≤ 24) stay well inside it (lat < 82,
+      // lon < 136). ADVICE r7.
       val pts = t(s, d, "customer").select(
         ((col("c_nationkey") * 7 % 180) - 90 +
           (col("c_custkey") % 100) / 100.0 * 4).as("lat"),

@@ -20,9 +20,22 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B knob (mirrors Bench/TimeQ): SPARK_EXTRA_CONF="k=v;k=v" — makes
+    // the floor-off correctness A/B first-class (e.g.
+    // SPARK_EXTRA_CONF="spark.graft.floorScope=false" reruns the inventory
+    // under production AQE/partitioning without forked-JVM javaOptions)
+    val extraKeys = scala.collection.mutable.Set.empty[String]
+    sys.env.get("SPARK_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v); extraKeys += k
+          case _ => System.err.println(
+            s"[verify] skipping malformed conf entry '$kv'")
+        }
+      })
     // fixture-scale scheduling-floor confs (size- and conf-gated; see
-    // Engine.fixtureFloorConfs)
-    graft.engine.Engine.fixtureFloorConfs(spark, sfDir)
+    // Engine.fixtureFloorConfs) — A/B overrides above take precedence
+    graft.engine.Engine.fixtureFloorConfs(spark, sfDir, extraKeys.toSet)
     new java.io.File(outDir).mkdirs()
     // shared one-scan-per-table cache pays off across the full inventory;
     // filtered dev runs skip it

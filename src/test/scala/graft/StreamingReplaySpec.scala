@@ -88,21 +88,14 @@ class StreamingReplaySpec extends SparkSpec {
     // fails here, not as a cross-engine grading mystery.
     val df = Queries.byName("stream_cdc_state").fn(spark, sf)
     assert(df.count() > 0)
-    val dirs = java.nio.file.Files
-      .list(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
-      .iterator()
-    var found = false
-    while (dirs.hasNext) {
-      val p = dirs.next()
-      if (p.getFileName.toString.startsWith("graft_stream_in_")) {
-        val parts = Option(p.toFile.listFiles()).getOrElse(Array.empty)
-          .count(_.getName.endsWith(".parquet"))
-        assert(parts == 1,
-          s"replay input $p holds $parts parquet parts, contract is 1")
-        found = true
-      }
-    }
-    assert(found, "no shared replay input dir found after a stream query ran")
+    // assert on THIS JVM's memoized dir, not a global tmpdir scan (which
+    // could hit stale dirs from crashed prior JVMs or a concurrently-
+    // writing one). ADVICE r7.
+    val dir = new java.io.File(QueriesR6a.replayDirFor(spark, sf))
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parts == 1,
+      s"replay input $dir holds $parts parquet parts, contract is 1")
   }
 
   test("stream-stream join emits the identical set across 3 ordered micro-batches") {
