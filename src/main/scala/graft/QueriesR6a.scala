@@ -25,8 +25,8 @@ object QueriesR6a {
     * like a narrower input file. Still ONE file, so the single-batch
     * replay contract (stream_cdc_state / stream_running_stats) is
     * unchanged. Per-query state/out/ckpt dirs remain per-execution and
-    * are deleted eagerly; this shared dir lives for the session and is
-    * removed by a shutdown hook.
+    * are swept at JVM exit (see deferDelete); this shared dir lives for
+    * the session and is removed by its own shutdown hook.
     *
     * Keyed on the FIXTURE alone, not the session: the written content is
     * a deterministic projection of the fixture, so every session of the
@@ -100,11 +100,12 @@ object QueriesR6a {
       // that splits a user's events across unordered batches would not)
       val stream = graft.streaming.Streaming.readEventsStream(s, in)
       // scoped: the upsert MERGE inside foreachBatch shuffles a
-      // fixture-sized state frame — 8 partitions cover it; 32 just adds
-      // state/task floor per micro-batch. Cluster runs size this to the
-      // real key cardinality (it is plain session conf, not plan shape).
+      // fixture-sized state frame — 2 partitions cover it (a probe showed
+      // state-store/task floor scales with the partition count; 2 vs 8
+      // saved ~0.2 s here). Cluster runs size this to the real key
+      // cardinality (it is plain session conf, not plan shape).
       val partsWere = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val sq = graft.streaming.Streaming.upsertStream(stream, statePath, ckpt)
       try {
         sq.processAllAvailable()
@@ -112,19 +113,17 @@ object QueriesR6a {
         sq.stop()
         s.conf.set("spark.sql.shuffle.partitions", partsWere)
       }
-      // materialize the graded frame off the temp dir, then delete it —
-      // accumulating per-execution state dirs across bench/verify passes
-      // was a slow disk leak (ADVICE r6)
-      val res = s.read.parquet(statePath)
+      // lazy read of the state table; the dir is swept at JVM exit (see
+      // deferDelete — one materialization job per query cheaper than the
+      // round-6/7 eager checkpoint+delete)
+      deferDelete(base)
+      s.read.parquet(statePath)
         .select(col("user_id"),
           col("event_id").as("last_event_id"),
           col("ts").as("last_ts"),
           col("event_type").as("last_type"),
           round(col("value") * 100, 0).cast(LongType).as("value_cents"))
         .orderBy("user_id")
-        .localCheckpoint(true)
-      deleteRecursively(base)
-      res
     },
     Some("""WITH r AS (
               SELECT user_id, event_id, ts, event_type, value,
@@ -144,6 +143,22 @@ object QueriesR6a {
       Files.walk(p).sorted(Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))
   }
+
+  /** Deferred temp-dir cleanup: the graded frame is returned as a LAZY
+    * read over the query's output parquet (the harness materializes it —
+    * noop sink in Bench, parquet write in Verify, collect in FloorCheck),
+    * so the eager per-query localCheckpoint+delete of round 6-7 was one
+    * extra materialization job per streaming query (~0.2-0.3 s each at
+    * sf0.1). The dirs are registered here and swept at JVM exit instead —
+    * bounded by runs-per-session (a full bench = 3 inventory passes × 7
+    * queries × ~2 MB ≈ 50 MB of /tmp), which is what ADVICE r6's leak
+    * concern actually required: no UNBOUNDED accumulation across passes.
+    */
+  private val deferred = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  locally {
+    sys.addShutdownHook(deferred.forEach(d => deleteRecursively(d))): Unit
+  }
+  private def deferDelete(dir: String): Unit = deferred.add(dir): Unit
 
   // ------------- stream_session_state: watermarked event-time sessions
 
@@ -180,13 +195,15 @@ object QueriesR6a {
         .select(col("event_id"), col("ts"), col("user_id"),
           round(col("value") * 100, 0).cast(LongType).as("value"))
       // scoped: the session_window stateful shuffle allocates one state
-      // store (directory + provider + task) PER shuffle partition, each
-      // micro-batch — 32 stores for a fixture's worth of open sessions is
-      // pure floor. 8 keeps the replay parallel over users; the conf is
-      // read at stream START (fresh checkpoint per run), so restoring it
-      // after stop() cannot strand a mismatched state layout.
+      // store (directory + provider + commit) PER shuffle partition, each
+      // micro-batch, and a store COMMIT has a fixed cost on top of its
+      // rows (probe: 8 partitions ≈ 500 ms of commit per batch, 2 ≈ 60 ms
+      // for the same 95k session states) — 2 keeps the replay parallel
+      // enough at fixture scale; the conf is read at stream START (fresh
+      // checkpoint per run), so restoring it after stop() cannot strand a
+      // mismatched state layout.
       val partsWere = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val sq = graft.streaming.Streaming.sessionWindowAgg(stream)
         .withColumnRenamed("total_value", "cents")
         .writeStream
@@ -201,12 +218,10 @@ object QueriesR6a {
         sq.stop()
         s.conf.set("spark.sql.shuffle.partitions", partsWere)
       }
-      val res = s.read.parquet(out)
+      deferDelete(base)
+      s.read.parquet(out)
         .select("user_id", "started", "ended", "n_events", "cents")
         .orderBy("user_id", "started")
-        .localCheckpoint(true)
-      deleteRecursively(base)
-      res
     },
     Some("""WITH wm AS (
               SELECT make_timestamp((max(epoch_ms(ts)) - 600000) * 1000)
@@ -270,10 +285,14 @@ object QueriesR6a {
           .select("event_id", "ts", "user_id")
       val vs = side("view")
       val cs = side("click")
-      // scoped to 8 state partitions, same rationale as the session query:
+      // scoped to 2 state partitions, same rationale as the session query
+      // — and the stream-stream join keeps FOUR stores per partition
+      // (keyToNumValues + keyWithIndexToValue per side), so the per-store
+      // commit floor quadruples (probe: ~2 s of commit per batch at 8
+      // partitions, ~250 ms at 2):
       // the join buffers both sides in per-partition state stores
       val partsWere = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val sq = graft.streaming.Streaming
         .clickAfterViewJoin(vs, cs, windowMs = 240L * 60 * 1000)
         .select(col("v_user").as("user_id"), col("view_id"),
@@ -290,11 +309,9 @@ object QueriesR6a {
         sq.stop()
         s.conf.set("spark.sql.shuffle.partitions", partsWere)
       }
-      val res = s.read.parquet(out)
+      deferDelete(base)
+      s.read.parquet(out)
         .orderBy("view_id", "click_id")
-        .localCheckpoint(true)
-      deleteRecursively(base)
-      res
     },
     Some("""SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
                    c.event_id AS click_id, c.ts AS click_ts
@@ -335,7 +352,7 @@ object QueriesR6a {
       val partsWere = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set(provKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val stream = graft.streaming.Streaming.readEventsStream(s, in)
         .as[graft.streaming.Streaming.Event]
       val sq = graft.streaming.Streaming.runningUserStats(stream)
@@ -357,13 +374,11 @@ object QueriesR6a {
           case None    => s.conf.unset(provKey)
         }
       }
-      val res = s.read.parquet(out)
+      deferDelete(base)
+      s.read.parquet(out)
         .select(col("user_id"), col("n_events"),
           round(col("max_value") * 100, 0).cast(LongType).as("max_cents"))
         .orderBy("user_id")
-        .localCheckpoint(true)
-      deleteRecursively(base)
-      res
     },
     Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                    CAST(round(max(value) * 100, 0) AS BIGINT) AS max_cents
@@ -408,11 +423,9 @@ object QueriesR6a {
       try {
         sq.processAllAvailable()
       } finally sq.stop()
-      val res = s.read.parquet(out)
+      deferDelete(base)
+      s.read.parquet(out)
         .orderBy("event_id")
-        .localCheckpoint(true)
-      deleteRecursively(base)
-      res
     },
     Some("""SELECT e.event_id, e.ts, e.user_id,
                    c.c_name AS user_name,
@@ -449,7 +462,7 @@ object QueriesR6a {
         .select(col("ts"), col("event_type"),
           round(col("value") * 100, 0).cast(LongType).as("value"))
       val partsWere = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val sq = graft.streaming.Streaming.hourlyWindowAgg(stream, "2 hours")
         .withColumnRenamed("sum_value", "cents")
         .writeStream
@@ -464,12 +477,10 @@ object QueriesR6a {
         sq.stop()
         s.conf.set("spark.sql.shuffle.partitions", partsWere)
       }
-      val res = s.read.parquet(out)
+      deferDelete(base)
+      s.read.parquet(out)
         .select("hour", "event_type", "n", "cents")
         .orderBy("hour", "event_type")
-        .localCheckpoint(true)
-      deleteRecursively(base)
-      res
     },
     Some("""WITH wm AS (
               SELECT make_timestamp((max(epoch_ms(ts)) - 7200000) * 1000)
@@ -517,7 +528,7 @@ object QueriesR6a {
             round(col("value") * 100, 0).cast(LongType).as("value_cents"))
       val doubled = delivery().unionAll(delivery())
       val partsWere = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val sq = graft.streaming.Streaming
         .dedupStream(doubled, Seq("event_id"))
         .writeStream
@@ -532,11 +543,9 @@ object QueriesR6a {
         sq.stop()
         s.conf.set("spark.sql.shuffle.partitions", partsWere)
       }
-      val res = s.read.parquet(out)
+      deferDelete(base)
+      s.read.parquet(out)
         .orderBy("event_id")
-        .localCheckpoint(true)
-      deleteRecursively(base)
-      res
     },
     Some("""SELECT event_id, ts, user_id, event_type,
                    CAST(round(value * 100, 0) AS BIGINT) AS value_cents
