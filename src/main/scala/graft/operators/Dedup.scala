@@ -192,7 +192,14 @@ object Dedup {
     try {
     val n = nodes.toDF("id")
     val e0 = edges.toDF("a", "b")
-    val e = e0.union(e0.select(col("b"), col("a"))).distinct().cache()
+    // cache the symmetrized edges PRE-PARTITIONED on b, the per-round
+    // probe key: distinct() leaves the frame partitioned on (a, b), so
+    // every round's propagation join would re-exchange the whole edge
+    // list — one avoidable shuffle and stage per round (the hitsInt
+    // dual-orientation discipline, single-sided). At 100 TB the same
+    // co-location comes from bucketing the edge table on b.
+    val e = e0.union(e0.select(col("b"), col("a"))).distinct()
+      .repartition(np, col("b")).cache()
     // localCheckpoint (not cache): each round's plan would otherwise carry
     // the ENTIRE prior lineage — re-analyzed by the optimizer every round,
     // so planning cost grows superlinearly with rounds (measured 105 s at
@@ -211,24 +218,30 @@ object Dedup {
         .select(col("a").as("id"), col("label").as("label"))
       val stepped = labels.select("id", "label").union(prop)
         .groupBy("id").agg(min("label").as("label"))
-      // pointer jumping: label ← labels(label). Chasing the PREVIOUS
-      // round's (checkpointed) labels instead of `stepped` itself keeps
-      // this a plain two-frame join — no self-join (the Spark 4.1 crash
-      // shape) and no extra materialization job per round — while still
-      // compressing label chains, so rounds stay O(log diameter). Labels
-      // are node ids, so they are themselves lookup keys; composing with
-      // a one-step-older pointer table is still monotone (labels only
-      // ever decrease toward the component min) and has the same
-      // fixpoint: sum-stable ⇒ no label changed ⇒ every node's label
-      // already ≤ all neighbors' labels ⇒ component minima everywhere.
-      val next = stepped
-        .join(labels.select(col("id").as("lid"), col("label").as("llabel")),
-          stepped("label") === col("lid"), "left")
-        .select(stepped("id"),
-          coalesce(col("llabel"), stepped("label")).as("label"))
+        .localCheckpoint(false)
+      // pointer jumping: label ← stepped(label) — chasing THIS round's
+      // pointer table (round 8; previously the one-step-older `labels`,
+      // which converged in O(diameter) rounds, not O(log diameter):
+      // er_name_cluster took 4+1 rounds where 2+1 suffice). The
+      // self-reference is safe because `stepped` is checkpoint-truncated
+      // to a LogicalRDD first — the join below is a plain two-frame join
+      // over fresh aliases, not the Spark 4.1 Union-constraint crash
+      // shape — and LAZY, so the labelSum read still materializes both
+      // checkpoints in the round's single driver job. Monotonicity and
+      // fixpoint are unchanged: labels only decrease toward the
+      // component min, and a sum-stable round means no label moved.
+      val l = stepped.as("l")
+      val r = stepped.select(col("id").as("lid"), col("label").as("llabel"))
+      val next = l
+        .join(r, col("l.label") === col("lid"), "left")
+        .select(col("l.id").as("id"),
+          coalesce(col("llabel"), col("l.label")).as("label"))
         .localCheckpoint(false)
       val nextSum = labelSum(next)
       checkpointRdd(labels).foreach(_.unpersist(blocking = false))
+      // next is materialized past stepped now; free the round's inner
+      // checkpoint too
+      checkpointRdd(stepped).foreach(_.unpersist(blocking = false))
       labels = next
       converged = nextSum == checksum // labels only decrease: equal sum = fixpoint
       checksum = nextSum

@@ -430,17 +430,22 @@ object Graph {
           .join(a.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node"))
           .agg(sum("score").as("raw")))
-        // ONE eager checkpoint per FULL round truncates the logical plan:
+        // ONE LAZY checkpoint per FULL round truncates the logical plan:
         // crossJoin(mx) references its raw subtree TWICE, so a fully lazy
         // multi-round chain (round 5's shape) quadruples the analyzer's
         // tree per round — exponential DRIVER-side planning cost that
         // execution (which dedups via the runtime cache) never pays back.
-        // One small blocking job per round buys linear plan growth. The
+        // lazy (round 8, was eager): checkpoint(eager=false) swaps the
+        // plan for a LogicalRDD immediately — same linear plan growth —
+        // but defers materialization to the FINAL eager checkpoint below,
+        // whose single job computes every round's RDD as ordinary DAG
+        // dependencies: 3 blocking per-round jobs gone (6 jobs → 3 at
+        // 3 rounds), zero value change (the lineage is identical). The
         // round checkpoints (node-count-sized, a handful of rounds) stay
         // persisted until the finally: the final auths branch may fall
         // back to round r−1's checkpoint if a raw-cache block evicts, so
         // freeing them mid-loop would be an eviction-triggered failure.
-        hubs = h.localCheckpoint(true)
+        hubs = h.localCheckpoint(false)
         cps += hubs
         auths = a
       }

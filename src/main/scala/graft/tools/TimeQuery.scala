@@ -1,15 +1,28 @@
 package graft.tools
 
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
-/** Dev utility: time named inventory queries (noop sink, best of N) on a
-  * given sf dir — the per-query view Bench gives, without the full
-  * inventory. Usage: runMain graft.tools.TimeQuery <sfDir> <q1,q2> [n]
+/** Dev utility: time named inventory queries under BENCH conditions
+  * (noop sink, fixture floor confs, shared table cache, best of N) and
+  * print per-query scheduler counters — jobs / stages / tasks. The local
+  * scheduling floor is ~0.15-0.25 s per job and stages gate serially
+  * inside a job, so a slow-but-few-task query usually needs fewer
+  * stages/jobs (cache reused frames, avoid re-planned subtrees), not
+  * more parallelism.
+  *
+  * Usage: runMain graft.tools.TimeQuery <sfDir> <q1,q2|all> [n]
+  * SPARK_EXTRA_CONF="k=v;k=v" overrides confs for A/B runs (keys passed
+  * are exempted from the floor-conf auto-set, mirroring Bench).
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args(1).split(",").toSeq
+    val names =
+      if (args(1) == "all") graft.SparkEntry.queries.keys.toSeq.sorted
+      else args(1).split(",").toSeq
     val n = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -17,18 +30,57 @@ object TimeQuery {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val extraKeys = scala.collection.mutable.Set.empty[String]
+    sys.env.get("SPARK_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v); extraKeys += k
+          case _ => System.err.println(
+            s"[timeq] skipping malformed conf entry '$kv'")
+        }
+      })
+    graft.engine.Engine.fixtureFloorConfs(spark, sfDir, extraKeys.toSet)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val jobs = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    val tasks = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(s.stageInfo.numTasks): Unit
+      }
+    })
+
+    graft.engine.Engine.persistTables(spark, sfDir)
+    graft.operators.Graph.warmDerived(spark, sfDir)
     names.foreach { name =>
-      val times = (1 to n).map { _ =>
+      val runs = (1 to n).map { _ =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        jobs.set(0); stages.set(0); tasks.set(0L)
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // listener events are async (the bus is private[spark]); a short
+        // settle keeps the counters honest for a dev tool
+        Thread.sleep(120)
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => before.contains(id) }
+          .foreach { case (_, rdd) => rdd.unpersist(blocking = false) }
+        (dt, jobs.get(), stages.get(), tasks.get())
       }
-      println(f"[time] $name%-28s best ${times.min}%.2fs  runs ${times.map(t => f"$t%.2f").mkString(" ")}")
+      val best = runs.minBy(_._1)
+      println(f"[time] $name%-28s best ${best._1}%.2fs  " +
+        f"jobs ${best._2}%3d  stages ${best._3}%3d  tasks ${best._4}%5d  " +
+        s"runs ${runs.map(r => f"${r._1}%.2f").mkString(" ")}")
     }
     spark.stop()
   }
