@@ -19,6 +19,13 @@ import graft.streaming.Streaming
   * the single-batch result. Ordered multi-file replay mirrors real
   * ingest (late data inside the watermark delay, never behind it);
   * unordered replay is exactly what the CDC/state contracts exclude.
+  *
+  * Round 8 extends the replay coverage to every watermark-stateful
+  * graded shape — the stream-stream join, session windows, tumbling
+  * hourly windows, and streaming dedup — plus the dedup EVICTION EDGE:
+  * a key redelivered after its state expired cannot re-emit, because
+  * the late-data cut (ts < watermark) always fires before the state
+  * cut (ts + delay < watermark) for identical-row redelivery.
   */
 class StreamingReplaySpec extends SparkSpec {
 
@@ -126,6 +133,96 @@ class StreamingReplaySpec extends SparkSpec {
     assert(multi == expected,
       s"multi-batch join emitted ${multi.size} pairs, batch twin has " +
         s"${expected.size}; symm-diff ${(multi diff expected).size + (expected diff multi).size}")
+  }
+
+  test("hourly windows close identically across 3 ordered micro-batches") {
+    val dir = splitInput()
+    def agg(src: DataFrame) =
+      Streaming.hourlyWindowAgg(
+        src.select(col("ts"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("value")), "2 hours")
+        .withColumnRenamed("sum_value", "cents")
+    def collect(df: DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val multi = collect(runToParquet(
+      agg(streamOneFilePerTrigger(dir)),
+      java.nio.file.Files.createTempDirectory("graft_replay_hr_").toString,
+      minBatches = 3))
+    val single = collect(runToParquet(
+      agg(spark.readStream
+        .schema(Streaming.readEventsStream(spark, dir).schema).parquet(dir)),
+      java.nio.file.Files.createTempDirectory("graft_replay_hr1_").toString))
+    assert(multi == single,
+      s"multi-batch emitted ${multi.size} closed windows, single-batch ${single.size}")
+  }
+
+  test("streaming dedup emits exactly DISTINCT across 3 ordered micro-batches of doubled delivery") {
+    // the graded stream_ingest_dedup replays one batch; this proves the
+    // claim that MORE batches emit the same set when both deliveries of a
+    // key arrive inside the watermark (each trigger reads chunk k from
+    // both source instances — mtime order is shared)
+    val dir = splitInput()
+    def delivery() = streamOneFilePerTrigger(dir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val multi = runToParquet(
+      Streaming.dedupStream(delivery().unionAll(delivery()), Seq("event_id")),
+      java.nio.file.Files.createTempDirectory("graft_replay_dd_").toString,
+      minBatches = 3)
+      .collect().map(_.getLong(0)).toSeq
+    val expected = graft.engine.Engine.table(spark, sf, "events")
+      .select("event_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(multi.size == multi.toSet.size,
+      s"dedup re-emitted ${multi.size - multi.toSet.size} keys")
+    assert(multi.toSet == expected,
+      s"dedup emitted ${multi.toSet.size} keys, distinct log has ${expected.size}")
+  }
+
+  test("dedup eviction edge: a duplicate delivered AFTER its key's state expired is late-dropped, never re-emitted") {
+    // dropDuplicatesWithinWatermark evicts a key's state once the
+    // watermark passes ts + delay — but an input row is dropped as LATE
+    // once the watermark passes ts alone, which happens FIRST. So an
+    // identical redelivered row is either deduped (state still alive) or
+    // late-dropped (state gone); re-emission is impossible for
+    // identical-row redelivery at ANY batch boundary. Pin exactly that
+    // with a hand-built 3-batch replay around the eviction boundary.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType)))
+    def write(dir: String, name: String, mtime: Long,
+              rows: Seq[(Long, String)]): Unit = {
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(rows.map { case (id, t) =>
+          Row(id, Timestamp.valueOf(t)) }: _*), schema)
+      val sub = s"$dir/_stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(sub)
+      val f = new java.io.File(sub).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(f.setLastModified(mtime))
+      assert(f.renameTo(new java.io.File(s"$dir/$name.parquet")))
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_replay_evict_").toString
+    // delay = 10 min. batch 0: key 1 @10:00. batch 1: key 99 @11:00 →
+    // watermark 10:50 → key 1's state (expiry 10:10) evicted. batch 2:
+    // key 1 redelivered @10:00 (below watermark → late-dropped), key 2
+    // @10:55 (fresh, above watermark → emitted), key 99 redelivered
+    // @11:00 (state alive → deduped).
+    write(dir, "chunk0", 1700000000000L, Seq(1L -> "2024-01-01 10:00:00"))
+    write(dir, "chunk1", 1700000060000L, Seq(99L -> "2024-01-01 11:00:00"))
+    write(dir, "chunk2", 1700000120000L, Seq(
+      1L -> "2024-01-01 10:00:00", 2L -> "2024-01-01 10:55:00",
+      99L -> "2024-01-01 11:00:00"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_replay_evict_out_").toString
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = runToParquet(
+      Streaming.dedupStream(stream, Seq("event_id")), base, minBatches = 3)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 99L),
+      s"expected each key exactly once (1, 2, 99), got $out")
   }
 
   test("session windows close identically across 3 ordered micro-batches") {
