@@ -112,5 +112,111 @@ object QueriesR7a {
               SELECT CAST(6 AS BIGINT), tile, n, cents FROM fine)
             ORDER BY level, tile"""))
 
-  val all: Seq[Q] = Seq(quadkeyRollup)
+  // ------------- geo_quadkey_join: tile-local spatial join on the same index
+
+  private val quadkeyJoin = Q(
+    "geo_quadkey_join",
+    "Tile-local SPATIAL JOIN on the quadkey index — the LOOKUP side of " +
+      "the tile pyramid geo_quadkey_rollup builds (same level-6 grid, " +
+      "same digit encoding): customers probe their own tile, suppliers " +
+      "register in their tile plus its 8 neighbors (the ±1 expansion on " +
+      "the SMALLER side — 9 rows per supplier, never per fact row), and " +
+      "the equi-join on the quadkey STRING yields candidate pairs that " +
+      "an exact distance predicate then filters (dist² ≤ 8 in degree " +
+      "space; √8 < the 2.875° tile height, so adjacency provably " +
+      "covers the radius and no pair is missed). The expanded supplier " +
+      "frame is broadcast — a dim-sized index at any corpus scale; at " +
+      "100 TB with two fact-sized sides the same plan becomes a shuffle " +
+      "equi-join on the tile key, skew-bounded by tile occupancy. Each " +
+      "qualifying pair matches exactly ONCE (the customer's own tile — " +
+      "supplier expansion tiles are distinct), so no post-join dedup. " +
+      "Coordinates are the rollup's fixture scheme; all float math is " +
+      "identical IEEE expression trees on both engines.",
+    (s, d) => {
+      val D = 6
+      val cust = t(s, d, "customer").select(
+        col("c_custkey"),
+        ((col("c_nationkey") * 7 % 180) - 90 +
+          (col("c_custkey") % 100) / 100.0 * 4).as("lat"),
+        ((col("c_nationkey") * 13 % 360) - 180 +
+          (col("c_custkey") % 137) / 137.0 * 4).as("lon"))
+      val supp = t(s, d, "supplier").select(
+        col("s_suppkey"),
+        ((col("s_suppkey") * 11 % 180) - 90 +
+          (col("s_suppkey") % 100) / 100.0 * 4).as("slat"),
+        ((col("s_suppkey") * 17 % 360) - 180 +
+          (col("s_suppkey") % 137) / 137.0 * 4).as("slon"))
+      def tileX(lon: Column): Column =
+        floor((lon + 180) / 368 * 64).cast(LongType)
+      def tileY(lat: Column): Column =
+        floor((lat + 90) / 184 * 64).cast(LongType)
+      def qk(x: Column, y: Column): Column = concat((1 to D).map { l =>
+        val sh = 1L << (D - l)
+        ((y / sh).cast(LongType) % 2 * 2 +
+          (x / sh).cast(LongType) % 2).cast("string")
+      }: _*)
+      val cq = cust.select(col("c_custkey"), col("lat"), col("lon"),
+        qk(tileX(col("lon")), tileY(col("lat"))).as("tile"))
+      val sq = supp
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("s_suppkey"), col("slat"), col("slon"),
+          (tileX(col("slon")) + col("dx")).as("x2"),
+          (tileY(col("slat")) + col("dy")).as("y2"))
+        .filter(col("x2").between(0, 63) && col("y2").between(0, 63))
+        .select(col("s_suppkey"), col("slat"), col("slon"),
+          qk(col("x2"), col("y2")).as("tile"))
+      val d2 = (col("lat") - col("slat")) * (col("lat") - col("slat")) +
+        (col("lon") - col("slon")) * (col("lon") - col("slon"))
+      cq.join(broadcast(sq), "tile")
+        .filter(d2 <= 8.0)
+        .select(col("tile"), col("c_custkey"), col("s_suppkey"),
+          round(d2, 6).as("dist2"))
+        .orderBy("c_custkey", "s_suppkey")
+    },
+    Some {
+      def qkSql(x: String, y: String): String = (1 to 6).map { l =>
+        val sh = 1L << (6 - l)
+        s"CAST(($y // $sh) % 2 * 2 + ($x // $sh) % 2 AS VARCHAR)"
+      }.mkString(" || ")
+      s"""WITH cust AS (
+            SELECT c_custkey,
+                   (c_nationkey * 7 % 180) - 90 +
+                     (c_custkey % 100) / 100.0 * 4 AS lat,
+                   (c_nationkey * 13 % 360) - 180 +
+                     (c_custkey % 137) / 137.0 * 4 AS lon
+            FROM customer),
+          supp AS (
+            SELECT s_suppkey,
+                   (s_suppkey * 11 % 180) - 90 +
+                     (s_suppkey % 100) / 100.0 * 4 AS slat,
+                   (s_suppkey * 17 % 360) - 180 +
+                     (s_suppkey % 137) / 137.0 * 4 AS slon
+            FROM supplier),
+          cq AS (
+            SELECT c_custkey, lat, lon,
+                   CAST(floor((lon + 180) / 368 * 64) AS BIGINT) AS x,
+                   CAST(floor((lat + 90) / 184 * 64) AS BIGINT) AS y
+            FROM cust),
+          sq0 AS (
+            SELECT s_suppkey, slat, slon,
+                   CAST(floor((slon + 180) / 368 * 64) AS BIGINT) + dx AS x2,
+                   CAST(floor((slat + 90) / 184 * 64) AS BIGINT) + dy AS y2
+            FROM supp
+            CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+            CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)),
+          cqk AS (
+            SELECT c_custkey, lat, lon, ${qkSql("x", "y")} AS tile FROM cq),
+          sqk AS (
+            SELECT s_suppkey, slat, slon, ${qkSql("x2", "y2")} AS tile
+            FROM sq0 WHERE x2 BETWEEN 0 AND 63 AND y2 BETWEEN 0 AND 63)
+          SELECT tile, c_custkey, s_suppkey,
+                 round(CAST((lat-slat)*(lat-slat) + (lon-slon)*(lon-slon)
+                   AS DOUBLE), 6) AS dist2
+          FROM cqk JOIN sqk USING (tile)
+          WHERE (lat-slat)*(lat-slat) + (lon-slon)*(lon-slon) <= 8.0
+          ORDER BY c_custkey, s_suppkey"""
+    })
+
+  val all: Seq[Q] = Seq(quadkeyRollup, quadkeyJoin)
 }
