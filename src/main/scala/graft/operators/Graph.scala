@@ -243,6 +243,7 @@ object Graph {
     spark0.conf.set("spark.sql.adaptive.enabled", "false")
     spark0.conf.set("spark.sql.shuffle.partitions", np.toString)
     spark0.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val lazyCps = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
     val edges = edgesIn.toDF("src", "dst").repartition(np, col("src"))
       .dropDuplicates("src", "dst")
@@ -269,7 +270,6 @@ object Graph {
         // init ranks stays LAZY (nodes is cached): the first eager
         // checkpoint materializes the whole prefix in one job
         var ranks: DataFrame = nodes.select(col("node"), lit(Scale).as("rank"))
-        var lastCp: DataFrame = null
         for (i <- 1 to iters) {
           val contribs = edges
             .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -280,25 +280,26 @@ object Graph {
               expr(s"${Scale * 15 / 100} + (850 * incoming) div 1000")
                 .as("rank"))
             .unionByName(noIn)
-          // checkpoint every FOURTH round: with a fixed round count there
-          // is no per-round driver read, so the lineage spans up to four
-          // rounds (one join + one agg each — plan depth 8, analyzable)
-          // and a 5-round run pays TWO blocking materializations instead
-          // of five — the unbounded-rounds loop in
-          // Dedup.connectedComponents can't do this because its fixpoint
-          // check forces a job every round anyway. The FINAL round MUST
-          // checkpoint eagerly too: the finally blocks below unpersist
-          // edges/nodes before a lazy return value would ever run, so
-          // skipping it re-derives the whole fused-edge pipeline uncached
-          // at the caller's sink (measured as a regression, not a saving)
-          if (i % 4 == 0 || i == iters) {
-            val cp = next.localCheckpoint(true)
-            Option(lastCp).flatMap(checkpointRdd)
-              .foreach(_.unpersist(blocking = false))
-            lastCp = cp
-            ranks = cp
+          // LAZY checkpoint every round (round 8; was eager every 4th):
+          // checkpoint(eager=false) swaps the plan for a LogicalRDD
+          // immediately — linear analyzer growth, the reason the eager
+          // cadence existed — but materializes nothing, so the FINAL
+          // eager checkpoint's single job computes every round as
+          // ordinary DAG dependencies instead of 2 blocking jobs for a
+          // 5-round run (the hitsInt discipline; the unbounded-rounds
+          // loop in Dedup.connectedComponents can't do this because its
+          // fixpoint check forces a job every round anyway). The FINAL
+          // round MUST checkpoint eagerly: the finally blocks below
+          // unpersist edges/nodes before a lazy return value would ever
+          // run, so skipping it re-derives the whole fused-edge pipeline
+          // uncached at the caller's sink (measured as a regression).
+          // Intermediate checkpoint blocks (node-count-sized, a handful
+          // of rounds) are freed in the finally, AFTER materialization.
+          if (i == iters) {
+            ranks = next.localCheckpoint(true)
           } else {
-            ranks = next
+            ranks = next.localCheckpoint(false)
+            lazyCps += ranks
           }
         }
         ranks
@@ -308,6 +309,8 @@ object Graph {
       spark0.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark0.conf.set("spark.sql.shuffle.partitions", spWas)
       spark0.conf.set("spark.sql.autoBroadcastJoinThreshold", abWas)
+      lazyCps.foreach(df => checkpointRdd(df)
+        .foreach(_.unpersist(blocking = false)))
     }
   }
   /** HITS hubs & authorities (Kleinberg) over a DIRECTED bipartite edge

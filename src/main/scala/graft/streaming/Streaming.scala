@@ -169,7 +169,8 @@ object Streaming {
     */
   def clickAfterViewJoin(views: DataFrame, clicks: DataFrame,
                          windowMs: Long = 10 * 60 * 1000L,
-                         watermarkDelay: String = "10 minutes"): DataFrame = {
+                         watermarkDelay: String = "10 minutes",
+                         joinType: String = "inner"): DataFrame = {
     val v = views.withWatermark("ts", watermarkDelay)
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
         col("event_id").as("view_id"))
@@ -181,7 +182,13 @@ object Streaming {
         col("click_ts") >= col("view_ts") &&
         // millisecond-precision interval: a seconds-truncated bound would
         // silently shrink sub-second windows to zero
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMs MILLISECOND"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMs MILLISECOND"),
+      // "left_outer" adds eviction-driven null emission: an unmatched
+      // view emits (view, null) exactly when the watermark proves no
+      // future click can land in its window and its buffered state is
+      // dropped — the bounded-state outer-join semantic only streaming
+      // engines have
+      joinType)
   }
 
   /** Stream-static enrichment join: every micro-batch of the stream

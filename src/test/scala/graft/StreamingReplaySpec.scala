@@ -135,6 +135,39 @@ class StreamingReplaySpec extends SparkSpec {
         s"${expected.size}; symm-diff ${(multi diff expected).size + (expected diff multi).size}")
   }
 
+  test("outer interval join emits the identical set across 3 ordered micro-batches") {
+    // matched pairs emit on match; unmatched views emit a null row at
+    // eviction — with ordered replay, every click inside a view's window
+    // arrives before the watermark can evict that view (the watermark
+    // lags max event time by the delay), so the final emitted set
+    // depends only on the FINAL watermark, not on batch boundaries
+    val dir = splitInput()
+    def side(tpe: String) = streamOneFilePerTrigger(dir)
+      .filter(col("event_type") === tpe)
+      .select("event_id", "ts", "user_id")
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(1), Option(r.get(3)).map(_.toString).getOrElse("∅")))
+      .toSet
+    val multi = key(runToParquet(
+      Streaming.clickAfterViewJoin(side("view"), side("click"),
+        windowMs = 240L * 60 * 1000, joinType = "left_outer")
+        .select(col("v_user"), col("view_id"), col("view_ts"),
+          col("click_id")), java.nio.file.Files
+        .createTempDirectory("graft_replay_oj_").toString, minBatches = 3))
+    def single(tpe: String) = spark.readStream
+      .schema(Streaming.readEventsStream(spark, dir).schema).parquet(dir)
+      .filter(col("event_type") === tpe)
+      .select("event_id", "ts", "user_id")
+    val one = key(runToParquet(
+      Streaming.clickAfterViewJoin(single("view"), single("click"),
+        windowMs = 240L * 60 * 1000, joinType = "left_outer")
+        .select(col("v_user"), col("view_id"), col("view_ts"),
+          col("click_id")), java.nio.file.Files
+        .createTempDirectory("graft_replay_oj1_").toString))
+    assert(multi == one,
+      s"multi-batch outer join emitted ${multi.size} rows, single-batch ${one.size}")
+  }
+
   test("hourly windows close identically across 3 ordered micro-batches") {
     val dir = splitInput()
     def agg(src: DataFrame) =
