@@ -52,4 +52,12 @@ class PlanShapeSpec extends SparkSpec {
       "the PK audit must stay a union stream + keyed aggregation")
     assert(p.contains("Union"))
   }
+
+  test("geo_quadkey_join: broadcast tile lookup, no shuffle join") {
+    val p = plan("geo_quadkey_join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the expanded supplier tile index must broadcast (dim-sized)")
+    assert(!p.toLowerCase.contains("sortmergejoin"),
+      "a fixture-scale tile lookup must never shuffle both sides")
+  }
 }
