@@ -168,7 +168,12 @@ object QueriesR7a {
           qk(col("x2"), col("y2")).as("tile"))
       val d2 = (col("lat") - col("slat")) * (col("lat") - col("slat")) +
         (col("lon") - col("slon")) * (col("lon") - col("slon"))
-      cq.join(broadcast(sq), "tile")
+      // no broadcast HINT: the expanded index is dim-sized here and
+      // Catalyst's stats broadcast it on their own (PlanShapeSpec pins
+      // that), but at 100 TB a fact-sized supplier side must be free to
+      // fall back to the shuffle equi-join — ScaleSpec proves the same
+      // plan survives that switch with identical values
+      cq.join(sq, "tile")
         .filter(d2 <= 8.0)
         .select(col("tile"), col("c_custkey"), col("s_suppkey"),
           round(d2, 6).as("dist2"))

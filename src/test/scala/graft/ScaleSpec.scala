@@ -61,6 +61,29 @@ class ScaleSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount === 1,
       s"expected 1 of 3 partition dirs scanned, got ${scan.selectedPartitions.partitionCount}")
   }
+
+  test("geo_quadkey_join survives the broadcast→shuffle switch with identical values") {
+    // the tile lookup carries NO broadcast hint — stats broadcast the
+    // dim-sized index at fixture scale (PlanShapeSpec pins that), and
+    // this is the 100 TB half of the claim: with broadcasting disabled
+    // (a fact-sized supplier side), the SAME declarative plan runs as a
+    // shuffle equi-join on the tile key and returns the identical rows
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.graft.floorScope", "false")
+    try {
+      val auto = Queries.byName("geo_quadkey_join").fn(spark, sf).collect().toSeq
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = Queries.byName("geo_quadkey_join").fn(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "with broadcast disabled the tile lookup must become a shuffle join")
+      assert(q.collect().toSeq == auto,
+        "shuffle-join values diverged from the broadcast plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.graft.floorScope")
+    }
+  }
 }
 
 /** Tiny deterministic orders-like frame for bucketing tests. */
