@@ -128,10 +128,13 @@ object Dedup {
     * neighbors' labels (two shuffles: edge join + per-node min); the
     * driver reads ONE scalar per round (the label-sum, which decreases
     * monotonically) to detect the fixpoint. Labels and edges stay fully
-    * distributed. Rounds needed = O(component diameter) — star-shaped
-    * edge sets (doc ↔ bucket representative, as [[lshBuckets]] induces)
-    * keep diameters near-constant, so this converges in a handful of
-    * rounds at any corpus size.
+    * distributed. Rounds needed = O(log diameter): each round also
+    * pointer-jumps against its own freshly-built pointer table, halving
+    * label-chain depth (ComponentsConvergenceSpec pins a 64-node path
+    * converging within 9 rounds) — and star-shaped edge sets (doc ↔
+    * bucket representative, as [[lshBuckets]] induces) keep diameters
+    * near-constant anyway, so this converges in a handful of rounds at
+    * any corpus size.
     *
     * This is the cluster step of corpus-level dedup: LSH emits candidate
     * pairs, components glue overlapping pairs into dedup groups, and the
