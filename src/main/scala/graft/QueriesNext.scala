@@ -670,7 +670,11 @@ object QueriesNext {
       val fwd = Graph.tradeEdges(s, d).select(col("c").as("src"),
         (col("s") + 1000000).as("dst"))
       val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      Graph.pageRankInt(edges, 5, parts = 8).orderBy("node")
+      // assumeDistinct: tradeEdges is DISTINCT and the +1M offset puts
+      // the two orientations in disjoint key spaces, so the union is
+      // globally duplicate-free — the loop's dedup pass is pure cost
+      Graph.pageRankInt(edges, 5, parts = 8, assumeDistinct = true)
+        .orderBy("node")
     },
     Some("""WITH fwd AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
                          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

@@ -212,7 +212,8 @@ object Graph {
     *                (AQE can coalesce shuffles, never a cached RDD's
     *                partitioning).
     */
-  def pageRankInt(edgesIn: DataFrame, iters: Int, parts: Int = 0): DataFrame = {
+  def pageRankInt(edgesIn: DataFrame, iters: Int, parts: Int = 0,
+                  assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRankInt needs iters >= 1, got $iters")
     import Iterate.checkpointRdd
     import org.apache.spark.sql.expressions.Window
@@ -245,8 +246,12 @@ object Graph {
     spark0.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val lazyCps = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
-    val edges = edgesIn.toDF("src", "dst").repartition(np, col("src"))
-      .dropDuplicates("src", "dst")
+    // assumeDistinct (the hitsInt contract): a caller whose edge frame is
+    // provably duplicate-free (e.g. the union of two DISTINCT
+    // orientations over disjoint key spaces) skips the dedup — a full
+    // partial-agg pass over the edge list per invocation
+    val e1 = edgesIn.toDF("src", "dst").repartition(np, col("src"))
+    val edges = (if (assumeDistinct) e1 else e1.dropDuplicates("src", "dst"))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .cache()
     try {
