@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -629,7 +631,7 @@ object QueriesExt {
         // materialize INSIDE the AQE-off scope (the conf only matters at
         // execution time; a lazily returned frame would execute after
         // the finally restores AQE) — the hitsInt final-frame pattern
-        .localCheckpoint(true)
+        .ckpt(true)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }

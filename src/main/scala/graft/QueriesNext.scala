@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -205,7 +207,7 @@ object QueriesNext {
       val corpus = base.unionByName(planted)
         .withColumn("sig", Similarity.hyperplaneSig(col("v"), nPlanes = 8, dim = 64))
         .withColumn("nrm", sqrt(Similarity.dotComposed(col("v"), col("v"))))
-        .localCheckpoint(true)
+        .ckpt(true)
       val a = corpus.select(col("id").as("id_a"), col("sig"),
         col("v").as("va"), col("nrm").as("na"))
       val b = corpus.select(col("id").as("id_b"), col("sig"),

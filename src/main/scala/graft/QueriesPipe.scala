@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -89,7 +91,7 @@ object QueriesPipe {
           col("home_xg"), col("home_xga"), col("home_xgd"), col("home_xgd_per90"),
           col("away_xg"), col("away_xga"), col("away_xgd"), col("away_xgd_per90"))
         .orderBy("cid")
-        .localCheckpoint(true)
+        .ckpt(true)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }

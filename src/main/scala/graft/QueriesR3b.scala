@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -371,7 +373,7 @@ object QueriesR3b {
         .select(col("doc_id"),
           array_distinct(transform(Dedup.bigramShingles(col("text")),
             g => Dedup.tokenId(g))).as("gs"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val ex = tk.select(col("doc_id"), explode(col("gs")).as("g"))
       val dfr = ex.groupBy("g").agg(count(lit(1)).as("df"))
       // sig0 feeds BOTH the hot-bucket rollup and the anti-join's left
@@ -382,10 +384,10 @@ object QueriesR3b {
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy("df", "g")))
         .filter(col("rk") <= 3).select("doc_id", "g")
-        .localCheckpoint(true)
+        .ckpt(true)
       val hot = sig0.groupBy("g").agg(count(lit(1)).as("c"))
         .filter(col("c") > 64).select("g")
-      val sig = sig0.join(hot, Seq("g"), "left_anti").localCheckpoint(true)
+      val sig = sig0.join(hot, Seq("g"), "left_anti").ckpt(true)
       val cand = sig.as("a").join(sig.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
@@ -402,7 +404,7 @@ object QueriesR3b {
           (col("inter").cast(DoubleType) / col("uni").cast(DoubleType)).as("jac"))
         .filter(col("jac") >= 0.8)
         .orderBy(col("ida"), col("idb"))
-        .localCheckpoint(true)
+        .ckpt(true)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -224,7 +226,7 @@ object QueriesR3c {
         .groupBy("id").agg(min(col("dc")).as("m"), first(col("v")).as("v"))
         .select(col("id"), col("m.cid").as("cell"), col("v"),
           sqrt(Similarity.dot(col("v"), col("v"))).as("nrm"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val a = assigned.select(col("id").as("id_a"), col("cell"),
         col("v").as("va"), col("nrm").as("na"))
       val b = assigned.select(col("id").as("id_b"), col("cell"),

@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -269,7 +271,7 @@ object QueriesR3e {
           explode(split(col("text"), " ")).as("tok"))
         .select(col("doc_id"), col("lang"),
           (Dedup.tokenId(col("tok")) % 1024).as("k"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val raw = toks.groupBy("k").agg(count(lit(1)).as("r"))
       val tgt = toks.filter(col("lang") === "en")
         .groupBy("k").agg(count(lit(1)).as("tc"))
@@ -289,7 +291,7 @@ object QueriesR3e {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"), sum("lr_micro").as("score_micro"))
         .orderBy("doc_id")
-        .localCheckpoint(true)
+        .ckpt(true)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -115,7 +117,7 @@ object QueriesR3g {
           .unionByName(p.select((col("p_partkey") + 1000000).as("id"),
             expr("substring(nm, 1, length(nm) - 2)").as("name")))
           .withColumn("blk", split(col("name"), " ").getItem(0))
-          .localCheckpoint(true)
+          .ckpt(true)
       }
       def ents() = entsCp
       val edges = ents().as("a").join(ents().as("b"),

@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -56,13 +58,13 @@ object QueriesR3h {
           col("conv.cep") - col("ep") <= 604800000000L)
         .select(col("event_type").as("channel"), col("ep"), col("event_id"),
           col("conv.cid").as("conv_id"), col("conv.ccents").as("conv_cents"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val perConv = touches.groupBy("conv_id").agg(
         count(lit(1)).as("n"),
         min(struct(col("ep"), col("event_id"), col("channel"))).as("fi"),
         max(struct(col("ep"), col("event_id"), col("channel"))).as("la"),
         min("conv_cents").as("cents"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val firstC = perConv.groupBy(col("fi.channel").as("channel"))
         .agg(sum("cents").as("first_cents"))
       val lastC = perConv.groupBy(col("la.channel").as("channel"))
@@ -77,7 +79,7 @@ object QueriesR3h {
         .join(linC, Seq("channel"), "left")
         .na.fill(0L, Seq("first_cents", "last_cents", "linear_cents"))
         .coalesce(1).sortWithinPartitions("channel")
-        .localCheckpoint(true)
+        .ckpt(true)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }

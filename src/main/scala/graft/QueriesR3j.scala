@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -127,7 +129,7 @@ object QueriesR3j {
             sqrt((col("ca") * col("cb")).cast(DoubleType)), 0)
             .cast(LongType).as("cosine_micro"))
         .orderBy(desc("cab"), col("a"), col("b")).limit(20)
-        .localCheckpoint(true)
+        .ckpt(true)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -150,7 +152,7 @@ object QueriesR3k {
           round(log2(col("dl").cast(DoubleType) /
             col("dt").cast(DoubleType)) * 1e6, 0)
             .cast(LongType).as("prior_micro"))
-        .localCheckpoint(true)
+        .ckpt(true)
       // additive model decomposition: log2 p(tok|lang) = log2(c+1) +
       // log2(1/(ctok+v)), each micro-rounded separately — the seen-token
       // part needs NO per-language divisor, so the model build is a pure
@@ -187,7 +189,7 @@ object QueriesR3k {
       // the session's stage-per-job scheduling after the finally
       pred.groupBy("actual", "predicted").agg(count(lit(1)).as("n_docs"))
         .coalesce(1).sortWithinPartitions("actual", "predicted")
-        .localCheckpoint(true)
+        .ckpt(true)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -174,7 +176,7 @@ object QueriesR3p {
         .agg(sum(round(col("o_totalprice") * 100, 0).cast(LongType))
           .as("x"))
         .withColumn("band", expr("x div 1000000"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val bandW = Window.orderBy("band")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val hist = spend.groupBy("band").agg(count(lit(1)).as("bc"))
@@ -184,7 +186,7 @@ object QueriesR3p {
         .select(col("o_custkey"), col("x"),
           (col("off") + row_number().over(Window.partitionBy("band")
             .orderBy("x", "o_custkey"))).as("r"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val tot = ranked.agg(
         count(lit(1)).as("n"),
         sum("x").as("sx"),

@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -83,15 +85,15 @@ object QueriesR3v {
       val tf = t(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val norm = tf.groupBy("doc_id")
         .agg(sqrt(sum(col("tf") * col("tf"))).as("nrm"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val kept = tf.withColumn("df",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy("tok")))
         .filter(col("df") <= 50)
-        .localCheckpoint(true)
+        .ckpt(true)
       val pairs = kept.select(col("doc_id").as("doc_a"), col("tok"),
           col("tf").as("tf_a"))
         .join(kept.select(col("doc_id").as("doc_b"), col("tok"),

@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -236,7 +238,7 @@ object QueriesR3w {
           .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
           .select("a", "b")
-        val cp = next.localCheckpoint(false)
+        val cp = next.ckpt(false)
         // peeling is monotone: an unchanged edge count at a checkpoint
         // means the fixpoint is reached and remaining rounds are no-ops
         // (the oracle replays all 6 — identical by monotonicity). The

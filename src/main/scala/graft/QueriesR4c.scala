@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -39,7 +41,7 @@ object QueriesR4c {
         Dedup.bigramShinglesFromToks(col("toks")).as("sh"))
       val cands = scoredDocs
         .orderBy(desc("rel"), col("doc_id")).limit(20)
-        .localCheckpoint(true)
+        .ckpt(true)
       val pairs = cands.select(col("doc_id").as("da"), col("sh").as("sa"))
         .crossJoin(broadcast(
           cands.select(col("doc_id").as("db"), col("sh").as("sb"))))
@@ -53,14 +55,14 @@ object QueriesR4c {
       val sims = pairs
         .unionByName(pairs.select(col("db").as("da"), col("da").as("db"),
           col("sim")))
-        .localCheckpoint(true)
+        .ckpt(true)
       val c = cands.select("doc_id", "rel")
       // round 1: nothing selected, pure relevance
       var sel = c
         .select(col("doc_id"), col("rel"), lit(0L).as("maxsim"),
           (col("rel") * 7L).as("mmr"), lit(1L).as("rank"))
         .orderBy(desc("mmr"), col("doc_id")).limit(1)
-        .localCheckpoint(true)
+        .ckpt(true)
       for (r <- 2 to 5) {
         val rem = c.join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
         val pick = rem
@@ -73,7 +75,7 @@ object QueriesR4c {
             (col("rel") * 7L - col("maxsim") * 3L).as("mmr"),
             lit(r.toLong).as("rank"))
           .orderBy(desc("mmr"), col("doc_id")).limit(1)
-        sel = sel.unionByName(pick).localCheckpoint(true)
+        sel = sel.unionByName(pick).ckpt(true)
       }
       sel.select("rank", "doc_id", "rel", "maxsim", "mmr")
         .orderBy("rank")

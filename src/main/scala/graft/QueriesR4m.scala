@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -43,7 +45,7 @@ object QueriesR4m {
       // DuckDB materializes this CTE implicitly)
       val cont = pts.groupBy("cluster", "lbl")
         .agg(count(lit(1)).as("n_cl"))
-        .localCheckpoint(true)
+        .ckpt(true)
       // the whole scorecard from ONE window + ONE aggregate pass over the
       // tiny contingency frame: marginals ride partition windows, the
       // per-distinct-marginal entropy/count terms fire on the first row
@@ -248,7 +250,7 @@ object QueriesR4m {
         near.groupBy("k").agg(count(lit(1)).as("n_neighbors")),
         Seq("k"), "left").na.fill(0L, Seq("n_neighbors"))
         .withColumn("is_core", col("n_neighbors") >= 50)
-        .localCheckpoint(true)
+        .ckpt(true)
       val cores = counts.filter(col("is_core"))
         .select(col("k").as("k2"), col("lat").as("lat2"),
           col("lon").as("lon2"),
@@ -269,7 +271,7 @@ object QueriesR4m {
             .when(col("is_border"), lit("border"))
             .otherwise(lit("noise")).as("role"))
         .orderBy("custkey")
-        .localCheckpoint(true)
+        .ckpt(true)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }

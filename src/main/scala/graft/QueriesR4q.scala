@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -125,7 +127,7 @@ object QueriesR4q {
       // scanned once end to end.
       val vc = base.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
         .withColumn("bk", expr("x div 409600"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val offW = Window.partitionBy("g").orderBy("bk")
         .rowsBetween(Window.unboundedPreceding, -1)
       val off = vc.groupBy("g", "bk").agg(sum("cnt").as("bc"))
@@ -157,7 +159,7 @@ object QueriesR4q {
           (col("within") / (col("n") - col("k"))).as("msw"))
         .select(col("n"), col("k"),
           round(col("msb") / col("msw"), 6).as("f_stat"))
-        .localCheckpoint(true)
+        .ckpt(true)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }

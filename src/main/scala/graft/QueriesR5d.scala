@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -211,7 +213,7 @@ object QueriesR5d {
       "at any corpus size; top-25 by coefficient with integer " +
       "tie-break keys.",
     (s, d) => {
-      val e = Graph.backbone(s, d).select("a", "b").localCheckpoint()
+      val e = Graph.backbone(s, d).select("a", "b").ckpt()
       val und = e.select(col("a").as("v"), col("b").as("w"))
         .unionAll(e.select(col("b").as("v"), col("a").as("w")))
       val deg = und.groupBy("v").agg(count(lit(1)).as("deg"))

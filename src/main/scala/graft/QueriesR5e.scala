@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -129,7 +131,7 @@ object QueriesR5e {
         .select(col("l_returnflag").as("g"),
           round(col("l_extendedprice") * 100, 0).cast(LongType).as("c"))
         .withColumn("bk", expr("c div 409600"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val roll = base.groupBy("g", "bk").agg(count(lit(1)).as("nb"))
         .withColumn("off", coalesce(sum("nb").over(
           Window.partitionBy("g").orderBy("bk")
@@ -149,7 +151,7 @@ object QueriesR5e {
         // ≤2 rows per group: one eager checkpoint job materializes the
         // whole rollup chain; the broadcast below builds from the tiny
         // checkpoint instead of re-planning the lazy lineage
-        .localCheckpoint(true)
+        .ckpt(true)
       val wIn = Window.partitionBy("g", "bk").orderBy("c")
       val th = base.join(broadcast(bounds), Seq("g", "bk"))
         .withColumn("rn", row_number().over(wIn) + col("off"))
@@ -160,7 +162,7 @@ object QueriesR5e {
             .as("hi_c"))
         .groupBy("g").agg(max("lo_c").as("lo_cents"),
           max("hi_c").as("hi_cents"))
-        .localCheckpoint(true)
+        .ckpt(true)
       def dd(c: String) = col(c).cast(DoubleType)
       base.join(broadcast(th), "g")
         .groupBy("g").agg(count(lit(1)).as("n"),

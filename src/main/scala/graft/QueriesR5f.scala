@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -106,7 +108,7 @@ object QueriesR5f {
           round(dd("hits") / (dd("n_q") * 5.0) * 1e6, 0).cast(LongType)
             .as("recall_micro"))
         .coalesce(1).sortWithinPartitions("nprobe")
-        .localCheckpoint(true)
+        .ckpt(true)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }
@@ -290,7 +292,7 @@ object QueriesR5f {
       val counts = pairs.groupBy("prv", "nxt").agg(count(lit(1)).as("c"))
         .withColumn("rt", sum("c").over(Window.partitionBy("prv")))
         .withColumn("pm", expr("(1000000 * c) div rt"))
-        .localCheckpoint()
+        .ckpt()
       // A: the chain restricted to non-purchase transitions (absorbing
       // state's outgoing edges cut; reaching it ends the walk)
       val a = counts.filter(col("prv") =!= "purchase" &&
@@ -300,7 +302,7 @@ object QueriesR5f {
         .groupBy(col("x.i").as("i"), col("y.j").as("j"))
         .agg(sum(col("x.pm") * col("y.pm")).as("pico"))
         .withColumn("pm2", expr("pico div 1000000"))
-        .localCheckpoint()
+        .ckpt()
       val m3 = m2.as("x").join(a.as("y"), col("x.j") === col("y.i"))
         .groupBy(col("x.i").as("i"), col("y.j").as("j"))
         .agg(sum(col("x.pm2") * col("y.pm")).as("pico"))

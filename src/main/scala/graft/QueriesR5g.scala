@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -102,7 +104,7 @@ object QueriesR5g {
             array_sort(array_distinct(split(col("text"), " ")))))
             .as("fp"))
         .distinct()
-        .localCheckpoint(true)
+        .ckpt(true)
       val perSrc = fps.groupBy("source").agg(count(lit(1)).as("n"))
       val shared = fps.as("x").join(fps.as("y"),
           col("x.fp") === col("y.fp") && col("x.source") < col("y.source"))
@@ -178,7 +180,7 @@ object QueriesR5g {
           round(cosC(col("vec"), col("jv")), 6).as("cos"))
         .withColumn("rk", row_number().over(wNn))
         .filter(col("rk") <= 10)
-        .localCheckpoint()
+        .ckpt()
       val ks = ranked
         .select(col("i"), col("j"), col("rk"),
           explode(array(lit(1), lit(3), lit(5), lit(10))).as("k"))

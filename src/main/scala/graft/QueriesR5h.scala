@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -298,7 +300,7 @@ object QueriesR5h {
             "i -> struct(tk[i] AS a, tk[i+1] AS b))")).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
       val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
-        .localCheckpoint()
+        .ckpt()
       val ctx = big.groupBy("a").agg(sum("cab").as("ca"),
         count(lit(1)).as("n1fwd"))
       val cont = big.groupBy("b").agg(count(lit(1)).as("n1back"))

@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -39,7 +41,7 @@ object QueriesR5j {
           (col("s_nationkey") < 12).cast(LongType).as("c"))
       val m = panel.agg(count(lit(1)).as("n"),
         sum("r").as("r1"), sum("c").as("c1"),
-        sum(col("r") * col("c")).as("a")).localCheckpoint(true)
+        sum(col("r") * col("c")).as("a")).ckpt(true)
       // ln-factorial prefix: lnf(i) = Σ_{j≤i} ln j, one bounded window
       val lnf = m.select(explode(expr("sequence(1, n)")).as("i"))
         .withColumn("lnf", sum(log(col("i").cast(DoubleType))).over(
@@ -48,7 +50,7 @@ object QueriesR5j {
       def lnfAt(k: org.apache.spark.sql.Column) =
         when(k <= 0, lit(0.0)).otherwise(col("arr")(k.cast("int") - 1))
       val lnfArr = lnf.orderBy("i")
-        .agg(collect_list("lnf").as("arr")).localCheckpoint(true)
+        .agg(collect_list("lnf").as("arr")).ckpt(true)
       val tail = m.select(col("n"), col("r1"), col("c1"), col("a"),
           explode(expr("sequence(a, least(r1, c1))")).as("k"))
         .crossJoin(broadcast(lnfArr))
@@ -129,7 +131,7 @@ object QueriesR5j {
         .select(col("vec_id").as("id"),
           Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
             .as("vec"))
-        .localCheckpoint(true)
+        .ckpt(true)
       def d2 = {
         val dot = Similarity.dotComposed(col("vec"), col("cvec"))
         Similarity.dotComposed(col("vec"), col("vec")) -

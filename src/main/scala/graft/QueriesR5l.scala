@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -32,7 +34,7 @@ object QueriesR5l {
       val toks = t(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val model = toks.groupBy("tok").agg(sum("cnt").as("c"))
       val tot = model.agg(sum("c").as("n"), count(lit(1)).as("v"))
       val scoredModel = model.crossJoin(broadcast(tot))
@@ -46,7 +48,7 @@ object QueriesR5l {
           sum(col("cnt") * col("nll_micro")).as("nll_sum"))
         .select(col("doc_id"), col("len"),
           expr("nll_sum div len").as("avg_bits_micro"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val thr = perDoc.agg(
           expr("percentile(avg_bits_micro, 0.50)").as("p50"),
           expr("percentile(avg_bits_micro, 0.75)").as("p75"),
@@ -133,9 +135,9 @@ object QueriesR5l {
       val und = ed.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(ed.select(col("b").as("src"), col("a").as("dst")))
       val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-      val edges = und.join(deg, "src").localCheckpoint(true)
+      val edges = und.join(deg, "src").ckpt(true)
       val nodes = edges.select(col("src").as("node")).distinct()
-        .localCheckpoint(true)
+        .ckpt(true)
       val seed = nodes.agg(min("node")).head().getLong(0)
       val base = when(col("node") === seed, lit(150000L)).otherwise(lit(0L))
       var ranks = nodes.select(col("node"),
@@ -284,7 +286,7 @@ object QueriesR5l {
         distinctTokens = false)
       val cnts = pairs.groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
-      val sig = Dedup.simhash16(cnts, "doc_id").localCheckpoint(true)
+      val sig = Dedup.simhash16(cnts, "doc_id").ckpt(true)
       val q = sig.filter(col("doc_id") % 97 === 0)
         .orderBy("doc_id").limit(10)
         .select(col("doc_id").as("q_doc"), col("simhash").as("q_sig"))

@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -203,7 +205,7 @@ object QueriesR5m {
           .withColumnRenamed("com", "ca")), "a")
         .join(broadcast(nat.withColumnRenamed("node", "b")
           .withColumnRenamed("com", "cb")), "b")
-        .localCheckpoint(true)
+        .ckpt(true)
       val m = ed.count()
       val internal = ed.filter(col("ca") === col("cb"))
         .groupBy(col("ca").as("com")).agg(count(lit(1)).as("e_in"))

@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -149,7 +151,7 @@ object QueriesR5n {
         .filter(col("doc_id") % 31 === 0)
         .select(col("doc_id").as("id"),
           array_distinct(split(col("text"), " ")).as("tk"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val pairs = panel.as("x").join(
           panel.select(col("id").as("jid"), col("tk").as("jtk")),
           col("id") < col("jid"))

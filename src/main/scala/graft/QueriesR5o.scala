@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -54,7 +56,7 @@ object QueriesR5o {
         sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"),
         sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx1"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
-        .localCheckpoint(true)
+        .ckpt(true)
       // float-sum audit: every aggregate above is an exact BIGINT sum
       // (order-proof); the doubles below derive from those identical
       // integers via op-for-op mirrored IEEE arithmetic — bit-equal on

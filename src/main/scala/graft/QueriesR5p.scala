@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -34,7 +36,7 @@ object QueriesR5p {
         .agg(count(lit(1)).as("x"),
           sum(round(col("o_totalprice") * 100, 0).cast(LongType))
             .as("y"))
-        .localCheckpoint(true)
+        .ckpt(true)
       def xi(cond: String, resp: String, label: String): DataFrame = {
         val wRank = Window.partitionBy(lit(1)).orderBy(resp)
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
@@ -117,7 +119,7 @@ object QueriesR5p {
         .withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
         .filter(col("res").isNotNull)
-        .localCheckpoint(true)
+        .ckpt(true)
       val train = daily.filter(col("rn") <= expr("(n * 8) div 10"))
       val lims = train.agg(count(lit(1)).as("n_train"),
         round(expr("percentile(res, 0.1)"), 1).as("q10"),

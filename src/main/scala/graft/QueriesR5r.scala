@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -44,7 +46,7 @@ object QueriesR5r {
         .select(col("gap"),
           round(log(col("gap").cast(DoubleType)) * 1e6, 0)
             .cast(LongType).as("lg_micro"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val m = gaps.agg(count(lit(1)).as("n"),
         sum("lg_micro").as("s1"),
         sum(col("lg_micro") * col("lg_micro")).as("s2"),
@@ -120,7 +122,7 @@ object QueriesR5r {
       val m1 = base.agg(count(lit(1)).as("n"),
         sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx")).localCheckpoint(true)
+        sum(col("x") * col("x")).as("sxx")).ckpt(true)
       val r1 = m1.select(col("n"),
         ((col("n").cast(DoubleType) * col("sxy").cast(DoubleType) -
           col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /

@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -46,7 +48,7 @@ object QueriesR5s {
         .select(col("m"), col("n_users"),
           (col("n_conv").cast(DoubleType) /
             col("n_users").cast(DoubleType)).as("v"))
-        .localCheckpoint(true)
+        .ckpt(true)
       // all 12 (channel, base-coalition) marginal terms. Weights ship as
       // integer SIXTHS (1/3 = 2/6): each term micro-rounds BEFORE the
       // per-channel sum, so the sum is exact BIGINT arithmetic — a
@@ -150,7 +152,7 @@ object QueriesR5s {
         .select(col("lang"), explode(array_distinct(split(col("text"),
           " "))).as("tok"))
         .distinct()
-        .localCheckpoint(true)
+        .ckpt(true)
       val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("vs"))
       val shared = vocab.as("x").join(
           vocab.select(col("lang").as("lang_b"), col("tok")).as("y"),

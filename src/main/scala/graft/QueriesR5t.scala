@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -100,7 +102,7 @@ object QueriesR5t {
             .as("wi"))
       val grid = pairs.groupBy("i", "j")
         .agg(count(lit(1)).as("n"), sum("wi").as("w_i"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val undGrid = grid.select(col("i").as("p"), col("j").as("o"),
           col("n"), col("w_i").as("w"))
         .unionByName(grid.select(col("j").as("p"), col("i").as("o"),
@@ -111,7 +113,7 @@ object QueriesR5t {
         .select(col("p"),
           (lit(2.0) * col("wins") / col("games").cast(DoubleType))
             .as("pi1"), col("wins"), col("games"))
-        .localCheckpoint(true)
+        .ckpt(true)
       // step 2: pi2 = W / Σ_j n_ij/(pi1_i + pi1_j)
       def dd(c: String) = col(c).cast(DoubleType)
       val denom = undGrid

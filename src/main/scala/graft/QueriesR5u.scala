@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -33,9 +35,9 @@ object QueriesR5u {
       val ed = Graph.backbone(s, d).select("a", "b")
       val und = ed.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(ed.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint(true)
+        .ckpt(true)
       val nodes = und.select(col("src").as("node")).distinct()
-        .localCheckpoint(true)
+        .ckpt(true)
       var k = nodes.select(col("node"), lit(1000L).as("katz"))
       for (_ <- 1 to 4) {
         val inc = und
@@ -130,7 +132,7 @@ object QueriesR5u {
         .repartition(parts, col("bk"))
         .groupBy("bk", "score")
         .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
-        .localCheckpoint(true)
+        .ckpt(true)
       // bucket rollup: offsets (exclusive prefix sums) + class totals —
       // bounded by the VALUE RANGE, not the corpus, so the whole-frame
       // windows here run over a few hundred rows
@@ -156,7 +158,7 @@ object QueriesR5u {
         .orderBy(desc("ks_micro"), col("score")).limit(1)
         .select(col("score").as("threshold_cents"), col("tp").as("n_pos"),
           col("tn").as("n_neg"), col("ks_micro"))
-        .localCheckpoint(true)
+        .ckpt(true)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }
@@ -217,7 +219,7 @@ object QueriesR5u {
           explode(transform(sequence(lit(1), size(col("toks")) - 4),
             i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(5))))))
             .as("span"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val boiler = spans.groupBy("span")
         .agg(countDistinct("doc_id").as("reach"))
         .filter(col("reach") >= 3)
@@ -240,7 +242,7 @@ object QueriesR5u {
           round(dd("docs_affected") * 1e6 / dd("n_docs"), 0)
             .cast(LongType).as("docs_affected_share_micro"))
         .coalesce(1).sortWithinPartitions("source")
-        .localCheckpoint(true)
+        .ckpt(true)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -62,7 +64,7 @@ object QueriesR7a {
       val fine = grid.select(qk.as("tile"), col("cents"))
         .groupBy("tile")
         .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val levels = Seq(2, 4, 6).map { l =>
         fine.groupBy(substring(col("tile"), 1, l).as("tile"))
           .agg(sum("n").cast(LongType).as("n"),

@@ -1,0 +1,70 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/** Checkpoint-mode switch: every plan-truncation site in the engine
+  * (iterative loops in Graph/Dedup/TextAnalysis, query-level reuse
+  * materializations, the fixture floor scope) routes through [[cp]], and
+  * ONE conf — `spark.graft.reliableCheckpoint` — flips them all from
+  * executor-local checkpoints to reliable `Dataset.checkpoint`.
+  *
+  * Why the flag exists (the 100 TB durability story): `localCheckpoint`
+  * truncates lineage and keeps the data ONLY as executor-local blocks —
+  * on a real cluster, losing one executor makes every query holding such
+  * a truncated plan unrecoverable ("checkpoint block not found"). Local
+  * mode can't lose an executor, so the default stays local (no
+  * distributed filesystem round-trip, no extra write jobs); a cluster
+  * deployment sets
+  *   spark.graft.reliableCheckpoint=true
+  *   spark.graft.checkpointDir=hdfs://... (or any shared filesystem)
+  * and every site below writes through `RDD.checkpoint()` instead:
+  * lineage is retained until the checkpoint FILES are durably written,
+  * so executor loss recomputes instead of failing.
+  *
+  * Semantics are identical in both modes — same rows, same types, same
+  * partitioning (`Dataset.checkpoint` preserves outputPartitioning in the
+  * LogicalRDD either way); `ReliableCheckpointSpec` pins one iterative
+  * query per family to bit-equality across modes, and the FloorCheck
+  * ratchet covers the full inventory in default mode. Cost difference in
+  * reliable mode: each EAGER site pays a checkpoint-file write job, and a
+  * LAZY site is written by the first action that materializes it (Spark
+  * writes only the nearest marked RDD per action — ancestors of a written
+  * checkpoint keep full lineage, which is exactly the recoverability the
+  * mode buys). Freed-block bookkeeping ([[graft.operators.Iterate
+  * .checkpointRdd]] unpersist calls) is a no-op on reliable checkpoints —
+  * their files live until context stop (or
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`), which is the
+  * durability contract, not a leak.
+  */
+object Ck {
+
+  val ReliableKey = "spark.graft.reliableCheckpoint"
+  val DirKey = "spark.graft.checkpointDir"
+
+  def reliable(df: DataFrame): Boolean =
+    df.sparkSession.conf.get(ReliableKey, "false").toBoolean
+
+  /** Mode-dispatched checkpoint: `localCheckpoint(eager)` by default,
+    * `checkpoint(eager)` under `spark.graft.reliableCheckpoint=true`
+    * (checkpoint dir from `spark.graft.checkpointDir`, defaulting to a
+    * per-context temp dir so the flag works out of the box in tests).
+    */
+  def cp(df: DataFrame, eager: Boolean): DataFrame =
+    if (!reliable(df)) df.localCheckpoint(eager)
+    else {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) {
+        val dir = df.sparkSession.conf.getOption(DirKey).getOrElse(
+          java.nio.file.Files.createTempDirectory("graft_reliable_ck_").toString)
+        sc.setCheckpointDir(dir)
+      }
+      df.checkpoint(eager)
+    }
+
+  /** Chained-call sugar so a swap from `.localCheckpoint(e)` is one token:
+    * `df.ckpt(e)`. Import `graft.engine.Ck.Ops`.
+    */
+  implicit class Ops(private val df: DataFrame) extends AnyVal {
+    def ckpt(eager: Boolean = true): DataFrame = cp(df, eager)
+  }
+}

@@ -147,7 +147,7 @@ object Engine {
       // stages are ~30% task-scheduling floor on this set. Size-gated
       // like the AQE scope: production reads never engage it.
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try body.localCheckpoint(true)
+      try Ck.cp(body, eager = true)
       finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
         s.conf.set("spark.sql.shuffle.partitions", partsWere)

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -209,7 +211,7 @@ object Dedup {
     // 5 k docs before truncation). LAZY checkpoints: the labelSum read is
     // the materializing job, so each round schedules ONE driver job, not
     // checkpoint + sum (measured 44 → ~24 jobs on er_name_cluster)
-    var labels = n.select(col("id"), col("id").as("label")).localCheckpoint(false)
+    var labels = n.select(col("id"), col("id").as("label")).ckpt(false)
     var checksum = labelSum(labels)
     var converged = false
     var it = 0
@@ -221,7 +223,7 @@ object Dedup {
         .select(col("a").as("id"), col("label").as("label"))
       val stepped = labels.select("id", "label").union(prop)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(false)
+        .ckpt(false)
       // pointer jumping: label ← stepped(label) — chasing THIS round's
       // pointer table (round 8; previously the one-step-older `labels`,
       // which converged in O(diameter) rounds, not O(log diameter):
@@ -239,11 +241,17 @@ object Dedup {
         .join(r, col("l.label") === col("lid"), "left")
         .select(col("l.id").as("id"),
           coalesce(col("llabel"), col("l.label")).as("label"))
-        .localCheckpoint(false)
+        .ckpt(false)
       val nextSum = labelSum(next)
       checkpointRdd(labels).foreach(_.unpersist(blocking = false))
       // next is materialized past stepped now; free the round's inner
-      // checkpoint too
+      // checkpoint too. Local-mode caveat (ADVICE r8): if one of next's
+      // local-checkpoint blocks were lost AFTER this free (executor loss),
+      // its truncated lineage could not recompute through stepped — local
+      // mode can't lose executors, and a cluster run sets
+      // spark.graft.reliableCheckpoint=true (Ck.cp), under which these
+      // frees are no-ops on durable checkpoint files and recovery
+      // recomputes from the retained lineage instead.
       checkpointRdd(stepped).foreach(_.unpersist(blocking = false))
       labels = next
       converged = nextSum == checksum // labels only decrease: equal sum = fixpoint

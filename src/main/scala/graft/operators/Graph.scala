@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -161,7 +163,7 @@ object Graph {
     try {
       var visited = e.agg(min("src").as("node"))
         .select(col("node"), lit(0).as("hop"))
-        .localCheckpoint(true)
+        .ckpt(true)
       var frontier = visited
       var h = 1
       var done = false
@@ -171,7 +173,7 @@ object Graph {
           .select(col("dst").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
           .select(col("node"), lit(h).as("hop"))
-          .localCheckpoint(true)
+          .ckpt(true)
         if (next.isEmpty) done = true
         else {
           frontier = next
@@ -271,7 +273,7 @@ object Graph {
           .join(edges.select(col("dst").as("node")).distinct(),
             Seq("node"), "left_anti")
           .select(col("node"), lit(Scale * 15 / 100).as("rank"))
-          .localCheckpoint(true)
+          .ckpt(true)
         // init ranks stays LAZY (nodes is cached): the first eager
         // checkpoint materializes the whole prefix in one job
         var ranks: DataFrame = nodes.select(col("node"), lit(Scale).as("rank"))
@@ -301,9 +303,9 @@ object Graph {
           // Intermediate checkpoint blocks (node-count-sized, a handful
           // of rounds) are freed in the finally, AFTER materialization.
           if (i == iters) {
-            ranks = next.localCheckpoint(true)
+            ranks = next.ckpt(true)
           } else {
-            ranks = next.localCheckpoint(false)
+            ranks = next.ckpt(false)
             lazyCps += ranks
           }
         }
@@ -453,14 +455,14 @@ object Graph {
         // persisted until the finally: the final auths branch may fall
         // back to round r−1's checkpoint if a raw-cache block evicts, so
         // freeing them mid-loop would be an eviction-triggered failure.
-        hubs = h.localCheckpoint(false)
+        hubs = h.ckpt(false)
         cps += hubs
         auths = a
       }
       hubs.select(lit("hub").as("side"), col("node"), col("score"))
         .unionByName(auths.select(lit("authority").as("side"), col("node"),
           col("score")))
-        .localCheckpoint(true)
+        .ckpt(true)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.conf.set(sp, spWas)

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -116,7 +118,7 @@ object TextAnalysis {
   def bpeTrainMerges(wordFreq: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"bpeTrainMerges needs rounds >= 1, got $rounds")
     var syms = wordFreq.select(col("symstr"), col("freq"))
-      .localCheckpoint(true)
+      .ckpt(true)
     var merges: DataFrame = null
     for (r <- 1 to rounds) {
       val pairs = syms
@@ -130,7 +132,7 @@ object TextAnalysis {
       val best = pairs
         .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1)
         .select(lit(r).as("round"), col("pa"), col("pb"), col("cnt"))
-        .localCheckpoint(true)
+        .ckpt(true)
       merges = if (merges == null) best else merges.unionByName(best)
       if (r < rounds)
         syms = syms
@@ -138,7 +140,7 @@ object TextAnalysis {
           .select(expr(
             "replace(symstr, concat(pa, ' ', pb), concat(pa, pb))")
             .as("symstr"), col("freq"))
-          .localCheckpoint(true)
+          .ckpt(true)
     }
     merges
   }

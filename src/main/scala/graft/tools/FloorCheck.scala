@@ -48,9 +48,11 @@ object FloorCheck {
   def canonicalRows(spark: SparkSession, sfDir: String, name: String,
                     floorOn: Boolean): Seq[String] = {
     if (floorOn) {
+      // apply floor-on via the REAL conf-set entry point (ADVICE r8): a
+      // hardcoded copy here could drift from what Bench/Verify actually
+      // apply if the floor conf set or its size gate ever changes
       spark.conf.set("spark.graft.floorScope", "true")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      graft.engine.Engine.fixtureFloorConfs(spark, sfDir)
     } else {
       spark.conf.set("spark.graft.floorScope", "false")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
