@@ -2,7 +2,7 @@ package graft
 
 import graft.engine.Ck.Ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -63,8 +63,12 @@ object QueriesR8a {
             lit(k.toLong).as("k"),
             count(lit(1)).as("n_tasks"),
             sum(round(passAtK(k) * 1e6, 0).cast(LongType)).as("sum_micro"),
-            sum(when(round(passAtK(k) * 1e6, 0) === 1e6, 1L).otherwise(0L))
-              .as("n_solved"))
+            // solved outright = the EXACT pass@k = 1 condition (c > 0 and
+            // n − c < k: every size-k sample contains a correct attempt) —
+            // not "rounds to 1e6", which would also count near-1 estimates
+            // (ADVICE r8)
+            sum(when(col("c") > 0 && col("n") - col("c") < k, 1L)
+              .otherwise(0L)).as("n_solved"))
         }
         .reduce(_ unionByName _)
         .select(col("k"), col("n_tasks"),
@@ -86,7 +90,7 @@ object QueriesR8a {
                    CAST(count(*) AS BIGINT) AS n_tasks,
                    CAST(sum(CAST(round((${caseSql(k)}) * 1e6, 0) AS BIGINT))
                      AS BIGINT) AS sum_micro,
-                   CAST(sum(CASE WHEN round((${caseSql(k)}) * 1e6, 0) = 1e6
+                   CAST(sum(CASE WHEN c > 0 AND n - c < $k
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_solved
             FROM tasks"""
       }.mkString("\nUNION ALL\n")
@@ -210,9 +214,13 @@ object QueriesR8a {
       "BP · exp(¼·Σ ln pₙ) assembled from those integer sums in one " +
       "identical IEEE expression tree on both engines. Scale shape: " +
       "n-gram enumeration is a within-row HOF (no explode until the " +
-      "count agg), the per-(doc, gram) count join is keyed, and the " +
-      "final assembly is a 4-row frame crossed with a 1-row length " +
-      "aggregate — nothing global ever exceeds 4 rows.",
+      "count agg), and the whole metric is ONE pass over the corpus — " +
+      "two keyed exchanges, no reuse materialization: the corpus " +
+      "lengths ARE the unigram totals (ref_len = Σ r at n = 1, hyp_len " +
+      "= Σ h at n = 1), so the former separate length aggregate and its " +
+      "crossJoin (and the eager checkpoint that fed both branches — the " +
+      "round-8 verdict's one flagged anti-pattern) fold into the same " +
+      "tagged-gram aggregation for free.",
     (s, d) => {
       val toks = t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ref"))
@@ -220,16 +228,14 @@ object QueriesR8a {
         .withColumn("hyp",
           expr("transform(slice(ref, 1, size(ref) - 1), " +
             "(t, i) -> CASE WHEN (i + 1) % 7 = 0 THEN 'xxx' ELSE t END)"))
-        .ckpt(true)
-      val lens = toks.agg(
-        sum(size(col("ref"))).cast(LongType).as("ref_len"),
-        sum(size(col("hyp"))).cast(LongType).as("hyp_len"))
       // ONE tagged explode covers all (n, side) legs — 8 separate
       // count-aggregations + 4 joins would re-scan the token frame 8
       // times; here one (doc, n, gram) aggregation carries both sides'
-      // counts and the clip is a least() on the finished row. Grams
-      // with h = 0 contribute nothing to either sum, so dropping them
-      // before the per-n rollup is exact.
+      // counts and the clip is a least() on the finished row. No h > 0
+      // pre-filter: a gram seen only in the reference contributes
+      // least(0, r) = 0 to clipped and 0 to total — identical sums —
+      // while KEEPING such rows lets Σ r at n = 1 equal the corpus
+      // reference length exactly.
       val grams = toks.select(col("doc_id"), explode(expr(
         """flatten(transform(sequence(1, 4), n -> concat(
              transform(sequence(1, size(hyp) - n + 1), i ->
@@ -240,22 +246,22 @@ object QueriesR8a {
                  'g', array_join(slice(ref, i, n), ' '))))))""")).as("x"))
         .select(col("doc_id"), col("x.n").cast(LongType).as("n"),
           col("x.side").as("side"), col("x.g").as("g"))
-      val perN = grams.groupBy("doc_id", "n", "g")
+      // per-(doc, n, gram) clip, then the 8 corpus totals + both corpus
+      // lengths in ONE global aggregation (the per-gram partial and the
+      // global partial pipeline in the same stage — no intermediate
+      // 4-row groupBy(n) exchange)
+      val perGram = grams.groupBy("doc_id", "n", "g")
         .agg(sum(when(col("side") === "h", 1L).otherwise(0L)).as("h"),
           sum(when(col("side") === "r", 1L).otherwise(0L)).as("r"))
-        .filter(col("h") > 0)
-        .groupBy("n")
-        .agg(sum(least(col("h"), col("r"))).cast(LongType).as("clipped"),
-          sum(col("h")).cast(LongType).as("total"))
-      val pivot = perN.agg(
-        sum(when(col("n") === 1, col("clipped"))).cast(LongType).as("c1"),
-        sum(when(col("n") === 1, col("total"))).cast(LongType).as("t1"),
-        sum(when(col("n") === 2, col("clipped"))).cast(LongType).as("c2"),
-        sum(when(col("n") === 2, col("total"))).cast(LongType).as("t2"),
-        sum(when(col("n") === 3, col("clipped"))).cast(LongType).as("c3"),
-        sum(when(col("n") === 3, col("total"))).cast(LongType).as("t3"),
-        sum(when(col("n") === 4, col("clipped"))).cast(LongType).as("c4"),
-        sum(when(col("n") === 4, col("total"))).cast(LongType).as("t4"))
+      def tot(i: Int, c: Column) =
+        sum(when(col("n") === i, c)).cast(LongType)
+      val pivot = perGram.agg(
+        tot(1, least(col("h"), col("r"))).as("c1"), tot(1, col("h")).as("t1"),
+        tot(2, least(col("h"), col("r"))).as("c2"), tot(2, col("h")).as("t2"),
+        tot(3, least(col("h"), col("r"))).as("c3"), tot(3, col("h")).as("t3"),
+        tot(4, least(col("h"), col("r"))).as("c4"), tot(4, col("h")).as("t4"),
+        tot(1, col("r")).as("ref_len"))
+        .withColumn("hyp_len", col("t1"))
       def p(i: Int) =
         col(s"c$i").cast(DoubleType) / col(s"t$i").cast(DoubleType)
       val bp = when(col("hyp_len") >= col("ref_len"), lit(1.0))
@@ -266,7 +272,7 @@ object QueriesR8a {
           col("c4") === 0, lit(0.0))
         .otherwise(bp * exp((log(p(1)) + log(p(2)) + log(p(3)) + log(p(4)))
           * 0.25))
-      pivot.crossJoin(lens).select(
+      pivot.select(
         col("ref_len"), col("hyp_len"),
         round(p(1) * 1e6, 0).cast(LongType).as("p1_micro"),
         round(p(2) * 1e6, 0).cast(LongType).as("p2_micro"),
@@ -283,13 +289,17 @@ object QueriesR8a {
             FROM toks"""
       def cntSql(side: String, n: Int): String =
         s"SELECT doc_id, g, count(*) AS cnt FROM (${gramsSql(side, n)}) GROUP BY 1, 2"
+      // FULL join (was LEFT): ref-only grams add exact zeros to clipped
+      // and total, and their r counts make rtotal at n = 1 the corpus
+      // reference length — same fold as the Spark side
       val perN = (1 to 4).map { n =>
         s"""SELECT $n AS n,
-                   CAST(sum(least(h.cnt, coalesce(r.cnt, 0))) AS BIGINT)
-                     AS clipped,
-                   CAST(sum(h.cnt) AS BIGINT) AS total
+                   CAST(sum(least(coalesce(h.cnt, 0), coalesce(r.cnt, 0)))
+                     AS BIGINT) AS clipped,
+                   CAST(sum(coalesce(h.cnt, 0)) AS BIGINT) AS total,
+                   CAST(sum(coalesce(r.cnt, 0)) AS BIGINT) AS rtotal
             FROM (${cntSql("hyp", n)}) h
-            LEFT JOIN (${cntSql("ref", n)}) r USING (doc_id, g)"""
+            FULL JOIN (${cntSql("ref", n)}) r USING (doc_id, g)"""
       }.mkString("\nUNION ALL\n")
       s"""WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS ref,
@@ -307,12 +317,12 @@ object QueriesR8a {
                    CAST(sum(CASE WHEN n = 3 THEN clipped END) AS BIGINT) AS c3,
                    CAST(sum(CASE WHEN n = 3 THEN total END) AS BIGINT) AS t3,
                    CAST(sum(CASE WHEN n = 4 THEN clipped END) AS BIGINT) AS c4,
-                   CAST(sum(CASE WHEN n = 4 THEN total END) AS BIGINT) AS t4
-            FROM pern),
-          lens AS (
-            SELECT CAST(sum(len(ref)) AS BIGINT) AS ref_len,
-                   CAST(sum(len(hyp)) AS BIGINT) AS hyp_len
-            FROM toks)
+                   CAST(sum(CASE WHEN n = 4 THEN total END) AS BIGINT) AS t4,
+                   CAST(sum(CASE WHEN n = 1 THEN rtotal END) AS BIGINT)
+                     AS ref_len,
+                   CAST(sum(CASE WHEN n = 1 THEN total END) AS BIGINT)
+                     AS hyp_len
+            FROM pern)
           SELECT ref_len, hyp_len,
                  CAST(round(CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) * 1e6, 0) AS BIGINT) AS p1_micro,
                  CAST(round(CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE) * 1e6, 0) AS BIGINT) AS p2_micro,
@@ -335,7 +345,7 @@ object QueriesR8a {
                                  ln(CAST(c4 AS DOUBLE) / CAST(t4 AS DOUBLE)))
                               * 0.25)
                        END, 6) AS bleu
-          FROM pvt, lens"""
+          FROM pvt"""
     })
 
   val all: Seq[Q] = Seq(passK, userKnn, bleu)
