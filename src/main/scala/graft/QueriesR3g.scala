@@ -120,10 +120,16 @@ object QueriesR3g {
           .ckpt(true)
       }
       def ents() = entsCp
+      // LAZY-checkpointed too (VERDICT r8): connectedComponents references
+      // its edge frame in BOTH branches of the symmetrizing union, so an
+      // un-truncated candidate frame re-plans the blocked levenshtein join
+      // twice; the lazy checkpoint dedups plan + blocks without the
+      // blocking job an eager one costs (measured: eager ADDED 2 jobs)
       val edges = ents().as("a").join(ents().as("b"),
           col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
         .filter(levenshtein(col("a.name"), col("b.name")) <= 2)
         .select(col("a.id").as("a"), col("b.id").as("b"))
+        .ckpt(false)
       // parts=8: ~1k nodes — the graph-sized pinning contract
       Dedup.connectedComponents(ents().select("id"), edges, parts = 8)
         .select(col("id").as("entity_id"), col("component").as("cluster_id"))

@@ -163,9 +163,15 @@ object QueriesR3k {
           round(log2((col("c") + 1).cast(DoubleType)) * 1e6, 0)
             .cast(LongType).as("logc_micro"))
       // broadcast model keeps the fact-side token stream entirely
-      // map-side until the per-doc aggregation
+      // map-side until the per-doc aggregation. The 5-row constants frame
+      // rides as a plain CARTESIAN of the single-block checkpoint (the
+      // hitsInt idiom, forced via SHUFFLE_REPLICATE_NL) — a broadcast
+      // here would spend a whole scheduler job building a 5-row
+      // broadcast; the cartesian reads the checkpoint narrowly inside
+      // the main job's stages
       val scored = tokCnt
-        .crossJoin(broadcast(langConst))
+        .hint("shuffle_replicate_nl")
+        .crossJoin(langConst.coalesce(1))
         .join(broadcast(model), Seq("l", "tok"), "left")
         .groupBy(col("doc_id"), col("lang").as("actual"), col("l"),
           col("prior_micro"))

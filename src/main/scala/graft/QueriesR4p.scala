@@ -48,25 +48,33 @@ object QueriesR4p {
       // pipeline runs once
       val phrases = phraseTok
         .groupBy("doc_id", "seg")
-        .agg(concat_ws(" ", transform(
+        .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
-          p => p.getField("tok"))).as("phrase"),
+          p => p.getField("tok")).as("wds"),
           count(lit(1)).as("plen"))
+        // the sorted token ARRAY rides alongside the phrase string, so
+        // neither downstream explode re-splits the string it was built
+        // from
+        .select(concat_ws(" ", col("wds")).as("phrase"), col("wds"),
+          col("plen"))
         .cache()
       val wordStats = phrases
-        .select(col("plen"), explode(split(col("phrase"), " ")).as("tok"))
+        .select(col("plen"), explode(col("wds")).as("tok"))
         .groupBy("tok")
         .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
         .select(col("tok"),
           round(col("deg").cast(DoubleType) * 1e6 / col("freq"), 0)
             .cast(LongType).as("score_micro"))
-      val phraseWords = phrases
-        .select(col("phrase"), explode(split(col("phrase"), " ")).as("tok"))
-      phraseWords.join(wordStats, "tok")
+      // n_occur folds into the SAME aggregation (round 9; was a second
+      // groupBy(phrase) + join): each occurrence contributes exactly
+      // plen word rows to the group, so n_occur = rows div plen — one
+      // exchange and no co-located join stage
+      phrases
+        .select(col("phrase"), col("plen"), explode(col("wds")).as("tok"))
+        .join(wordStats, "tok")
         .groupBy("phrase")
-        .agg(sum("score_micro").as("phrase_score_micro"))
-        .join(phrases.groupBy("phrase").agg(count(lit(1)).as("n_occur")),
-          "phrase")
+        .agg(sum("score_micro").as("phrase_score_micro"),
+          expr("count(1) div first(plen)").as("n_occur"))
         .orderBy(desc("phrase_score_micro"), col("phrase"))
         .limit(20)
         .select("phrase", "phrase_score_micro", "n_occur")
@@ -102,17 +110,18 @@ object QueriesR4p {
               FROM (SELECT plen, unnest(string_split(phrase, ' ')) AS tok
                     FROM phrases)
               GROUP BY tok),
-            pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS tok
+            pw AS (SELECT phrase, plen,
+                          unnest(string_split(phrase, ' ')) AS tok
                    FROM phrases),
             scored AS (
               SELECT phrase,
                      CAST(sum(score_micro) AS BIGINT)
-                       AS phrase_score_micro
-              FROM pw JOIN ws USING (tok) GROUP BY phrase),
-            occ AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur
-                    FROM phrases GROUP BY phrase)
+                       AS phrase_score_micro,
+                     CAST(count(*) // any_value(plen) AS BIGINT)
+                       AS n_occur
+              FROM pw JOIN ws USING (tok) GROUP BY phrase)
             SELECT phrase, phrase_score_micro, n_occur
-            FROM scored JOIN occ USING (phrase)
+            FROM scored
             ORDER BY phrase_score_micro DESC, phrase LIMIT 20"""))
 
   // ------------- er_blocking_eval: pairs completeness / reduction

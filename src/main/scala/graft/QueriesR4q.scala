@@ -125,8 +125,15 @@ object QueriesR4q {
       // median exactly as before. The deviation aggregation reuses the
       // same value-count frame with count weights, so the raw table is
       // scanned once end to end.
-      val vc = base.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
-        .withColumn("bk", expr("x div 409600"))
+      // bk is a pure function of x, so grouping by (g, bk, x) is the same
+      // distinct-cents collapse — and pinning the exchange to (g, bk)
+      // up front means BOTH downstream shapes that key on (g, bk) (the
+      // band rollup and the within-band cum window) run exchange-free on
+      // the checkpoint's preserved partitioning: the 583k-row value-count
+      // frame is shuffled once, total
+      val vc = base.withColumn("bk", expr("x div 409600"))
+        .repartition(col("g"), col("bk"))
+        .groupBy("g", "bk", "x").agg(count(lit(1)).as("cnt"))
         .ckpt(true)
       val offW = Window.partitionBy("g").orderBy("bk")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -136,14 +143,21 @@ object QueriesR4q {
         .select("g", "bk", "op", "n")
       val wIn = Window.partitionBy("g", "bk").orderBy("x")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val med = vc.join(broadcast(off), Seq("g", "bk"))
+      // the ≤|groups|-row median table collapses to ONE row carrying a
+      // g→median map, so the deviation pass pairs it via a plain
+      // cartesian of a 1-row side (SHUFFLE_REPLICATE_NL — the hitsInt
+      // idiom) riding the main job's stages; the former broadcast(med)
+      // spent a whole scheduler job building a 5-row broadcast
+      val medMap = vc.join(broadcast(off), Seq("g", "bk"))
         .withColumn("cum", col("op") + sum("cnt").over(wIn))
         .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
           expr("(n + 1) div 2") <= col("cum"))
-        .select(col("g"), col("x").as("med"))
-      val dev = vc.join(broadcast(med), "g")
+        .agg(map_from_arrays(collect_list(col("g")),
+          collect_list(col("x"))).as("meds"))
+      val dev = vc.hint("shuffle_replicate_nl").crossJoin(medMap)
         .select(col("g"), col("cnt"),
-          abs(col("x") - col("med")).cast(DoubleType).as("z"))
+          abs(col("x") - element_at(col("meds"), col("g")))
+            .cast(DoubleType).as("z"))
       val grp = dev.groupBy("g")
         .agg(sum("cnt").as("ni"), sum(col("cnt") * col("z")).as("si"),
           sum(col("cnt") * col("z") * col("z")).as("sqi"))

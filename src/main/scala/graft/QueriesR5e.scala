@@ -141,30 +141,46 @@ object QueriesR5e {
         .withColumn("k95", expr("1 + (95 * (n - 1)) div 100"))
       // the buckets holding each target rank (≤ 2 per group) — located
       // on the bounded rollup, then only those buckets' rows get ranked
-      val bounds = roll.join(nG, "g")
+      // the ≤2-per-group boundary-bucket table collapses to ONE row
+      // carrying a "g|bk"→bracket-struct map, riding the boundary-rank
+      // pass as a plain cartesian (SHUFFLE_REPLICATE_NL, the hitsInt /
+      // stat_levene idiom): a null map lookup IS the bucket filter. The
+      // former shape spent FOUR scheduler jobs on this frame and the
+      // threshold frame (two eager checkpoints + two broadcast builds);
+      // the whole chain now nests inside the main job.
+      val boundsMap = roll.join(nG, "g")
         .withColumn("holds5",
           col("off") < col("k5") && col("k5") <= col("off") + col("nb"))
         .withColumn("holds95",
           col("off") < col("k95") && col("k95") <= col("off") + col("nb"))
         .filter(col("holds5") || col("holds95"))
-        .select("g", "bk", "off", "k5", "k95", "holds5", "holds95")
-        // ≤2 rows per group: one eager checkpoint job materializes the
-        // whole rollup chain; the broadcast below builds from the tiny
-        // checkpoint instead of re-planning the lazy lineage
-        .ckpt(true)
+        .agg(map_from_arrays(
+          collect_list(concat_ws("|", col("g"), col("bk"))),
+          collect_list(struct(col("off"), col("k5"), col("k95"),
+            col("holds5"), col("holds95")))).as("bm"))
       val wIn = Window.partitionBy("g", "bk").orderBy("c")
-      val th = base.join(broadcast(bounds), Seq("g", "bk"))
-        .withColumn("rn", row_number().over(wIn) + col("off"))
+      // ≤3-row thresholds, same collapse: one row with g→lo / g→hi maps
+      val thMap = base.hint("shuffle_replicate_nl").crossJoin(boundsMap)
+        .withColumn("bs",
+          element_at(col("bm"), concat_ws("|", col("g"), col("bk"))))
+        .filter(col("bs").isNotNull)
+        .withColumn("rn", row_number().over(wIn) + col("bs.off"))
         .select(col("g"),
-          when(col("holds5") && col("rn") === col("k5"), col("c"))
+          when(col("bs.holds5") && col("rn") === col("bs.k5"), col("c"))
             .as("lo_c"),
-          when(col("holds95") && col("rn") === col("k95"), col("c"))
+          when(col("bs.holds95") && col("rn") === col("bs.k95"), col("c"))
             .as("hi_c"))
         .groupBy("g").agg(max("lo_c").as("lo_cents"),
           max("hi_c").as("hi_cents"))
-        .ckpt(true)
+        .agg(map_from_arrays(collect_list(col("g")),
+            collect_list(col("lo_cents"))).as("lom"),
+          map_from_arrays(collect_list(col("g")),
+            collect_list(col("hi_cents"))).as("him"))
       def dd(c: String) = col(c).cast(DoubleType)
-      base.join(broadcast(th), "g")
+      base.hint("shuffle_replicate_nl").crossJoin(thMap)
+        .select(col("g"), col("c"),
+          element_at(col("lom"), col("g")).as("lo_cents"),
+          element_at(col("him"), col("g")).as("hi_cents"))
         .groupBy("g").agg(count(lit(1)).as("n"),
           first("lo_cents").as("lo_cents"),
           first("hi_cents").as("hi_cents"),
@@ -180,8 +196,11 @@ object QueriesR5e {
           col("tn"),
           round(dd("tsum") / dd("tn"), 0).cast(LongType)
             .as("trim_mean_cents"))
-        // 3-row output: sort in one partition, skip the range-sample job
+        // 3-row output: sort in one partition, skip the range-sample job;
+        // materialized INSIDE the AQE-off scope (the intermediate eager
+        // checkpoints that used to pin the scope are gone)
         .coalesce(1).sortWithinPartitions("g")
+        .ckpt(true)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }

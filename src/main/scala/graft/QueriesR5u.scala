@@ -139,19 +139,29 @@ object QueriesR5u {
       val wPre = Window.orderBy("bk")
         .rowsBetween(Window.unboundedPreceding, -1)
       val wAll = Window.partitionBy(lit(1))
-      val off = vc.groupBy("bk")
+      // the bounded bucket table collapses to ONE row carrying a
+      // bk→offsets-struct map and rides the CDF pass as a plain
+      // cartesian (SHUFFLE_REPLICATE_NL, the stat_levene idiom) — the
+      // former broadcast(off) spent a scheduler job building a
+      // few-hundred-row broadcast; the rollup chain now nests inside
+      // the main job, reading the vc checkpoint narrowly
+      val offMap = vc.groupBy("bk")
         .agg(sum("np").as("bp"), sum("nn").as("bn"))
         .withColumn("op", coalesce(sum("bp").over(wPre), lit(0L)))
         .withColumn("onn", coalesce(sum("bn").over(wPre), lit(0L)))
         .withColumn("tp", sum("bp").over(wAll))
         .withColumn("tn", sum("bn").over(wAll))
-        .select("bk", "op", "onn", "tp", "tn")
+        .agg(map_from_arrays(collect_list(col("bk")),
+          collect_list(struct(col("op"), col("onn"), col("tp"),
+            col("tn")))).as("om"))
       val wIn = Window.partitionBy("bk").orderBy("score")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       def dd(c: String) = col(c).cast(DoubleType)
-      vc.join(broadcast(off), "bk")
-        .withColumn("cp", col("op") + sum("np").over(wIn))
-        .withColumn("cn", col("onn") + sum("nn").over(wIn))
+      vc.hint("shuffle_replicate_nl").crossJoin(offMap)
+        .withColumn("o", element_at(col("om"), col("bk")))
+        .withColumn("tp", col("o.tp")).withColumn("tn", col("o.tn"))
+        .withColumn("cp", col("o.op") + sum("np").over(wIn))
+        .withColumn("cn", col("o.onn") + sum("nn").over(wIn))
         .select(col("score"), col("tp"), col("tn"),
           round(abs(dd("cp") / dd("tp") - dd("cn") / dd("tn")) * 1e6, 0)
             .cast(LongType).as("ks_micro"))
@@ -220,15 +230,24 @@ object QueriesR5u {
             i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(5))))))
             .as("span"))
         .ckpt(true)
-      val boiler = spans.groupBy("span")
-        .agg(countDistinct("doc_id").as("reach"))
-        .filter(col("reach") >= 3)
-        .select(col("span"))
-      val perDoc = spans
-        .join(boiler.withColumn("is_b", lit(1L)), Seq("span"), "left")
+      // no boiler join at all (round 9; was a groupBy + broadcast-back):
+      // collapse to one row per (span, doc) on a span-pinned exchange —
+      // hash(span) clusters the (span, doc, source) keys — then each
+      // span's doc reach is a count over the span partition it already
+      // sits in (window, zero exchange, span cardinality keeps it
+      // parallel at any scale), and the boiler test is a row-local
+      // comparison: one exchange where the join shape paid a
+      // countDistinct pair plus a broadcast build
+      val sd = spans.repartition(col("span"))
+        .groupBy("span", "doc_id", "source")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("reach",
+          count(lit(1)).over(Window.partitionBy("span")))
+      val perDoc = sd
         .groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
+        .agg(sum("c").as("n_spans"),
+          sum(when(col("reach") >= 3, col("c")).otherwise(0L))
+            .as("n_boiler"))
       def dd(c: String) = col(c).cast(DoubleType)
       perDoc.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),

@@ -198,13 +198,19 @@ object Dedup {
     val n = nodes.toDF("id")
     val e0 = edges.toDF("a", "b")
     // cache the symmetrized edges PRE-PARTITIONED on b, the per-round
-    // probe key: distinct() leaves the frame partitioned on (a, b), so
-    // every round's propagation join would re-exchange the whole edge
-    // list — one avoidable shuffle and stage per round (the hitsInt
-    // dual-orientation discipline, single-sided). At 100 TB the same
-    // co-location comes from bucketing the edge table on b.
-    val e = e0.union(e0.select(col("b"), col("a"))).distinct()
-      .repartition(np, col("b")).cache()
+    // probe key — at 100 TB the same co-location comes from bucketing the
+    // edge table on b. Build shape (round 9): symmetrize with ONE explode
+    // (a union reads the input twice — two scan stages), and dedup ON the
+    // b-partitioning: hash(b) satisfies the (a, b) clustering of
+    // dropDuplicates (the pageRankInt fuse), so the build pays exactly
+    // one exchange where union+distinct+repartition paid three.
+    val e = e0.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("x"))
+      .select(col("x.a").as("a"), col("x.b").as("b"))
+      .repartition(np, col("b"))
+      .dropDuplicates("a", "b")
+      .cache()
     // localCheckpoint (not cache): each round's plan would otherwise carry
     // the ENTIRE prior lineage — re-analyzed by the optimizer every round,
     // so planning cost grows superlinearly with rounds (measured 105 s at
@@ -212,17 +218,32 @@ object Dedup {
     // the materializing job, so each round schedules ONE driver job, not
     // checkpoint + sum (measured 44 → ~24 jobs on er_name_cluster)
     var labels = n.select(col("id"), col("id").as("label")).ckpt(false)
-    var checksum = labelSum(labels)
+    // no init-sum job: the first round compares against None and never
+    // converges spuriously. An already-converged input (edge-less graph)
+    // pays one extra proof round; every real input saves the init job.
+    var checksum: Option[Long] = None
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      // both output columns aliased: aliases mint fresh attribute ids, so
-      // the union below never sees one id on both children (the Spark 4.1
-      // Union constraint-rewrite crash needs duplicated ids to trigger)
-      val prop = e.join(labels, e("b") === labels("id"))
+      // labels arrive partitioned by LABEL (the previous pointer join's
+      // key) — exchange to id ONCE per round; both consumers below (the
+      // propagation probe and the merge) read the SAME exchange
+      // (ReuseExchange dedups the identical subtree), where the previous
+      // union+groupBy shape exchanged the label table twice and then
+      // full-shuffled the union (round 9: 29 → 24 stages on
+      // er_name_cluster, identical labels every round)
+      val labelsId = labels.repartition(np, col("id"))
+      val prop = e.join(labelsId, e("b") === labelsId("id"))
         .select(col("a").as("id"), col("label").as("label"))
-      val stepped = labels.select("id", "label").union(prop)
-        .groupBy("id").agg(min("label").as("label"))
+      // neighbor-min merge as a CO-LOCATED left join (both sides hash(id,
+      // np)) instead of union+groupBy: least() ignores the null a
+      // no-in-edge node gets, so stepped(id) = min(self, neighbor mins)
+      // exactly as before — one exchange (the propagation groupBy, the
+      // irreducible one: labels genuinely move along edges) where the
+      // union shape paid three
+      val propMin = prop.groupBy("id").agg(min("label").as("pmin"))
+      val stepped = labelsId.join(propMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), col("pmin")).as("label"))
         .ckpt(false)
       // pointer jumping: label ← stepped(label) — chasing THIS round's
       // pointer table (round 8; previously the one-step-older `labels`,
@@ -254,8 +275,8 @@ object Dedup {
       // recomputes from the retained lineage instead.
       checkpointRdd(stepped).foreach(_.unpersist(blocking = false))
       labels = next
-      converged = nextSum == checksum // labels only decrease: equal sum = fixpoint
-      checksum = nextSum
+      converged = checksum.contains(nextSum) // labels only decrease: equal sum = fixpoint
+      checksum = Some(nextSum)
       it += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $it sum=$nextSum converged=$converged")
