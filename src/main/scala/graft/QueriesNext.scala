@@ -669,7 +669,19 @@ object QueriesNext {
       // parts=8: the ~700k-edge frame is a few MB, and a 32-way cached
       // partitioning makes all 10 per-round stages pay 32 near-empty
       // tasks (measured 5.6 s → 3.2 s at 8; 4/8/16 within noise)
-      val fwd = Graph.tradeEdges(s, d).select(col("c").as("src"),
+      // encoding guard (ADVICE r8): the +1M supplier offset needs every
+      // customer key BELOW 1,000,000 — around sf≈7 customer keys cross
+      // it, which would silently collide the two key spaces (breaking
+      // both the disjoint-space distinctness argument behind
+      // assumeDistinct and the node encoding itself). A row-level
+      // raise_error makes that fail LOUDLY instead: codegen'd compare,
+      // no extra job, no value change below the threshold.
+      val fwd = Graph.tradeEdges(s, d).select(
+        when(col("c") < 1000000L, col("c"))
+          .otherwise(raise_error(concat(
+            lit("g1_pagerank: c_custkey "), col("c"),
+            lit(" >= 1e6 breaks the supplier-offset node encoding"))))
+          .as("src"),
         (col("s") + 1000000).as("dst"))
       val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       // assumeDistinct: tradeEdges is DISTINCT and the +1M offset puts

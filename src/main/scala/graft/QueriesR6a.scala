@@ -45,15 +45,33 @@ object QueriesR6a {
     */
   private def replayDirValid(dir: String): Boolean = {
     val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-    fs.count(f => f.isFile && f.getName.endsWith(".parquet")) == 1
+    // the _SUCCESS marker must ALSO be present (ADVICE r8): a half-deleted
+    // dir from a partially swept build can still hold exactly one stale
+    // part file; requiring the commit marker makes such a dir fail
+    // validation and be rebuilt
+    fs.count(f => f.isFile && f.getName.endsWith(".parquet")) == 1 &&
+      fs.exists(f => f.isFile && f.getName == "_SUCCESS")
   }
-  private def replayInput(s: SparkSession, d: String): String = {
-    val key = new java.io.File(d).getCanonicalPath
+  private def replayInput(s: SparkSession, d: String): String =
+    replayInputTyped(s, d, None)
+
+  /** Typed variant: a memoized single-file replay log holding only one
+    * event_type. The stream-stream join queries read a views file and a
+    * clicks file instead of filtering the full log in-stream — the two
+    * types are ~40% of the fixture, so each join source scans less than
+    * half the bytes, and the filtered projection is exactly the frame
+    * the in-stream filter produced (same rows → same per-side max event
+    * time → same watermark → identical join/eviction semantics).
+    */
+  private def replayInputTyped(s: SparkSession, d: String,
+                               tpe: Option[String]): String = {
+    val key = new java.io.File(d).getCanonicalPath + tpe.fold("")("#" + _)
     def build(): String = {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_stream_in_").toString
-      t(s, d, "events")
+      val base = t(s, d, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
+      tpe.fold(base)(x => base.filter(col("event_type") === x))
         .coalesce(1).write.mode("overwrite").parquet(dir)
       sys.addShutdownHook(deleteRecursively(dir))
       dir
@@ -106,9 +124,10 @@ object QueriesR6a {
       // cardinality (it is plain session conf, not plan shape).
       val partsWere = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "2")
-      val sq = graft.streaming.Streaming.upsertStream(stream, statePath, ckpt)
+      val sq = graft.streaming.Streaming.upsertStream(stream, statePath, ckpt,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       try {
-        sq.processAllAvailable()
+        sq.awaitTermination()
       } finally {
         sq.stop()
         s.conf.set("spark.sql.shuffle.partitions", partsWere)
@@ -204,6 +223,11 @@ object QueriesR6a {
       // mismatched state layout.
       val partsWere = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "2")
+      // Trigger.AvailableNow (round 9): processes everything available,
+      // runs the trailing no-data batch that the advanced watermark
+      // needs for Append-mode eviction (the oracle stays bit-green —
+      // proof the closed sessions still emit), then self-terminates —
+      // no processAllAvailable poll handshake, no explicit stop path
       val sq = graft.streaming.Streaming.sessionWindowAgg(stream)
         .withColumnRenamed("total_value", "cents")
         .writeStream
@@ -211,9 +235,10 @@ object QueriesR6a {
         .option("path", out)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try {
-        sq.processAllAvailable()
+        sq.awaitTermination()
       } finally {
         sq.stop()
         s.conf.set("spark.sql.shuffle.partitions", partsWere)
@@ -268,20 +293,17 @@ object QueriesR6a {
       "micro-batch, but unlike the CDC upsert nothing here depends on " +
       "that: more batches would emit the same set.",
     (s, d) => {
-      val in = replayInput(s, d)
       val base = java.nio.file.Files
         .createTempDirectory("graft_vcjoin_").toString
       val out = s"$base/out"
       val ckpt = s"$base/ckpt"
-      // both sides stream the SAME shared replay file and filter
-      // in-stream — two independent file-source instances, so the
-      // stream-stream join still sees two genuine streams. The watermark
-      // sits after the filter, but the inner interval join's output is a
-      // set (emit-on-match), so per-side watermark positions only govern
-      // state eviction, never the emitted rows.
+      // each side streams its own MEMOIZED per-type replay file (round 9;
+      // was the full log filtered in-stream) — two independent file
+      // sources over <half the bytes, same rows after the old filter, so
+      // same per-side watermarks and the identical emitted set.
       def side(tpe: String): DataFrame =
-        graft.streaming.Streaming.readEventsStream(s, in)
-          .filter(col("event_type") === tpe)
+        graft.streaming.Streaming
+          .readEventsStream(s, replayInputTyped(s, d, Some(tpe)))
           .select("event_id", "ts", "user_id")
       val vs = side("view")
       val cs = side("click")
@@ -302,9 +324,10 @@ object QueriesR6a {
         .option("path", out)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try {
-        sq.processAllAvailable()
+        sq.awaitTermination()
       } finally {
         sq.stop()
         s.conf.set("spark.sql.shuffle.partitions", partsWere)
@@ -363,9 +386,10 @@ object QueriesR6a {
         }
         .option("checkpointLocation", ckpt)
         .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try {
-        sq.processAllAvailable()
+        sq.awaitTermination()
       } finally {
         sq.stop()
         s.conf.set("spark.sql.shuffle.partitions", partsWere)
@@ -419,9 +443,10 @@ object QueriesR6a {
         .option("path", out)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try {
-        sq.processAllAvailable()
+        sq.awaitTermination()
       } finally sq.stop()
       deferDelete(base)
       s.read.parquet(out)
@@ -470,9 +495,10 @@ object QueriesR6a {
         .option("path", out)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try {
-        sq.processAllAvailable()
+        sq.awaitTermination()
       } finally {
         sq.stop()
         s.conf.set("spark.sql.shuffle.partitions", partsWere)
@@ -536,9 +562,10 @@ object QueriesR6a {
         .option("path", out)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try {
-        sq.processAllAvailable()
+        sq.awaitTermination()
       } finally {
         sq.stop()
         s.conf.set("spark.sql.shuffle.partitions", partsWere)
@@ -575,14 +602,17 @@ object QueriesR6a {
       "and are never emitted — exactly the always-on contract where " +
       "the stream has no end.",
     (s, d) => {
-      val in = replayInput(s, d)
       val base = java.nio.file.Files
         .createTempDirectory("graft_vcouter_").toString
       val out = s"$base/out"
       val ckpt = s"$base/ckpt"
+      // per-type memoized replay files (see stream_view_click_join):
+      // same rows as the old in-stream filter → same per-side max event
+      // time → same min-of-two-watermarks eviction → identical
+      // null-emission set
       def side(tpe: String): DataFrame =
-        graft.streaming.Streaming.readEventsStream(s, in)
-          .filter(col("event_type") === tpe)
+        graft.streaming.Streaming
+          .readEventsStream(s, replayInputTyped(s, d, Some(tpe)))
           .select("event_id", "ts", "user_id")
       val partsWere = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "2")
@@ -596,9 +626,10 @@ object QueriesR6a {
         .option("path", out)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try {
-        sq.processAllAvailable()
+        sq.awaitTermination()
       } finally {
         sq.stop()
         s.conf.set("spark.sql.shuffle.partitions", partsWere)

@@ -249,13 +249,15 @@ object Streaming {
     * foreachBatch upsert → parquet state, with checkpointing.
     */
   def upsertStream(events: DataFrame, statePath: String,
-                   checkpoint: String, key: String = "user_id")
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
+                   checkpoint: String, key: String = "user_id",
+                   trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: DataFrame, _: Long) =>
         upsertBatchIntoParquet(batch, statePath, key))
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 
   /** File-source streaming read of an events directory with the batch
     * schema — the deployment shape (`readStream` → transform →

@@ -43,7 +43,13 @@ class FloatSumAuditSpec extends AnyFunSuite {
         "text_fertility: sums of BIGINT byte counts — exact in any order")),
     "QueriesR5h.scala" -> Seq(
       ("""round(sum("r").cast(DoubleType) / count(lit(1)) * 1e6, 0)""",
-        "rec scores: r is BIGINT whole quantities — exact in any order"))
+        "rec scores: r is BIGINT whole quantities — exact in any order")),
+    "QueriesR9a.scala" -> Seq(
+      ("""round(sum(col("em")).cast(DoubleType) / count(lit(1)), 6)""",
+        "eval_token_f1 em_rate: em is a BIGINT 0/1 flag — exact in any order"),
+      ("""round(sum(col("f1_micro")).cast(DoubleType) / count(lit(1)) / 1e6, 6)""",
+        "eval_token_f1 mean_f1: f1_micro is micro-quantized BIGINT (rounded " +
+          "per doc BEFORE the sum — the float-sum discipline)"))
   )
 
   test("every round(float-sum) output is hardened or justified") {
