@@ -607,7 +607,6 @@ object QueriesExt {
       s.conf.set("spark.sql.adaptive.enabled", "false")
       try {
       val docs = t(s, d, "documents")
-      val n = docs.count() // corpus size: driver scalar, one cheap job
       val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val tfBase = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       // df and doc length both derive from the tf aggregate (one row per
@@ -619,9 +618,14 @@ object QueriesExt {
       // desc then tok asc, is encoded in the struct order).
       val df_ = tfBase.groupBy("tok").agg(count(lit(1)).as("df"))
       val len = tfBase.groupBy("doc_id").agg(sum("cnt").as("len"))
+      // corpus size rides the plan as a 1-row cartesian off the len
+      // frame (row count = doc count) — the former driver-side
+      // docs.count() was a whole scheduler job for one scalar
+      val nRow = len.agg(count(lit(1)).cast("double").as("nd"))
       val scored = tfBase.join(df_, "tok").join(len, "doc_id")
+        .hint("shuffle_replicate_nl").crossJoin(nRow)
         .withColumn("tfidf",
-          round((col("cnt") / col("len")) * log(lit(n.toDouble) / col("df")), 6))
+          round((col("cnt") / col("len")) * log(col("nd") / col("df")), 6))
       scored.groupBy("doc_id")
         .agg(min(struct((-col("tfidf")).as("s0"), col("tok"),
           col("tfidf").as("v"))).as("m"))

@@ -375,19 +375,22 @@ object QueriesR3b {
             g => Dedup.tokenId(g))).as("gs"))
         .ckpt(true)
       val ex = tk.select(col("doc_id"), explode(col("gs")).as("g"))
-      val dfr = ex.groupBy("g").agg(count(lit(1)).as("df"))
-      // sig0 feeds BOTH the hot-bucket rollup and the anti-join's left
-      // side — un-materialized, each reference re-ran the explode→df→
-      // rank-window chain over the full posting list. It is ~3 rows/doc,
-      // so the checkpoint is tiny and both consumers read it locally.
-      val sig0 = ex.join(dfr, "g")
+      // round 9: the df rollup-join and the hot-bucket anti-join both
+      // collapse into PARTITION-COUNT WINDOWS (the boilerplate-effect
+      // idiom): df is a count over the g partition the posting row
+      // already needs to visit, hotness is the same count over the
+      // 3-rows/doc signature frame — no dfr build, no broadcast
+      // anti-join, and the signature lands PARTITIONED BY g, which is
+      // exactly the self-join key, so candidate enumeration is
+      // co-located (10 → 3 scheduler jobs, identical pairs)
+      val sig = ex
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy("df", "g")))
         .filter(col("rk") <= 3).select("doc_id", "g")
-        .ckpt(true)
-      val hot = sig0.groupBy("g").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 64).select("g")
-      val sig = sig0.join(hot, Seq("g"), "left_anti").ckpt(true)
+        .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("c") <= 64).select("doc_id", "g")
+        .ckpt(false)
       val cand = sig.as("a").join(sig.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))

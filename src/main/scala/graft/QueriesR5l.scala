@@ -36,8 +36,11 @@ object QueriesR5l {
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
         .ckpt(true)
       val model = toks.groupBy("tok").agg(sum("cnt").as("c"))
+      // 1-row totals ride a plain cartesian (SHUFFLE_REPLICATE_NL, the
+      // stat_levene idiom) instead of spending a scheduler job building
+      // a 1-row broadcast
       val tot = model.agg(sum("c").as("n"), count(lit(1)).as("v"))
-      val scoredModel = model.crossJoin(broadcast(tot))
+      val scoredModel = model.hint("shuffle_replicate_nl").crossJoin(tot)
         .select(col("tok"),
           round(-log2((col("c") + 1).cast(DoubleType) /
             (col("n") + col("v")).cast(DoubleType)) * 1e6, 0)
@@ -49,23 +52,27 @@ object QueriesR5l {
         .select(col("doc_id"), col("len"),
           expr("nll_sum div len").as("avg_bits_micro"))
         .ckpt(true)
+      // n_docs folds into the SAME percentile aggregation (one pass over
+      // perDoc instead of two), and the 3-row sweep frame rides the scan
+      // as a cartesian — the former shape spent two broadcast-build jobs
+      // plus a separate count aggregation on this
       val thr = perDoc.agg(
           expr("percentile(avg_bits_micro, 0.50)").as("p50"),
           expr("percentile(avg_bits_micro, 0.75)").as("p75"),
-          expr("percentile(avg_bits_micro, 0.90)").as("p90"))
+          expr("percentile(avg_bits_micro, 0.90)").as("p90"),
+          count(lit(1)).as("n_docs"))
         .select(explode(expr(
           "array(struct(50L AS pct, p50 AS thr), " +
             "struct(75L AS pct, p75 AS thr), " +
-            "struct(90L AS pct, p90 AS thr))")).as("t"))
+            "struct(90L AS pct, p90 AS thr))")).as("t"),
+          col("n_docs"))
         .select(col("t.pct").as("pct"),
-          round(col("t.thr"), 1).as("thr"))
-      val nDocs = perDoc.agg(count(lit(1)).as("n_docs"))
+          round(col("t.thr"), 1).as("thr"), col("n_docs"))
       def dd(c: String) = col(c).cast(DoubleType)
-      perDoc.crossJoin(broadcast(thr))
+      perDoc.hint("shuffle_replicate_nl").crossJoin(thr)
         .filter(col("avg_bits_micro") <= col("thr"))
-        .groupBy("pct", "thr")
+        .groupBy("pct", "thr", "n_docs")
         .agg(count(lit(1)).as("n_kept"), sum("len").as("kept_tokens"))
-        .crossJoin(broadcast(nDocs))
         .select(col("pct"),
           round(col("thr") * 10, 0).cast(LongType).as("thr_decimicro"),
           col("n_kept"),
