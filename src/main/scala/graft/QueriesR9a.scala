@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -116,5 +116,217 @@ object QueriesR9a {
                      AS mean_f1
             FROM scored GROUP BY lang ORDER BY lang"""))
 
-  val all: Seq[Q] = Seq(tokenF1)
+  // ------------- eval_chrf: corpus chrF (character n-gram F-score)
+
+  private val chrf = Q(
+    "eval_chrf",
+    "Corpus-level chrF (Popović 2015) — the character-n-gram F-score " +
+      "that complements BLEU for morphology-rich languages: whitespace " +
+      "is stripped, character n-grams for n ∈ 1..6 count per (doc, n, " +
+      "gram, side) through the eval_bleu_corpus tagged-explode " +
+      "machinery (ONE explode, one keyed aggregation for all 12 " +
+      "(n, side) legs), corpus-pooled clipped matches give per-n " +
+      "precision and recall, and chrF = (1+β²)·P·R/(β²·P+R) with β = 2 " +
+      "averages the per-n F-scores — each assembled from exact integer " +
+      "sums in one identical IEEE tree on both engines. The synthetic " +
+      "hypothesis is the BLEU generator's (drop last word, corrupt " +
+      "every 7th), so the two metrics are directly comparable rows in " +
+      "an eval report. Runs over the deterministic doc_id ≡ 0 (mod 4) " +
+      "eval slice — chrF is an eval-set metric, and the slice filter " +
+      "pushes to the scan. Scale shape: gram enumeration is a " +
+      "within-row HOF, nothing global exceeds 6 rows.",
+    (s, d) => {
+      // deterministic eval slice (doc_id ≡ 0 mod 4): chrF is an
+      // eval-set metric, and the 6-n char-gram blowup (~6× the
+      // character count per side) prices a full-corpus sweep at 4× the
+      // value of the report — the filter is pushed to the scan
+      val toks = t(s, d, "documents")
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("ref"))
+        .filter(size(col("ref")) >= 5)
+        .withColumn("hypw",
+          expr("transform(slice(ref, 1, size(ref) - 1), " +
+            "(t, i) -> CASE WHEN (i + 1) % 7 = 0 THEN 'xxx' ELSE t END)"))
+        .select(col("doc_id"),
+          concat_ws("", col("ref")).as("r"),
+          concat_ws("", col("hypw")).as("h"))
+      // position enumeration runs 1..length then filters to the valid
+      // gram starts: Spark's sequence(1, stop) DESCENDS when stop < 1
+      // (it infers a negative step), so the subtraction form would emit
+      // phantom positions for strings shorter than n — the filter form
+      // is empty-safe for any length ≥ 1
+      val grams = toks.select(col("doc_id"), explode(expr(
+        """flatten(transform(sequence(1, 6), n -> concat(
+             transform(filter(sequence(1, length(h)),
+                 i -> i + n - 1 <= length(h)), i ->
+               named_struct('n', n, 'side', 'h', 'g', substring(h, i, n))),
+             transform(filter(sequence(1, length(r)),
+                 i -> i + n - 1 <= length(r)), i ->
+               named_struct('n', n, 'side', 'r', 'g', substring(r, i, n))))))"""))
+        .as("x"))
+        .select(col("doc_id"), col("x.n").cast(LongType).as("n"),
+          col("x.side").as("side"), col("x.g").as("g"))
+      val perN = grams.groupBy("doc_id", "n", "g")
+        .agg(sum(when(col("side") === "h", 1L).otherwise(0L)).as("h"),
+          sum(when(col("side") === "r", 1L).otherwise(0L)).as("r"))
+        .groupBy("n")
+        .agg(sum(least(col("h"), col("r"))).cast(LongType).as("clipped"),
+          sum(col("h")).cast(LongType).as("ht"),
+          sum(col("r")).cast(LongType).as("rt"))
+      val p = col("clipped").cast(DoubleType) / col("ht").cast(DoubleType)
+      val r = col("clipped").cast(DoubleType) / col("rt").cast(DoubleType)
+      val f = when(col("clipped") === 0, lit(0.0))
+        .otherwise(lit(5.0) * p * r / (lit(4.0) * p + r))
+      perN
+        .select(col("n"), col("clipped"), col("ht"), col("rt"),
+          round(f * 1e6, 0).cast(LongType).as("f_micro"))
+        .orderBy("n")
+    },
+    Some {
+      def gramsSql(side: String, n: Int): String =
+        s"""SELECT doc_id, unnest(list_transform(
+              range(1, greatest(length($side) - ${n - 1}, 0) + 1),
+              i -> substr($side, CAST(i AS INT), $n))) AS g
+            FROM toks"""
+      def cntSql(side: String, n: Int): String =
+        s"SELECT doc_id, g, count(*) AS cnt FROM (${gramsSql(side, n)}) GROUP BY 1, 2"
+      val perN = (1 to 6).map { n =>
+        s"""SELECT $n AS n,
+                   CAST(sum(least(coalesce(h.cnt, 0), coalesce(r.cnt, 0)))
+                     AS BIGINT) AS clipped,
+                   CAST(sum(coalesce(h.cnt, 0)) AS BIGINT) AS ht,
+                   CAST(sum(coalesce(r.cnt, 0)) AS BIGINT) AS rt
+            FROM (${cntSql("h", n)}) h
+            FULL JOIN (${cntSql("r", n)}) r USING (doc_id, g)"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+            SELECT doc_id,
+                   array_to_string(string_split(text, ' '), '') AS r,
+                   array_to_string(list_transform(
+                     range(1, len(string_split(text, ' '))),
+                     i -> CASE WHEN i % 7 = 0 THEN 'xxx'
+                          ELSE string_split(text, ' ')[i] END), '') AS h
+            FROM documents
+            WHERE doc_id % 4 = 0
+              AND len(string_split(text, ' ')) >= 5),
+          pern AS ($perN)
+          SELECT CAST(n AS BIGINT) AS n, clipped, ht, rt,
+                 CAST(round(CASE WHEN clipped = 0 THEN CAST(0.0 AS DOUBLE)
+                   ELSE CAST(5.0 AS DOUBLE) *
+                        (CAST(clipped AS DOUBLE) / CAST(ht AS DOUBLE)) *
+                        (CAST(clipped AS DOUBLE) / CAST(rt AS DOUBLE)) /
+                        (CAST(4.0 AS DOUBLE) *
+                          (CAST(clipped AS DOUBLE) / CAST(ht AS DOUBLE)) +
+                          (CAST(clipped AS DOUBLE) / CAST(rt AS DOUBLE)))
+                   END * 1e6, 0) AS BIGINT) AS f_micro
+          FROM pern ORDER BY n"""
+    })
+
+  // ------------- rec_ndcg_pop: NDCG@10 + MRR@10, popularity baseline
+
+  /** Integer discount tables shared by the Spark plan and the SQL
+    * oracle: term(i) = round(1e6 / log2(i + 1)) for rank i, and the
+    * cumulative ideal DCG — both engines consume the SAME precomputed
+    * BIGINT constants, so no transcendental evaluates at query time on
+    * either side.
+    */
+  private val dcgTerms: Seq[Long] =
+    (1 to 10).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+  private val idcgCum: Seq[Long] = dcgTerms.scanLeft(0L)(_ + _).tail
+
+  private val ndcgPop = Q(
+    "rec_ndcg_pop",
+    "Ranking-eval staples NDCG@10 and MRR@10 for the POPULARITY " +
+      "baseline recommender (every user is served the same global " +
+      "top-10 suppliers by distinct-customer reach; relevance = the " +
+      "user actually trades with the supplier) — the reference " +
+      "numbers a rec experiment must beat, rolled up per nation. All " +
+      "discount arithmetic is precomputed integer micro-units shared " +
+      "verbatim by both engines (round(1e6/log2(rank+1)) terms and " +
+      "their cumulative ideal sums as literal arrays), so per-user " +
+      "DCG/IDCG/MRR are exact BIGINTs and only the final macro means " +
+      "divide. Scale shape: the top-10 list is a bounded frame carried " +
+      "as a 10-entry literal-free map via cartesian; hits compute on " +
+      "one keyed join of the user-supplier edge list; one rollup.",
+    (s, d) => {
+      val edges = graft.operators.Graph.tradeEdges(s, d) // distinct (c, s)
+      val top10 = edges.groupBy("s").agg(count(lit(1)).as("pop"))
+        .orderBy(desc("pop"), col("s")).limit(10)
+        .select(col("s"), row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("pop"), col("s"))).cast(LongType).as("pos"))
+        .agg(map_from_arrays(collect_list(col("s")),
+          collect_list(col("pos"))).as("pm"))
+      val terms = typedLit(dcgTerms)
+      val idcg = typedLit(idcgCum)
+      val perUser = edges.hint("shuffle_replicate_nl").crossJoin(top10)
+        .select(col("c"), element_at(col("pm"), col("s")).as("pos"))
+        .groupBy("c")
+        .agg(sum(when(col("pos").isNotNull,
+            element_at(terms, col("pos").cast("int"))).otherwise(0L))
+            .as("dcg_micro"),
+          sum(when(col("pos").isNotNull, 1L).otherwise(0L)).as("hits"),
+          min(col("pos")).as("first_pos"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("c"), col("c_nationkey").as("nk"))
+      def dd(c: Column) = c.cast(DoubleType)
+      perUser.join(cust, "c")
+        .select(col("nk"),
+          when(col("hits") > 0, dd(col("dcg_micro")) /
+            dd(element_at(idcg, col("hits").cast("int"))))
+            .otherwise(lit(0.0)).as("ndcg"),
+          when(col("first_pos").isNotNull,
+            lit(1.0) / dd(col("first_pos"))).otherwise(lit(0.0)).as("rr"))
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n_users"),
+          sum(round(col("ndcg") * 1e6, 0).cast(LongType)).as("ndcg_sum"),
+          sum(round(col("rr") * 1e6, 0).cast(LongType)).as("rr_sum"))
+        .select(col("nk").cast(LongType).as("nationkey"), col("n_users"),
+          round(dd(col("ndcg_sum")) / col("n_users") / 1e6, 6)
+            .as("mean_ndcg10"),
+          round(dd(col("rr_sum")) / col("n_users") / 1e6, 6)
+            .as("mean_mrr10"))
+        .orderBy("nationkey")
+    },
+    Some {
+      val termsSql = dcgTerms.mkString("[", ", ", "]")
+      val idcgSql = idcgCum.mkString("[", ", ", "]")
+      s"""WITH ed AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          top10 AS (
+            SELECT s, row_number() OVER (ORDER BY pop DESC, s) AS pos
+            FROM (SELECT s, count(*) AS pop FROM ed GROUP BY s)
+            ORDER BY pop DESC, s LIMIT 10),
+          per_user AS (
+            SELECT c,
+                   CAST(sum(CASE WHEN pos IS NOT NULL
+                     THEN ($termsSql)[CAST(pos AS INT)] ELSE 0 END)
+                     AS BIGINT) AS dcg_micro,
+                   CAST(sum(CASE WHEN pos IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS hits,
+                   min(pos) AS first_pos
+            FROM ed LEFT JOIN top10 USING (s)
+            GROUP BY c),
+          scored AS (
+            SELECT c_nationkey AS nk,
+                   CAST(round(CASE WHEN hits > 0
+                     THEN CAST(dcg_micro AS DOUBLE) /
+                          CAST(($idcgSql)[CAST(hits AS INT)] AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END * 1e6, 0) AS BIGINT)
+                     AS ndcg_micro,
+                   CAST(round(CASE WHEN first_pos IS NOT NULL
+                     THEN CAST(1.0 AS DOUBLE) / CAST(first_pos AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END * 1e6, 0) AS BIGINT)
+                     AS rr_micro
+            FROM per_user JOIN customer ON c_custkey = c)
+          SELECT CAST(nk AS BIGINT) AS nationkey,
+                 CAST(count(*) AS BIGINT) AS n_users,
+                 round(CAST(sum(ndcg_micro) AS DOUBLE) / count(*) / 1e6, 6)
+                   AS mean_ndcg10,
+                 round(CAST(sum(rr_micro) AS DOUBLE) / count(*) / 1e6, 6)
+                   AS mean_mrr10
+          FROM scored GROUP BY nk ORDER BY nationkey"""
+    })
+
+  val all: Seq[Q] = Seq(tokenF1, chrf, ndcgPop)
 }

@@ -261,32 +261,38 @@ object Graph {
         .union(edges.select(col("dst").as("node"))).distinct().cache()
       try {
         // Nodes with no in-edges keep the base rank 0.15·scale every
-        // round — a CONSTANT frame, so it's computed once up front
-        // (anti join vs the distinct dst set) instead of re-deriving it
-        // via a per-round nodes⋈incoming left join. Each round is then
-        // just the incoming aggregation's own output unioned with this
-        // frame: one shuffle join per round eliminated at any scale (on
-        // an undirected edge list the frame is empty and the union is a
-        // no-op branch). localCheckpoint'ed eagerly because the loop
-        // references it after nodes is unpersisted.
+        // round — a CONSTANT frame, computed once (anti join vs the
+        // distinct dst set) and unioned into the result ONLY at the end.
+        // Round 9: the loop state is the incoming aggregation's output
+        // ALONE — no per-round union. A Union erases the aggregation's
+        // hash(node) output partitioning, which forced a ranks→src
+        // re-exchange every round; without it the round join is
+        // CO-LOCATED (ranks arrive node-partitioned through the lazy
+        // checkpoint, edges are cached on src), and a LEFT join +
+        // coalesce(rank, base) supplies the constant the union used to
+        // carry — identical integers, one exchange per round instead of
+        // two (g1_pagerank 13 → 8 stages at 5 rounds). Lazy: noIn is
+        // referenced once, inside the final eager checkpoint's lineage,
+        // before the finallys release nodes/edges.
+        val base = Scale * 15 / 100
         val noIn = nodes
           .join(edges.select(col("dst").as("node")).distinct(),
             Seq("node"), "left_anti")
-          .select(col("node"), lit(Scale * 15 / 100).as("rank"))
-          .ckpt(true)
+          .select(col("node"), lit(base).as("rank"))
         // init ranks stays LAZY (nodes is cached): the first eager
-        // checkpoint materializes the whole prefix in one job
+        // checkpoint materializes the whole prefix in one job. It covers
+        // ALL nodes at Scale, so round 1's coalesce default never fires.
         var ranks: DataFrame = nodes.select(col("node"), lit(Scale).as("rank"))
         for (i <- 1 to iters) {
           val contribs = edges
-            .join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(col("dst"), expr("rank div deg").as("contrib"))
+            .join(ranks.withColumnRenamed("node", "src"), Seq("src"), "left")
+            .select(col("dst"),
+              expr(s"coalesce(rank, $base) div deg").as("contrib"))
           val next = contribs.repartition(np, col("dst"))
             .groupBy("dst").agg(sum("contrib").as("incoming"))
             .select(col("dst").as("node"),
-              expr(s"${Scale * 15 / 100} + (850 * incoming) div 1000")
+              expr(s"$base + (850 * incoming) div 1000")
                 .as("rank"))
-            .unionByName(noIn)
           // LAZY checkpoint every round (round 8; was eager every 4th):
           // checkpoint(eager=false) swaps the plan for a LogicalRDD
           // immediately — linear analyzer growth, the reason the eager
@@ -303,7 +309,8 @@ object Graph {
           // Intermediate checkpoint blocks (node-count-sized, a handful
           // of rounds) are freed in the finally, AFTER materialization.
           if (i == iters) {
-            ranks = next.ckpt(true)
+            // the no-in-edge constant frame joins the result here, once
+            ranks = next.unionByName(noIn).ckpt(true)
           } else {
             ranks = next.ckpt(false)
             lazyCps += ranks
