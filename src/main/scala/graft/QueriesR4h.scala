@@ -37,16 +37,23 @@ object QueriesR4h {
         .select(col("doc_id"),
           filter(split(regexp_replace(lower(col("text")),
             "[^a-z0-9 ]", " "), "\\s+"), x => x =!= "").as("toks"))
+      // explicit two-level aggregation on ONE span-pinned exchange
+      // (round 9; was countDistinct, whose expand rewrite shuffles the
+      // heavy span strings twice): hash(span) clusters (span, doc) for
+      // the first level and span itself for the second, so neither
+      // groupBy adds an exchange after the repartition. The 1-row doc
+      // total rides a cartesian instead of a broadcast build job.
       toks
         .filter(size(col("toks")) >= 5)
         .select(col("doc_id"),
           explode(transform(sequence(lit(1), size(col("toks")) - 4),
             i => concat_ws(" ", slice(col("toks"), i, lit(5))))).as("span"))
+        .repartition(col("span"))
+        .groupBy("span", "doc_id").agg(count(lit(1)).as("c"))
         .groupBy("span")
-        .agg(countDistinct("doc_id").as("n_docs"),
-          count(lit(1)).as("n_occurrences"))
+        .agg(count(lit(1)).as("n_docs"), sum("c").as("n_occurrences"))
         .filter(col("n_docs") >= 3)
-        .crossJoin(broadcast(nDocs))
+        .hint("shuffle_replicate_nl").crossJoin(nDocs)
         .select(col("span"), col("n_docs"), col("n_occurrences"),
           round(col("n_docs").cast("double") /
             col("n_docs_total").cast("double"), 6).as("doc_share"))

@@ -144,41 +144,37 @@ object QueriesR4j {
       // rollup supplies each band's global offset. Band count scales
       // with the price RANGE, not the corpus, so the rollup broadcast
       // and per-band sort parallelism both hold at 100 TB.
-      // both bounded lookup tables collapse to ONE-row key→value maps
-      // riding the ranking pass as plain cartesians (SHUFFLE_REPLICATE_NL,
-      // the stat_levene idiom) — the former two broadcast(…) joins each
-      // spent a scheduler job building a bounded broadcast (4 → 2 jobs,
-      // identical ranks)
+      // NOTE on the 1-row-map cartesian idiom: it was tried here and
+      // REVERTED — these two lookup tables total ~9 KB of map payload,
+      // and CartesianProductExec materializes the joined row (map
+      // included) for every one of the 583k value-count rows before the
+      // projection can drop it — ~5 GB of row copying that cost more
+      // than the two broadcast-build jobs it saved. The idiom is only
+      // free when the map is tens of entries (stat_levene's 3 medians,
+      // w30's ≤6 brackets); catalog- or band-scale lookups stay
+      // broadcast joins.
       val xmap = base.groupBy("flag", "x").agg(count(lit(1)).as("nb"))
         .withColumn("cum", sum("nb").over(
           Window.partitionBy("flag").orderBy("x")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .agg(map_from_arrays(
-          collect_list(concat_ws("|", col("flag"), col("x"))),
-          collect_list((lit(2L) * col("cum") - col("nb") + 1L)
-            .cast(LongType))).as("xm"))
+        .select(col("flag"), col("x"),
+          (lit(2L) * col("cum") - col("nb") + 1L).cast(LongType).as("rx"))
       val banded = base.withColumn("bkt", expr("yc div 100000"))
       val offs = banded.groupBy("flag", "bkt").agg(count(lit(1)).as("bc"))
         .withColumn("off", sum("bc").over(
           Window.partitionBy("flag").orderBy("bkt")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           - col("bc"))
-        .agg(map_from_arrays(
-          collect_list(concat_ws("|", col("flag"), col("bkt"))),
-          collect_list(col("off"))).as("om"))
+        .select("flag", "bkt", "off")
       val bandW = Window.partitionBy("flag", "bkt").orderBy("yc")
       val tieW = Window.partitionBy("flag", "bkt", "yc")
       val ranked = banded
         .withColumn("rnk", rank().over(bandW))
         .withColumn("ties", count(lit(1)).over(tieW))
-        .hint("shuffle_replicate_nl").crossJoin(offs)
-        .crossJoin(xmap)
-        .select(col("flag"),
-          element_at(col("xm"), concat_ws("|", col("flag"), col("x")))
-            .as("rx"),
-          (lit(2L) * (element_at(col("om"),
-              concat_ws("|", col("flag"), col("bkt"))) + col("rnk"))
-            + col("ties") - 1L)
+        .join(broadcast(offs), Seq("flag", "bkt"))
+        .join(broadcast(xmap), Seq("flag", "x"))
+        .select(col("flag"), col("rx"),
+          (lit(2L) * (col("off") + col("rnk")) + col("ties") - 1L)
             .cast(LongType).as("ry"))
       val agg = ranked.groupBy("flag")
         .agg(count(lit(1)).cast(LongType).as("n"),
