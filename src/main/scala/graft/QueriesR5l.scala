@@ -142,9 +142,13 @@ object QueriesR5l {
       val und = ed.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(ed.select(col("b").as("src"), col("a").as("dst")))
       val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-      val edges = und.join(deg, "src").ckpt(true)
+      // LAZY checkpoints (round 9; were eager): plan truncation without
+      // the two blocking jobs — the seed head() below is the single
+      // materializing job for the whole edges→nodes chain, and the
+      // loop's 5 references then read the persisted RDD blocks
+      val edges = und.join(deg, "src").ckpt(false)
       val nodes = edges.select(col("src").as("node")).distinct()
-        .ckpt(true)
+        .ckpt(false)
       val seed = nodes.agg(min("node")).head().getLong(0)
       val base = when(col("node") === seed, lit(150000L)).otherwise(lit(0L))
       var ranks = nodes.select(col("node"),

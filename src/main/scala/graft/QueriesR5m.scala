@@ -205,7 +205,10 @@ object QueriesR5m {
           .withColumnRenamed("com", "ca")), "a")
         .join(broadcast(nat.withColumnRenamed("node", "b")
           .withColumnRenamed("com", "cb")), "b")
-        .ckpt(true)
+        // lazy (round 9; was eager): the count() below is the single
+        // materializing job — an eager checkpoint here was a second
+        // blocking job for the same blocks
+        .ckpt(false)
       val m = ed.count()
       val internal = ed.filter(col("ca") === col("cb"))
         .groupBy(col("ca").as("com")).agg(count(lit(1)).as("e_in"))
