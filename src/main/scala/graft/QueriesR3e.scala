@@ -275,12 +275,16 @@ object QueriesR3e {
       val raw = toks.groupBy("k").agg(count(lit(1)).as("r"))
       val tgt = toks.filter(col("lang") === "en")
         .groupBy("k").agg(count(lit(1)).as("tc"))
-      val totals = raw.agg(sum("r").as("rtot"))
-        .crossJoin(toks.filter(col("lang") === "en")
-          .agg(count(lit(1)).as("ttot")))
+      // totals fold out of the 1024-row model tables themselves (round
+      // 9; ttot = Σ tc — the same number the former full-stream count
+      // produced without re-scanning 4M token rows) and ride the model
+      // build as 1-row cartesians instead of a broadcast whose build was
+      // its own scheduler job (8 → 6 jobs, identical model)
       val lr = raw.join(tgt, Seq("k"), "left")
         .na.fill(0L, Seq("tc"))
-        .crossJoin(broadcast(totals))
+        .hint("shuffle_replicate_nl")
+        .crossJoin(raw.agg(sum("r").as("rtot")))
+        .crossJoin(tgt.agg(sum("tc").as("ttot")))
         .select(col("k"),
           round((log2((col("tc") + 1).cast(DoubleType) /
                       (col("ttot") + 1024).cast(DoubleType))

@@ -1,5 +1,7 @@
 package graft
 
+import graft.engine.Ck.Ops
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -44,19 +46,26 @@ object QueriesR3i {
       "entries — every piece linear, the model itself shardable by " +
       "bigram key at 100 TB. avg_bits = integer div of the sum.",
     (s, d) => {
-      val big = docPairs(s, d).groupBy("a", "b")
+      // the bigram stream feeds THREE consumers (bigram counts, unigram
+      // counts, the scoring join) — lazy-checkpointed once so the
+      // tokenize+explode pipeline runs one time instead of three, and
+      // the 1-row vocab rides a cartesian instead of a broadcast build
+      // job (round 9: 5 → 3 jobs)
+      val pairs = docPairs(s, d).ckpt(false)
+      val big = pairs.groupBy("a", "b")
         .agg(count(lit(1)).as("cab"))
-      val uni = docPairs(s, d).groupBy(col("a"))
+      val uni = pairs.groupBy(col("a"))
         .agg(count(lit(1)).as("ca"))
       val vocab = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
         .agg(countDistinct("tok").as("v"))
-      val model = big.join(uni, "a").crossJoin(broadcast(vocab))
+      val model = big.join(uni, "a")
+        .hint("shuffle_replicate_nl").crossJoin(vocab)
         .select(col("a"), col("b"),
           round(-log2((col("cab") + 1).cast(DoubleType) /
             (col("ca") + col("v")).cast(DoubleType)) * 1e6, 0)
             .cast(LongType).as("nll_micro"))
-      docPairs(s, d).join(model, Seq("a", "b"))
+      pairs.join(model, Seq("a", "b"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_pairs"),
           sum("nll_micro").as("nll_sum_micro"))

@@ -176,7 +176,10 @@ object QueriesR3p {
         .agg(sum(round(col("o_totalprice") * 100, 0).cast(LongType))
           .as("x"))
         .withColumn("band", expr("x div 1000000"))
-        .ckpt(true)
+        // lazy (round 9; was eager): every consumer lives in the ONE
+        // final compiled plan now, so truncation without a blocking job
+        // suffices — the persisted blocks still compute once
+        .ckpt(false)
       val bandW = Window.orderBy("band")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val hist = spend.groupBy("band").agg(count(lit(1)).as("bc"))
@@ -186,7 +189,7 @@ object QueriesR3p {
         .select(col("o_custkey"), col("x"),
           (col("off") + row_number().over(Window.partitionBy("band")
             .orderBy("x", "o_custkey"))).as("r"))
-        .ckpt(true)
+        .ckpt(false)
       val tot = ranked.agg(
         count(lit(1)).as("n"),
         sum("x").as("sx"),
@@ -196,7 +199,10 @@ object QueriesR3p {
         round((lit(2.0) * dd("srx") - (dd("n") + 1) * dd("sx")) /
           (dd("n") * dd("sx")) * 1e6, 0).cast(LongType)
           .as("gini_micro"))
-      val deciles = ranked.crossJoin(broadcast(scal))
+      // 1-row scalar frame rides as a cartesian — the broadcast build
+      // was its own scheduler job (5 → 2 jobs total with the lazy
+      // checkpoints above)
+      val deciles = ranked.hint("shuffle_replicate_nl").crossJoin(scal)
         .select(expr("((r - 1) * 10) div n").as("decile"), col("x"),
           col("sx"), col("gini_micro"))
         .groupBy("decile", "sx", "gini_micro")
@@ -209,7 +215,9 @@ object QueriesR3p {
           col("cum_cents"),
           expr("cum_cents * 1000000 div sx").as("cum_share_micro"),
           col("gini_micro"))
-        .orderBy("decile")
+        // 10-row output already in one partition after the unpartitioned
+        // cumulative window — sort in place, no range-sample job
+        .sortWithinPartitions("decile")
     },
     Some("""WITH spend AS (
               SELECT o_custkey,
