@@ -155,15 +155,17 @@ object QueriesR9a {
       // position enumeration runs 1..length then filters to the valid
       // gram starts: Spark's sequence(1, stop) DESCENDS when stop < 1
       // (it infers a negative step), so the subtraction form would emit
-      // phantom positions for strings shorter than n — the filter form
-      // is empty-safe for any length ≥ 1
+      // phantom positions for strings shorter than n — the filter keeps
+      // i >= 1 explicitly (ADVICE r9: a ZERO-length side descends to
+      // [1, 0] and i = 0 would survive the end-bound check at n = 1,
+      // emitting one empty gram the DuckDB oracle never sees)
       val grams = toks.select(col("doc_id"), explode(expr(
         """flatten(transform(sequence(1, 6), n -> concat(
              transform(filter(sequence(1, length(h)),
-                 i -> i + n - 1 <= length(h)), i ->
+                 i -> i >= 1 AND i + n - 1 <= length(h)), i ->
                named_struct('n', n, 'side', 'h', 'g', substring(h, i, n))),
              transform(filter(sequence(1, length(r)),
-                 i -> i + n - 1 <= length(r)), i ->
+                 i -> i >= 1 AND i + n - 1 <= length(r)), i ->
                named_struct('n', n, 'side', 'r', 'g', substring(r, i, n))))))"""))
         .as("x"))
         .select(col("doc_id"), col("x.n").cast(LongType).as("n"),
@@ -268,16 +270,22 @@ object QueriesR9a {
         .agg(sum(when(col("pos").isNotNull,
             element_at(terms, col("pos").cast("int"))).otherwise(0L))
             .as("dcg_micro"),
-          sum(when(col("pos").isNotNull, 1L).otherwise(0L)).as("hits"),
+          // R = the user's TOTAL relevant count (their full edge list —
+          // every input row is one distinct (c, s) trade), normalizing
+          // IDCG at min(R, 10) per the standard NDCG@10 convention and
+          // eval_ndcg's documented contract (ADVICE r9: the old hits-
+          // based index inflated users whose relevant set extends past
+          // the served list). R >= 1 by construction, so no zero guard.
+          count(lit(1)).as("rel"),
           min(col("pos")).as("first_pos"))
       val cust = t(s, d, "customer")
         .select(col("c_custkey").as("c"), col("c_nationkey").as("nk"))
       def dd(c: Column) = c.cast(DoubleType)
       perUser.join(cust, "c")
         .select(col("nk"),
-          when(col("hits") > 0, dd(col("dcg_micro")) /
-            dd(element_at(idcg, col("hits").cast("int"))))
-            .otherwise(lit(0.0)).as("ndcg"),
+          (dd(col("dcg_micro")) /
+            dd(element_at(idcg, least(col("rel"), lit(10L)).cast("int"))))
+            .as("ndcg"),
           when(col("first_pos").isNotNull,
             lit(1.0) / dd(col("first_pos"))).otherwise(lit(0.0)).as("rr"))
         .groupBy("nk")
@@ -306,17 +314,15 @@ object QueriesR9a {
                    CAST(sum(CASE WHEN pos IS NOT NULL
                      THEN ($termsSql)[CAST(pos AS INT)] ELSE 0 END)
                      AS BIGINT) AS dcg_micro,
-                   CAST(sum(CASE WHEN pos IS NOT NULL THEN 1 ELSE 0 END)
-                     AS BIGINT) AS hits,
+                   CAST(count(*) AS BIGINT) AS rel,
                    min(pos) AS first_pos
             FROM ed LEFT JOIN top10 USING (s)
             GROUP BY c),
           scored AS (
             SELECT c_nationkey AS nk,
-                   CAST(round(CASE WHEN hits > 0
-                     THEN CAST(dcg_micro AS DOUBLE) /
-                          CAST(($idcgSql)[CAST(hits AS INT)] AS DOUBLE)
-                     ELSE CAST(0.0 AS DOUBLE) END * 1e6, 0) AS BIGINT)
+                   CAST(round(CAST(dcg_micro AS DOUBLE) /
+                          CAST(($idcgSql)[CAST(least(rel, 10) AS INT)]
+                               AS DOUBLE) * 1e6, 0) AS BIGINT)
                      AS ndcg_micro,
                    CAST(round(CASE WHEN first_pos IS NOT NULL
                      THEN CAST(1.0 AS DOUBLE) / CAST(first_pos AS DOUBLE)

@@ -46,20 +46,50 @@ object Ck {
 
   /** Mode-dispatched checkpoint: `localCheckpoint(eager)` by default,
     * `checkpoint(eager)` under `spark.graft.reliableCheckpoint=true`
-    * (checkpoint dir from `spark.graft.checkpointDir`, defaulting to a
-    * per-context temp dir so the flag works out of the box in tests).
+    * (checkpoint dir from `spark.graft.checkpointDir`).
+    *
+    * Dir resolution (ADVICE r9): `spark.graft.checkpointDir` wins whenever
+    * it is set — even over a dir a PREVIOUS call established (so setting
+    * the conf mid-session takes effect instead of being shadowed by an
+    * earlier temp-dir fallback). With the conf unset, a per-context temp
+    * dir is created ONLY in local mode (tests work out of the box; the
+    * dir is removed on JVM exit). On a real cluster a driver-local temp
+    * path would make executors checkpoint to their own disks — exactly
+    * the non-durability the flag exists to prevent — so a multi-executor
+    * deployment without the conf fails fast here instead.
     */
   def cp(df: DataFrame, eager: Boolean): DataFrame =
     if (!reliable(df)) df.localCheckpoint(eager)
     else {
       val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) {
-        val dir = df.sparkSession.conf.getOption(DirKey).getOrElse(
-          java.nio.file.Files.createTempDirectory("graft_reliable_ck_").toString)
-        sc.setCheckpointDir(dir)
+      df.sparkSession.conf.getOption(DirKey) match {
+        case Some(dir) =>
+          if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        case None => dirLock.synchronized {
+          if (sc.getCheckpointDir.isEmpty) {
+            require(sc.isLocal,
+              s"$ReliableKey=true on a cluster requires $DirKey " +
+                "(a shared filesystem path): a driver-local fallback dir " +
+                "would leave checkpoint files on per-executor disks, " +
+                "defeating the durability the flag provides")
+            val dir = java.nio.file.Files.createTempDirectory("graft_reliable_ck_")
+            // recursive shutdown-hook cleanup (deleteOnExit only removes
+            // EMPTY dirs; checkpoint files land inside) — same discipline
+            // as the streaming replay dirs in QueriesR6a
+            sys.addShutdownHook {
+              import java.util.Comparator
+              if (java.nio.file.Files.exists(dir))
+                java.nio.file.Files.walk(dir).sorted(Comparator.reverseOrder())
+                  .forEach(f => java.nio.file.Files.deleteIfExists(f))
+            }
+            sc.setCheckpointDir(dir.toString)
+          }
+        }
       }
       df.checkpoint(eager)
     }
+
+  private val dirLock = new Object
 
   /** Chained-call sugar so a swap from `.localCheckpoint(e)` is one token:
     * `df.ckpt(e)`. Import `graft.engine.Ck.Ops`.

@@ -142,7 +142,15 @@ object Dedup {
     * pairs, components glue overlapping pairs into dedup groups, and the
     * min label is the deterministic canonical representative.
     *
-    * @param nodes  single-column frame of node ids (long)
+    * @param nodes  single-column frame of node ids (long). CONTRACT
+    *               (ADVICE r9): every edge endpoint must appear in
+    *               `nodes` — the round-9 co-located left-join merge
+    *               anchors on the nodes frame, so an endpoint absent
+    *               from it is silently dropped and labels stop
+    *               propagating through it (the older union+groupBy
+    *               shape emitted such nodes). All in-repo callers pass
+    *               nodes ⊇ endpoints (they derive nodes FROM the edge
+    *               list or a superset scan); external callers must too.
     * @param edges  two-column frame (a, b); symmetrized internally
     * @param parts  pinned partition count for the loop's exchanges; 0 =
     *               session shuffle parallelism. Size it to the GRAPH (the
