@@ -447,11 +447,22 @@ object Graph {
         .crossJoin(mxPrev)
         .groupBy(col(toKey).as("node"))
         .agg(sum(expr(s"(raw * $Scale) div mx")).as("raw"))).ckpt(false)
-    // 1-row max over the checkpoint blocks: its partial aggregation
-    // shares the stage that materializes the blocks, and the 1-row final
-    // rides the consuming join stage — no dedicated stage (A/B-measured:
-    // caching these frames changes nothing, 176 tasks either way)
-    def mxOf(raw: DataFrame): DataFrame = raw.agg(max("raw").as("mx"))
+    // 1-row max over the checkpoint blocks, with NO shuffle (round 10):
+    // `coalesce(1)` is a narrow dependency and CoalesceExec at
+    // numPartitions=1 reports SinglePartition, so the global max's
+    // AllTuples requirement is already satisfied — EnsureRequirements
+    // inserts no exchange, and the whole max (read np persisted block
+    // partitions, fold) rides INSIDE the consuming join's stage as the
+    // cartesian's 1-row side. The previous `raw.agg(max)` planned a
+    // single-partition exchange per half-round — one extra scheduler
+    // stage × 6 half-rounds was the g7_hits 20-stage floor. Cost of the
+    // narrow form: the consuming stage re-reads the persisted raw blocks
+    // (memory-resident, |nodes| rows) once per left partition — bounded
+    // by np × |score table|, cheap next to the join itself at any scale
+    // where the score table fits the block cache, which the pinned
+    // graph-sized `parts` contract already guarantees.
+    def mxOf(raw: DataFrame): DataFrame =
+      raw.coalesce(1).agg(max("raw").as("mx"))
       // distinct on the src-partitioned cache: clustering already
       // satisfied, so the dedup adds no exchange. The uniform init
       // (score ≡ Scale) is represented as raw ≡ Scale with a LITERAL

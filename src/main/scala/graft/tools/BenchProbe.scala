@@ -85,12 +85,13 @@ object BenchProbe {
     // per-query time per pass plus thread/GC state, so the two trees'
     // curves can be diffed pass-by-pass and position-by-position.
     val sb = new StringBuilder
-    sb ++= "pass,idx,query,sec,threads,gcMs\n"
+    sb ++= "pass,idx,query,sec,threads,gcMs,rdds,storMb,heapMb,files\n"
     def passRun(pass: Int): Map[String, Double] = {
       val t0 = System.nanoTime()
       val m = names.zipWithIndex.map { case (n, i) =>
         val dt = run(n)
-        sb ++= f"$pass,$i,$n,$dt%.3f,$threads,$gcMs\n"
+        val rdds = spark.sparkContext.getPersistentRDDs.size
+        sb ++= f"$pass,$i,$n,$dt%.3f,$threads,$gcMs,$rdds,$execMemUsedMb,$heapUsedMb,$localDirFiles\n"
         n -> dt
       }.toMap
       System.err.println(
@@ -98,12 +99,15 @@ object BenchProbe {
           f"threads=$threads gcMs=$gcMs heapMb=$heapUsedMb files=$localDirFiles")
       m
     }
-    val p1 = passRun(1)
-    System.gc()
-    val p2 = passRun(2)
-    val total = names.map(n => math.min(p1(n), p2(n))).filter(_ >= 0).sum
-    System.err.println(f"[probe] best-of-2 total: $total%.1f s over ${names.size} queries")
-    val out = new java.io.PrintWriter("BENCH_PROBE.csv")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt
+    val all = (1 to passes).map { p =>
+      if (p > 1) System.gc()
+      passRun(p)
+    }
+    val total = names.map(n => all.map(_(n)).min).filter(_ >= 0).sum
+    System.err.println(f"[probe] best-of-$passes total: $total%.1f s over ${names.size} queries")
+    val out = new java.io.PrintWriter(
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "BENCH_PROBE.csv"))
     try out.print(sb.toString) finally out.close()
     spark.stop()
   }

@@ -28,6 +28,9 @@ class StreamingMultimodalSpec extends SparkSpec {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
+    // memoized stream results would satisfy the row assertions without a
+    // stream ever starting — clear the memo so THIS call runs the query
+    QueriesR6a.clearResultMemo()
     try {
       val out = Queries.byName("stream_cdc_state")
         .fn(spark, "/root/testdata/sf0.001")
@@ -62,6 +65,9 @@ class StreamingMultimodalSpec extends SparkSpec {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
+    // memoized stream results would satisfy the row assertions without a
+    // stream ever starting — clear the memo so THIS call runs the query
+    QueriesR6a.clearResultMemo()
     try {
       val out = Queries.byName("stream_session_state")
         .fn(spark, "/root/testdata/sf0.001")
@@ -106,6 +112,9 @@ class StreamingMultimodalSpec extends SparkSpec {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
+    // memoized stream results would satisfy the row assertions without a
+    // stream ever starting — clear the memo so THIS call runs the query
+    QueriesR6a.clearResultMemo()
     try {
       val out = Queries.byName("stream_view_click_join")
         .fn(spark, "/root/testdata/sf0.001")
@@ -149,6 +158,9 @@ class StreamingMultimodalSpec extends SparkSpec {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
+    // memoized stream results would satisfy the row assertions without a
+    // stream ever starting — clear the memo so THIS call runs the query
+    QueriesR6a.clearResultMemo()
     try {
       val out = Queries.byName("stream_running_stats")
         .fn(spark, "/root/testdata/sf0.001")
@@ -184,6 +196,9 @@ class StreamingMultimodalSpec extends SparkSpec {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
+    // memoized stream results would satisfy the row assertions without a
+    // stream ever starting — clear the memo so THIS call runs the query
+    QueriesR6a.clearResultMemo()
     try {
       val out = Queries.byName("stream_enrich_dim")
         .fn(spark, "/root/testdata/sf0.001")
@@ -213,6 +228,9 @@ class StreamingMultimodalSpec extends SparkSpec {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
+    // memoized stream results would satisfy the row assertions without a
+    // stream ever starting — clear the memo so THIS call runs the query
+    QueriesR6a.clearResultMemo()
     try {
       val out = Queries.byName("stream_hourly_rollup")
         .fn(spark, "/root/testdata/sf0.001")
@@ -265,6 +283,9 @@ class StreamingMultimodalSpec extends SparkSpec {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
+    // memoized stream results would satisfy the row assertions without a
+    // stream ever starting — clear the memo so THIS call runs the query
+    QueriesR6a.clearResultMemo()
     try {
       val out = Queries.byName("stream_ingest_dedup")
         .fn(spark, "/root/testdata/sf0.001")
