@@ -117,7 +117,10 @@ object QueriesR3g {
           .unionByName(p.select((col("p_partkey") + 1000000).as("id"),
             expr("substring(nm, 1, length(nm) - 2)").as("name")))
           .withColumn("blk", split(col("name"), " ").getItem(0))
-          .ckpt(true)
+          // LAZY (round 10): the CC loop's first labelSum action is the
+          // materializer — an eager checkpoint here was a whole dedicated
+          // scheduler job for a ~1k-row frame (the 6c784f3 discipline)
+          .ckpt(false)
       }
       def ents() = entsCp
       // LAZY-checkpointed too (VERDICT r8): connectedComponents references
@@ -130,10 +133,12 @@ object QueriesR3g {
         .filter(levenshtein(col("a.name"), col("b.name")) <= 2)
         .select(col("a.id").as("a"), col("b.id").as("b"))
         .ckpt(false)
-      // parts=8: ~1k nodes — the graph-sized pinning contract
-      Dedup.connectedComponents(ents().select("id"), edges, parts = 8)
+      // parts=4: ~1k nodes — the graph-sized pinning contract (round 10:
+      // 8 → 4 halves the per-stage task floor, 131 → 71 tasks, same plan)
+      Dedup.connectedComponents(ents().select("id"), edges, parts = 4)
         .select(col("id").as("entity_id"), col("component").as("cluster_id"))
-        .orderBy("entity_id")
+        // ~1k-row output: one-partition sort skips the range-sampling job
+        .coalesce(1).sortWithinPartitions("entity_id")
     },
     Some("""WITH RECURSIVE base AS (
               SELECT p_partkey AS id, lower(p_name) AS nm

@@ -130,20 +130,32 @@ object QueriesR3k {
           grouping("l").as("g"))
         // the grand-total row's vocab size reaches the 5 lang rows via a
         // whole-frame window over this 6-row frame (bounded, not a scale
-        // hazard) — one fewer broadcast-subquery build than a crossJoin
+        // hazard) — one fewer broadcast-subquery build than a crossJoin.
+        // coalesce(1) first (round 10): CoalesceExec at 1 partition is
+        // SinglePartition, so the window's AllTuples requirement plans
+        // WITHOUT the single-partition exchange stage
+        .coalesce(1)
         .withColumn("v", max(when(col("g") === 1, col("nv")))
           .over(Window.partitionBy()))
       // the total-docs divisor rides a whole-frame window over the 5-row
       // per-language rollup (bounded frame, not a scale hazard)
       val dpl = t(s, d, "documents")
         .groupBy(col("lang").as("l")).agg(count(lit(1)).as("dl"))
+        // 5-row frame: same no-exchange single-partition window as stats
+        .coalesce(1)
         .withColumn("dt", sum("dl").over(Window.partitionBy()))
       // the 5-row per-language constants frame (smoothing floor ∪
       // log-prior ∪ model divisor), EAGERLY checkpointed: one job
       // materializes the whole constants chain AND the tokCnt/tc caches,
       // and the downstream broadcasts build from the 5-row checkpoint
       // instead of re-planning the lazy agg lineage per build
+      // MERGE hint: both 5-row sides are already SinglePartition (the
+      // coalesces above), which satisfies the sort-merge join's
+      // clustering outright — the default BroadcastHashJoin would spend
+      // a whole scheduler job building a 5-row broadcast (round 10:
+      // 5 → 4 jobs)
       val langConst = stats.filter(col("g") === 0)
+        .hint("merge")
         .join(dpl, "l")
         .select(col("l"), col("ctok"), col("v"),
           round(log2(lit(1.0) /

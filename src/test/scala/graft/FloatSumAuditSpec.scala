@@ -49,7 +49,17 @@ class FloatSumAuditSpec extends AnyFunSuite {
         "eval_token_f1 em_rate: em is a BIGINT 0/1 flag — exact in any order"),
       ("""round(sum(col("f1_micro")).cast(DoubleType) / count(lit(1)) / 1e6, 6)""",
         "eval_token_f1 mean_f1: f1_micro is micro-quantized BIGINT (rounded " +
-          "per doc BEFORE the sum — the float-sum discipline)"))
+          "per doc BEFORE the sum — the float-sum discipline)")),
+    "QueriesR10a.scala" -> Seq(
+      ("""round(sum(col("p_micro")).cast(DoubleType) / count(lit(1)) / 1e6, 6)""",
+        "eval_rouge_l mean_p: p_micro is micro-quantized BIGINT (rounded " +
+          "per doc BEFORE the sum — the float-sum discipline)"),
+      ("""round(sum(col("r_micro")).cast(DoubleType) / count(lit(1)) / 1e6, 6)""",
+        "eval_rouge_l mean_r: r_micro is micro-quantized BIGINT (rounded " +
+          "per doc BEFORE the sum)"),
+      ("""round(sum(col("f_micro")).cast(DoubleType) / count(lit(1)) / 1e6, 6)""",
+        "eval_rouge_l mean_rouge_l: f_micro is micro-quantized BIGINT " +
+          "(rounded per doc BEFORE the sum)"))
   )
 
   test("every round(float-sum) output is hardened or justified") {
