@@ -50,7 +50,7 @@ object QueriesExt {
           Dedup.jaccardPrecomputed(
             size(array_intersect(col("sh_a"), col("sh_b"))),
             col("n_a"), col("n_b")).as("jac"))
-        .orderBy("id_a")
+        .repartition(1).sortWithinPartitions("id_a")
     },
     Some("""WITH sh AS (
               SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
@@ -75,7 +75,7 @@ object QueriesExt {
       val sig = Dedup.minhashSignatures(ptid, "doc_id", numHashes = 8)
       Dedup.lshBuckets(sig, "doc_id")
         .filter(col("n") > 1)
-        .orderBy("band_idx", "band_key")
+        .repartition(1).sortWithinPartitions("band_idx", "band_key")
     },
     Some("""WITH pairs AS (
               SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -105,7 +105,7 @@ object QueriesExt {
         distinctTokens = false)
       val cnts = pairs.groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
-      Dedup.simhash16(cnts, "doc_id").orderBy("doc_id")
+      Dedup.simhash16(cnts, "doc_id").repartition(1).sortWithinPartitions("doc_id")
     },
     Some("""WITH tokens AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -151,9 +151,12 @@ object QueriesExt {
       // parts=8: the doc-id node set is thousands of rows at bench SFs
       // (and the label frame stays a few MB far beyond) — graph-sized
       // pinning, the hitsInt contract
-      Dedup.connectedComponents(nodes, edges, parts = 8)
+      Dedup.connectedComponents(nodes, edges, parts = 4)
         .select(col("id").as("doc_id"), col("component"))
-        .orderBy("doc_id")
+        // per-doc output is fixture-thousands of rows: one-partition sort
+        // skips the range-sampling job (at corpus scale swap back to a
+        // range orderBy)
+        .coalesce(1).sortWithinPartitions("doc_id")
     },
     Some("""WITH RECURSIVE pairs AS (
               SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -203,7 +206,7 @@ object QueriesExt {
       Similarity.bruteForceTopK(emb, q, 5)
         .select(col("q_id"), col("rank"), col("cand"),
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
-        .orderBy("q_id", "rank")
+        .repartition(1).sortWithinPartitions("q_id", "rank")
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                               list_transform(embedding::DOUBLE[],
@@ -242,7 +245,7 @@ object QueriesExt {
           Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
             .as("vec"))
       Similarity.lshBucketed(emb, nPlanes = 12, dim = 64)
-        .orderBy("sig")
+        .repartition(1).sortWithinPartitions("sig")
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                             list_transform(embedding::DOUBLE[],
@@ -315,7 +318,7 @@ object QueriesExt {
             .orderBy(desc("cos"), col("id_a"), col("id_b"))))
         .select(col("rank"), col("id_a"), col("id_b"),
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
-        .orderBy("rank")
+        .repartition(1).sortWithinPartitions("rank")
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                             list_transform(embedding::DOUBLE[],
@@ -397,7 +400,7 @@ object QueriesExt {
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("rank"), col("cand"),
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
-        .orderBy("q_id", "rank")
+        .repartition(1).sortWithinPartitions("q_id", "rank")
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                             list_transform(embedding::DOUBLE[],
@@ -455,7 +458,7 @@ object QueriesExt {
             zip_with(col("v"), col("q"), (x, q) =>
               (x - q * col("sc")) * (x - q * col("sc"))),
             lit(0.0), (acc, x) => acc + x)), 6).as("recon_err"))
-        .orderBy("vec_id")
+        .repartition(1).sortWithinPartitions("vec_id")
     },
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             m AS (SELECT vec_id, v,
@@ -505,7 +508,7 @@ object QueriesExt {
         .groupBy("cell", "pos")
         .agg(round(avg("val") / lit(1048576.0), 6).as("c_new"),
           count(lit(1)).as("n_members"))
-        .orderBy("cell", "pos")
+        .repartition(1).sortWithinPartitions("cell", "pos")
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                             list_transform(embedding::DOUBLE[],
@@ -543,7 +546,7 @@ object QueriesExt {
           round(TA.avgTokenLen(col("text"), toks), 6).as("avg_tok_len"),
           round(TA.stopwordRatio(toks), 6).as("stop_ratio"),
           TA.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
     Some("""SELECT doc_id,
                    CAST(len(toks) AS INT) AS n_tokens,
@@ -732,7 +735,7 @@ object QueriesExt {
         .crossJoin(totalToks)
         .select(col("bg"), col("c2"),
           round(log(col("n") * col("c2") / (col("cx") * col("cy"))), 6).as("pmi"))
-        .orderBy(desc("pmi"), col("bg"))
+        .repartition(1).sortWithinPartitions(desc("pmi"), col("bg"))
     },
     Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
             uni AS (
@@ -789,7 +792,7 @@ object QueriesExt {
             .when(lang =!= "en", lit("wrong_lang"))
             .otherwise(lit("ok")).as("reason"))
         .withColumn("keep", col("reason") === "ok")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
     Some("""WITH scored AS (
               SELECT doc_id,
@@ -856,7 +859,7 @@ object QueriesExt {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 500)
         .select(col("o_orderkey"), col("o_orderstatus"))
-        .orderBy("o_orderkey")
+        .repartition(1).sortWithinPartitions("o_orderkey")
     },
     Some("""WITH r(o_orderstatus, keep_per_mille) AS
                  (VALUES ('O', 50), ('F', 200), ('P', 1000)),
@@ -900,7 +903,7 @@ object QueriesExt {
           regexp_count(col("t"), lit(emailPat)).as("n_emails"),
           regexp_count(col("no_email"), lit("\\d+")).as("n_nums"),
           md5(regexp_replace(col("no_email"), "\\d+", "<NUM>")).as("scrub_digest"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
     Some("""WITH p AS (
               SELECT doc_id,
@@ -971,7 +974,7 @@ object QueriesExt {
             .as("height"),
           when(mediaType(col("payload")) === "wav", wavSampleRate(col("payload")))
             .as("sample_rate"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
     Some("""SELECT doc_id,
                    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_type,
@@ -1011,7 +1014,7 @@ object QueriesExt {
           col("sof").as("sof_off"),
           jpegHeight(col("hx"), col("sof")).as("jpeg_h"),
           jpegWidth(col("hx"), col("sof")).as("jpeg_w"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
     Some("""SELECT doc_id, 'jpeg' AS media_type,
                    CAST(27 + doc_id % 8 + doc_id % 5 AS INT) AS sof_off,

@@ -34,15 +34,18 @@ object QueriesR3z {
     (s, d) => {
       val edges = Graph.tradeEdges(s, d)
         .select(col("c").as("src"), col("s").as("dst"))
-      // parts=8: the trade graph is ~16k nodes at sf0.1 — a handful of
-      // partitions covers it; at corpus scale pass a real parallelism
-      Graph.hitsInt(edges, 3, assumeDistinct = true, parts = 8)
+      // parts=4 (round 10, was 8): the trade graph is ~16k nodes at
+      // sf0.1 — 4 partitions cover it, the per-stage task floor halves
+      // (120 → 80 tasks), and the coalesce(1) half-round max re-reads
+      // np block partitions, so smaller np also shrinks that re-read.
+      // At corpus scale pass a real parallelism.
+      Graph.hitsInt(edges, 3, assumeDistinct = true, parts = 4)
         .withColumn("rk", row_number().over(
           Window.partitionBy("side").orderBy(desc("score"), col("node"))))
         .filter(col("rk") <= 15)
         .select(col("side"), col("rk").cast(LongType).as("rk"),
           col("node"), col("score"))
-        .orderBy("side", "rk")
+        .repartition(1).sortWithinPartitions("side", "rk")
     },
     Some {
       val rounds = (1 to 3).map { r =>
@@ -108,7 +111,7 @@ object QueriesR3z {
           expr("(n_types * 10000) div n_tokens").as("ttr_bp"),
           round(log(col("n_types").cast("double")) /
             log(col("n_tokens").cast("double")), 6).as("herdan_c"))
-        .orderBy("source")
+        .repartition(1).sortWithinPartitions("source")
     },
     Some("""WITH toks AS (SELECT source,
                                  unnest(string_split(text, ' ')) AS tok

@@ -58,7 +58,7 @@ object QueriesR4g {
           col("ewma_micro"),
           round(col("ewma_micro").cast("double") / EwmaWSum, 6)
             .as("ewma"))
-        .orderBy("user_id", "day")
+        .repartition(1).sortWithinPartitions("user_id", "day")
     },
     Some(s"""WITH daily AS (
               SELECT user_id, CAST(ts AS DATE) AS day,

@@ -180,7 +180,7 @@ object QueriesR5o {
           (-col("pick.neg_len")).as("canonical_chars"),
           (col("total_chars") + col("pick.neg_len"))
             .as("reclaimable_chars"))
-        .orderBy("fp")
+        .repartition(1).sortWithinPartitions("fp")
     },
     Some("""WITH fp AS (
               SELECT doc_id, n_chars,

@@ -250,7 +250,7 @@ object QueriesR5r {
           col("suffix"), col("n"),
           round(dd("n") * 1e6 / dd("tot"), 0).cast(LongType)
             .as("share_micro"))
-        .orderBy("lang", "rk")
+        .repartition(1).sortWithinPartitions("lang", "rk")
     },
     Some("""WITH suf AS (
               SELECT lang, tok[-3:] AS suffix

@@ -254,7 +254,7 @@ object QueriesR6a {
           col("ts").as("last_ts"),
           col("event_type").as("last_type"),
           round(col("value") * 100, 0).cast(LongType).as("value_cents"))
-        .orderBy("user_id")
+        .repartition(1).sortWithinPartitions("user_id")
     },
     Some("""WITH r AS (
               SELECT user_id, event_id, ts, event_type, value,
@@ -450,7 +450,7 @@ object QueriesR6a {
       out
       }
       s.read.parquet(memoDir)
-        .orderBy("view_id", "click_id")
+        .repartition(1).sortWithinPartitions("view_id", "click_id")
     },
     Some("""SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
                    c.event_id AS click_id, c.ts AS click_ts
@@ -520,7 +520,7 @@ object QueriesR6a {
       s.read.parquet(memoDir)
         .select(col("user_id"), col("n_events"),
           round(col("max_value") * 100, 0).cast(LongType).as("max_cents"))
-        .orderBy("user_id")
+        .repartition(1).sortWithinPartitions("user_id")
     },
     Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                    CAST(round(max(value) * 100, 0) AS BIGINT) AS max_cents
@@ -769,7 +769,7 @@ object QueriesR6a {
       out
       }
       s.read.parquet(memoDir)
-        .orderBy("view_id", "click_id")
+        .repartition(1).sortWithinPartitions("view_id", "click_id")
     },
     Some("""WITH wm AS (
               SELECT make_timestamp((least(
