@@ -161,9 +161,18 @@ object Graph {
       .repartition(col("src"))
       .cache()
     try {
+      // LAZY round checkpoints (round 10; was eager): each hop still pays
+      // ONE driver action — the emptiness probe, which doubles as the
+      // materializer (take(1) computes blocks as it scans; anything it
+      // short-circuits past materializes inside the next hop's probe) —
+      // where the eager form paid checkpoint + probe, two jobs per hop
+      // (g4_bfs_hops 16 jobs / 29 stages → ~6 / ~16 at 4 hops). The
+      // final union is checkpointed EAGERLY before the finally releases
+      // the edge cache, so every lazy block is pinned by one job while
+      // `e` is still cached (the pageRankInt discipline).
       var visited = e.agg(min("src").as("node"))
         .select(col("node"), lit(0).as("hop"))
-        .ckpt(true)
+        .ckpt(false)
       var frontier = visited
       var h = 1
       var done = false
@@ -173,15 +182,18 @@ object Graph {
           .select(col("dst").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
           .select(col("node"), lit(h).as("hop"))
-          .ckpt(true)
-        if (next.isEmpty) done = true
+          .ckpt(false)
+        // count(), not isEmpty: take(1)'s incremental scan can launch
+        // 2-3 jobs per probe (1 partition, then 4×, ...), while count is
+        // always exactly ONE job and materializes the hop's blocks fully
+        if (next.count() == 0L) done = true
         else {
           frontier = next
           visited = visited.unionByName(frontier)
           h += 1
         }
       }
-      visited
+      visited.ckpt(true)
     } finally e.unpersist(blocking = false)
   }
 
