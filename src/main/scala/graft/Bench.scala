@@ -42,6 +42,13 @@ object Bench {
     // fixture-scale scheduling-floor confs (size- and conf-gated; see
     // Engine.fixtureFloorConfs) — A/B overrides above take precedence
     graft.engine.Engine.fixtureFloorConfs(spark, sfDir, extraKeys.toSet)
+    // GRADED runs measure REAL streaming execution (round 11, VERDICT r10
+    // + ADVICE r10): with the session-scoped result memo on, pass 2+ of
+    // each streaming query reads its memoized sink — best-of-N would then
+    // grade parquet readback, not Structured Streaming. Off here (unless
+    // explicitly A/B-overridden); interactive sessions keep the memo.
+    if (!extraKeys.contains("spark.graft.streamResultMemo"))
+      spark.conf.set("spark.graft.streamResultMemo", "false")
     // ERROR, not WARN: the driver keeps only a bounded TAIL of this run's
     // output and parses the JSON contract line out of it — stray WARNs
     // (e.g. WindowExec partition warnings) between the line and EOF eat

@@ -78,7 +78,7 @@ object Queries {
     (s, d) => {
       val df = t(s, d, "nation")
       df.select(df.columns.map(c => col(c).as(s"dim_$c")): _*)
-        .repartition(1).sortWithinPartitions("dim_n_nationkey")
+        .transform(graft.engine.Ops.reportSort("dim_n_nationkey"))
     },
     Some("""SELECT n_nationkey AS dim_n_nationkey, n_name AS dim_n_name,
             n_regionkey AS dim_n_regionkey FROM nation ORDER BY dim_n_nationkey"""))
@@ -94,7 +94,7 @@ object Queries {
         "crowd_index" -> lit(0.7),
         // already present → must be a no-op:
         "c_name" -> lit("SHOULD_NOT_APPEAR")))
-        .repartition(1).sortWithinPartitions("c_custkey")
+        .transform(graft.engine.Ops.reportSort("c_custkey"))
     },
     Some("""SELECT c_custkey, c_name, 4 AS rest_days,
             CAST(0.3 AS DOUBLE) AS injury_index, CAST(0.7 AS DOUBLE) AS crowd_index
@@ -224,7 +224,7 @@ object Queries {
       cur.join(last, col("sk_r") === col("sk_a"), "full_outer")
         .select(coalesce(col("sk_r"), col("sk_a")).as("suppkey"),
           col("qty_r"), col("qty_a"))
-        .repartition(1).sortWithinPartitions("suppkey")
+        .transform(graft.engine.Ops.reportSort("suppkey"))
     },
     Some("""SELECT coalesce(a.l_suppkey, b.l_suppkey) AS suppkey, qty_r, qty_a
             FROM (SELECT l_suppkey, sum(l_quantity) AS qty_r FROM lineitem
@@ -247,7 +247,7 @@ object Queries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("c_mktsegment", "c_custkey", "c_name")
-        .repartition(1).sortWithinPartitions("c_mktsegment")
+        .transform(graft.engine.Ops.reportSort("c_mktsegment"))
     },
     Some("""SELECT c_mktsegment, c_custkey, c_name
             FROM (SELECT c_mktsegment, c_custkey, c_name,
@@ -310,7 +310,7 @@ object Queries {
       c.select(col("c_custkey"),
           round(F.haversineKm(col("lat1"), col("lon1"), col("lat2"), col("lon2")), 3)
             .as("dist_km"))
-        .repartition(1).sortWithinPartitions("c_custkey")
+        .transform(graft.engine.Ops.reportSort("c_custkey"))
     },
     Some("""SELECT c_custkey,
             round(2 * 6371 * asin(sqrt(least(CAST(1.0 AS DOUBLE),

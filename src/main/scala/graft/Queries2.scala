@@ -107,7 +107,7 @@ object Queries2 {
             (col("c_custkey") % 181 - 90).cast(DoubleType),
             (col("c_custkey") % 361 - 180).cast(DoubleType),
             col("lat"), col("lon")), 3).as("travel_km"))
-        .repartition(1).sortWithinPartitions("c_custkey")
+        .transform(graft.engine.Ops.reportSort("c_custkey"))
     },
     Some("""SELECT c_custkey,
             CASE WHEN lat IS NULL THEN CAST(200.0 AS DOUBLE)
@@ -142,7 +142,7 @@ object Queries2 {
       fact.join(broadcast(nameMap), trim(col("raw_name")) === col("raw"), "left")
         .select(col("n_nationkey"),
           coalesce(col("canonical"), trim(col("raw_name"))).as("name_norm"))
-        .repartition(1).sortWithinPartitions("n_nationkey")
+        .transform(graft.engine.Ops.reportSort("n_nationkey"))
     },
     Some("""SELECT n_nationkey,
             coalesce(m.canonical, trim(f.raw_name)) AS name_norm
@@ -267,7 +267,7 @@ object Queries2 {
       base.select(col("c_custkey"),
           F.fillNull(col("bal"), lit(0.0)).as("bal_filled"),
           F.keepOr(col("bal"), lit(-999.0)).as("bal_kept"))
-        .repartition(1).sortWithinPartitions("c_custkey")
+        .transform(graft.engine.Ops.reportSort("c_custkey"))
     },
     Some("""SELECT c_custkey,
             coalesce(bal, CAST(0.0 AS DOUBLE)) AS bal_filled,
@@ -286,7 +286,7 @@ object Queries2 {
         concat(lit("  "), col("c_name"), lit(" (ENG) "), lit(" ")).as("messy"))
       raw.select(col("c_custkey"),
           F.stripParenSuffix(F.strip(col("messy"))).as("clean"))
-        .repartition(1).sortWithinPartitions("c_custkey")
+        .transform(graft.engine.Ops.reportSort("c_custkey"))
     },
     Some("""SELECT c_custkey,
             regexp_replace(trim('  ' || c_name || ' (ENG)  '), '\s+\(.*\)$', '') AS clean
@@ -324,7 +324,7 @@ object Queries2 {
       cur.join(last, Seq("l_suppkey"), "full_outer")
         .select(col("l_suppkey"),
           F.weightedBlend(col("q_cur"), col("q_last")).as("q_hybrid"))
-        .repartition(1).sortWithinPartitions("l_suppkey")
+        .transform(graft.engine.Ops.reportSort("l_suppkey"))
     },
     Some("""SELECT coalesce(a.l_suppkey, b.l_suppkey) AS l_suppkey,
             CASE WHEN q_cur IS NOT NULL AND q_last IS NOT NULL
@@ -347,7 +347,7 @@ object Queries2 {
           .otherwise(col("c_acctbal")).as("bal"))
       raw.select(col("c_custkey"),
           F.clampMid(col("bal"), 0.0, 1000.0).as("clamped"))
-        .repartition(1).sortWithinPartitions("c_custkey")
+        .transform(graft.engine.Ops.reportSort("c_custkey"))
     },
     Some("""SELECT c_custkey,
             CASE WHEN bal IS NULL THEN CAST(500.0 AS DOUBLE)
@@ -446,7 +446,7 @@ object Queries2 {
       val missing = Ops.missingColumns(df, required).toSet
       required.map(c => (c, !missing.contains(c)))
         .toDF("col_name", "present")
-        .repartition(1).sortWithinPartitions("col_name")
+        .transform(graft.engine.Ops.reportSort("col_name"))
     },
     Some("""SELECT * FROM (VALUES
               ('l_orderkey', TRUE), ('l_quantity', TRUE),

@@ -220,7 +220,7 @@ object QueriesCorpus {
         }
         .toDF("term", "df", "sample_postings")
         .filter(col("df") >= 3)
-        .repartition(1).sortWithinPartitions("term")
+        .transform(graft.engine.Ops.reportSort("term"))
     },
     Some("""WITH p AS (SELECT doc_id,
                               unnest(list_distinct(string_split(text, ' '))) AS term
@@ -301,7 +301,7 @@ object QueriesCorpus {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= col("quota"))
         .select(col("source"), col("doc_id"))
-        .repartition(1).sortWithinPartitions("source", "doc_id")
+        .transform(graft.engine.Ops.reportSort("source", "doc_id"))
     },
     Some("""WITH per AS (SELECT source,
                     CAST(substr(source, 4, 10) AS BIGINT) % 5 + 1 AS wt,
@@ -553,7 +553,7 @@ object QueriesCorpus {
             .cast(LongType).as("n_oov"))
         .select(col("doc_id"), col("n_toks"), col("n_oov"),
           (col("n_oov").cast(DoubleType) / col("n_toks")).as("oov_rate"))
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                         FROM documents),
@@ -615,7 +615,7 @@ object QueriesCorpus {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("doc_id"), col("source"), col("fp"))
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH planted AS (
               SELECT d.doc_id, d.source,

@@ -50,7 +50,7 @@ object QueriesExt {
           Dedup.jaccardPrecomputed(
             size(array_intersect(col("sh_a"), col("sh_b"))),
             col("n_a"), col("n_b")).as("jac"))
-        .repartition(1).sortWithinPartitions("id_a")
+        .transform(graft.engine.Ops.reportSort("id_a"))
     },
     Some("""WITH sh AS (
               SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
@@ -75,7 +75,7 @@ object QueriesExt {
       val sig = Dedup.minhashSignatures(ptid, "doc_id", numHashes = 8)
       Dedup.lshBuckets(sig, "doc_id")
         .filter(col("n") > 1)
-        .repartition(1).sortWithinPartitions("band_idx", "band_key")
+        .transform(graft.engine.Ops.reportSort("band_idx", "band_key"))
     },
     Some("""WITH pairs AS (
               SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -105,7 +105,7 @@ object QueriesExt {
         distinctTokens = false)
       val cnts = pairs.groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
-      Dedup.simhash16(cnts, "doc_id").repartition(1).sortWithinPartitions("doc_id")
+      Dedup.simhash16(cnts, "doc_id").transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH tokens AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -206,7 +206,7 @@ object QueriesExt {
       Similarity.bruteForceTopK(emb, q, 5)
         .select(col("q_id"), col("rank"), col("cand"),
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
-        .repartition(1).sortWithinPartitions("q_id", "rank")
+        .transform(graft.engine.Ops.reportSort("q_id", "rank"))
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                               list_transform(embedding::DOUBLE[],
@@ -245,7 +245,7 @@ object QueriesExt {
           Similarity.quantize(Similarity.toDoubleVec(col("embedding")))
             .as("vec"))
       Similarity.lshBucketed(emb, nPlanes = 12, dim = 64)
-        .repartition(1).sortWithinPartitions("sig")
+        .transform(graft.engine.Ops.reportSort("sig"))
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                             list_transform(embedding::DOUBLE[],
@@ -318,7 +318,7 @@ object QueriesExt {
             .orderBy(desc("cos"), col("id_a"), col("id_b"))))
         .select(col("rank"), col("id_a"), col("id_b"),
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
-        .repartition(1).sortWithinPartitions("rank")
+        .transform(graft.engine.Ops.reportSort("rank"))
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                             list_transform(embedding::DOUBLE[],
@@ -400,7 +400,7 @@ object QueriesExt {
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("rank"), col("cand"),
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
-        .repartition(1).sortWithinPartitions("q_id", "rank")
+        .transform(graft.engine.Ops.reportSort("q_id", "rank"))
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                             list_transform(embedding::DOUBLE[],
@@ -458,7 +458,7 @@ object QueriesExt {
             zip_with(col("v"), col("q"), (x, q) =>
               (x - q * col("sc")) * (x - q * col("sc"))),
             lit(0.0), (acc, x) => acc + x)), 6).as("recon_err"))
-        .repartition(1).sortWithinPartitions("vec_id")
+        .transform(graft.engine.Ops.reportSort("vec_id"))
     },
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             m AS (SELECT vec_id, v,
@@ -508,7 +508,7 @@ object QueriesExt {
         .groupBy("cell", "pos")
         .agg(round(avg("val") / lit(1048576.0), 6).as("c_new"),
           count(lit(1)).as("n_members"))
-        .repartition(1).sortWithinPartitions("cell", "pos")
+        .transform(graft.engine.Ops.reportSort("cell", "pos"))
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                             list_transform(embedding::DOUBLE[],
@@ -546,7 +546,7 @@ object QueriesExt {
           round(TA.avgTokenLen(col("text"), toks), 6).as("avg_tok_len"),
           round(TA.stopwordRatio(toks), 6).as("stop_ratio"),
           TA.qualityScore(col("text")).as("quality"))
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""SELECT doc_id,
                    CAST(len(toks) AS INT) AS n_tokens,
@@ -735,7 +735,7 @@ object QueriesExt {
         .crossJoin(totalToks)
         .select(col("bg"), col("c2"),
           round(log(col("n") * col("c2") / (col("cx") * col("cy"))), 6).as("pmi"))
-        .repartition(1).sortWithinPartitions(desc("pmi"), col("bg"))
+        .transform(graft.engine.Ops.reportSort(desc("pmi"), col("bg")))
     },
     Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
             uni AS (
@@ -792,7 +792,7 @@ object QueriesExt {
             .when(lang =!= "en", lit("wrong_lang"))
             .otherwise(lit("ok")).as("reason"))
         .withColumn("keep", col("reason") === "ok")
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH scored AS (
               SELECT doc_id,
@@ -859,7 +859,7 @@ object QueriesExt {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 500)
         .select(col("o_orderkey"), col("o_orderstatus"))
-        .repartition(1).sortWithinPartitions("o_orderkey")
+        .transform(graft.engine.Ops.reportSort("o_orderkey"))
     },
     Some("""WITH r(o_orderstatus, keep_per_mille) AS
                  (VALUES ('O', 50), ('F', 200), ('P', 1000)),
@@ -903,7 +903,7 @@ object QueriesExt {
           regexp_count(col("t"), lit(emailPat)).as("n_emails"),
           regexp_count(col("no_email"), lit("\\d+")).as("n_nums"),
           md5(regexp_replace(col("no_email"), "\\d+", "<NUM>")).as("scrub_digest"))
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH p AS (
               SELECT doc_id,
@@ -974,7 +974,7 @@ object QueriesExt {
             .as("height"),
           when(mediaType(col("payload")) === "wav", wavSampleRate(col("payload")))
             .as("sample_rate"))
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""SELECT doc_id,
                    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_type,
@@ -1014,7 +1014,7 @@ object QueriesExt {
           col("sof").as("sof_off"),
           jpegHeight(col("hx"), col("sof")).as("jpeg_h"),
           jpegWidth(col("hx"), col("sof")).as("jpeg_w"))
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""SELECT doc_id, 'jpeg' AS media_type,
                    CAST(27 + doc_id % 8 + doc_id % 5 AS INT) AS sof_off,

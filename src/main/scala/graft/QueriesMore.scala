@@ -54,7 +54,7 @@ object QueriesMore {
       val a = li.filter(col("l_returnflag") === "A").select("l_suppkey")
       r.intersect(a).withColumn("src", lit("both"))
         .unionByName(r.except(a).withColumn("src", lit("r_only")))
-        .repartition(1).sortWithinPartitions("src", "l_suppkey")
+        .transform(graft.engine.Ops.reportSort("src", "l_suppkey"))
     },
     Some("""SELECT l_suppkey, 'both' AS src FROM (
               SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
@@ -79,7 +79,7 @@ object QueriesMore {
         .select(col("c_custkey"), lit("has_big").as("src"))
       val anti = cust.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), lit("no_big").as("src"))
-      semi.unionByName(anti).repartition(1).sortWithinPartitions("c_custkey")
+      semi.unionByName(anti).transform(graft.engine.Ops.reportSort("c_custkey"))
     },
     Some("""SELECT c_custkey, 'has_big' AS src FROM customer
             WHERE EXISTS (SELECT 1 FROM orders
@@ -104,7 +104,7 @@ object QueriesMore {
         .join(broadcast(bands),
           col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
         .select("p_partkey", "band", "p_retailprice")
-        .repartition(1).sortWithinPartitions("p_partkey", "band")
+        .transform(graft.engine.Ops.reportSort("p_partkey", "band"))
     },
     Some("""SELECT p_partkey, r_regionkey AS band, p_retailprice
             FROM part JOIN region
@@ -200,7 +200,7 @@ object QueriesMore {
             .as("hll_within_10pct"),
           (col("aq") >= col("eq") * 0.9 && col("aq") <= col("eq") * 1.1)
             .as("q50_within_10pct"))
-        .repartition(1).sortWithinPartitions("l_returnflag")
+        .transform(graft.engine.Ops.reportSort("l_returnflag"))
     },
     Some("""SELECT l_returnflag,
                    approx_count_distinct(l_partkey)
@@ -347,7 +347,7 @@ object QueriesMore {
         .filter(col("m.d") <= 3)
         .select(col("probe_id"), col("probe"), col("m.canon").as("best"),
           col("m.d").as("dist"))
-        .repartition(1).sortWithinPartitions("probe_id")
+        .transform(graft.engine.Ops.reportSort("probe_id"))
     },
     Some("""WITH canon AS (SELECT lower(n_name) AS canon FROM nation),
             probes AS (
@@ -382,7 +382,7 @@ object QueriesMore {
           when(col("rk") === 1, lit("BUILDING")).otherwise(col("seg_b")))
       a.join(broadcast(b), col("seg_a") <=> col("seg_b"), "left")
         .select(col("c_custkey"), col("seg_a"), col("rk"))
-        .repartition(1).sortWithinPartitions("c_custkey")
+        .transform(graft.engine.Ops.reportSort("c_custkey"))
     },
     Some("""SELECT c_custkey, seg_a, rk FROM (
               SELECT c_custkey,

@@ -153,7 +153,7 @@ object QueriesNext {
           top.iterator.zipWithIndex.map { case ((id, sc), i) => (flag, i + 1, id, sc) }
         }
         .toDF("l_returnflag", "rank", "id", "score")
-        .repartition(1).sortWithinPartitions("l_returnflag", "rank")
+        .transform(graft.engine.Ops.reportSort("l_returnflag", "rank"))
     },
     Some("""SELECT l_returnflag, CAST(rank AS INT) AS rank, id, score FROM (
               SELECT l_returnflag,
@@ -221,7 +221,7 @@ object QueriesNext {
         // double): float cells are hash-canonicalization hazards
         .select(col("id_a"), col("id_b"),
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
-        .repartition(1).sortWithinPartitions("id_a", "id_b")
+        .transform(graft.engine.Ops.reportSort("id_a", "id_b"))
     },
     Some("""WITH base AS (SELECT vec_id AS id,
                             list_transform(embedding::DOUBLE[],
@@ -287,7 +287,7 @@ object QueriesNext {
         .filter(col("n_hits") > 0)
         .select(col("doc_id"), col("n_shingles"), col("n_hits"),
           round(col("n_hits").cast("double") / col("n_shingles"), 6).as("ratio"))
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
             sh AS (SELECT doc_id,
@@ -359,7 +359,7 @@ object QueriesNext {
           col("band") === (greatest(col("sa"), col("sb")) / 32).cast(IntegerType))
       pairs.groupBy("campaign_id", "sb", "eb")
         .agg(sum("n_ord").as("n_orders"), (sum("cents") / 100.0).as("total"))
-        .repartition(1).sortWithinPartitions("campaign_id")
+        .transform(graft.engine.Ops.reportSort("campaign_id"))
     },
     Some("""WITH o AS (SELECT o_orderkey, o_totalprice,
                               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS sa,
@@ -406,7 +406,7 @@ object QueriesNext {
           (lit(9) + col("frame_idx") * 4).cast(IntegerType).as("byte_offset"),
           conv(hex(col("payload").substr(lit(9) + col("frame_idx") * 4, lit(4))), 16, 10)
             .cast(LongType).as("frame_val"))
-        .repartition(1).sortWithinPartitions("doc_id", "frame_idx")
+        .transform(graft.engine.Ops.reportSort("doc_id", "frame_idx"))
     },
     Some("""WITH f AS (SELECT doc_id, unnest(range(0, 4 + doc_id % 8, 3)) AS f
                        FROM documents)
@@ -502,7 +502,7 @@ object QueriesNext {
           when(col("op").isNull, "kept")
             .when(col("op") === "U", "updated")
             .otherwise("inserted").as("src"))
-        .repartition(1).sortWithinPartitions("c_custkey")
+        .transform(graft.engine.Ops.reportSort("c_custkey"))
     },
     Some("""WITH upd AS (
               SELECT c_custkey AS k, 'D' AS op,
@@ -541,7 +541,7 @@ object QueriesNext {
         .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("total"))
         .withColumn("lo", (col("bucket") * 25000).cast("double"))
         .select("bucket", "lo", "n", "total")
-        .repartition(1).sortWithinPartitions("bucket")
+        .transform(graft.engine.Ops.reportSort("bucket"))
     },
     Some("""SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT) AS bucket,
                    CAST(least(floor(o_totalprice / 25000.0), 19) * 25000 AS DOUBLE) AS lo,
@@ -570,7 +570,7 @@ object QueriesNext {
             .orderBy(desc("o_totalprice"), col("o_orderkey"))))
         .select(col("o_orderpriority"), col("rank"),
           col("o_orderkey"), col("o_totalprice"))
-        .repartition(1).sortWithinPartitions("o_orderpriority", "rank")
+        .transform(graft.engine.Ops.reportSort("o_orderpriority", "rank"))
     },
     Some("""SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice
             FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -608,7 +608,7 @@ object QueriesNext {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
           (sum("scaled") / lit(104857600.0)).as("decayed_value")) // 2^20 · 100
-        .repartition(1).sortWithinPartitions("user_id")
+        .transform(graft.engine.Ops.reportSort("user_id"))
     },
     Some("""WITH mx AS (SELECT max(ts) AS max_ts FROM events),
             k AS (SELECT user_id,
@@ -778,7 +778,7 @@ object QueriesNext {
           size(col("toks")).as("n_toks"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
-        .repartition(1).sortWithinPartitions("shard")
+        .transform(graft.engine.Ops.reportSort("shard"))
     },
     Some("""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                        FROM documents),

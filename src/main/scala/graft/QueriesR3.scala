@@ -103,7 +103,7 @@ object QueriesR3 {
         .agg(count(lit(1)).as("n"),
           (sum(round(col("l_extendedprice") * 100, 0).cast(LongType)) / lit(100.0))
             .as("revenue"))
-        .repartition(1).sortWithinPartitions("l_returnflag")
+        .transform(graft.engine.Ops.reportSort("l_returnflag"))
     },
     Some("""SELECT l_returnflag, count(*) AS n,
                    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
@@ -143,7 +143,7 @@ object QueriesR3 {
         .select(z.as("z"))
         .groupBy(shiftright(col("z"), 16).as("bucket"))
         .agg(count(lit(1)).as("n"), min("z").as("min_z"), max("z").as("max_z"))
-        .repartition(1).sortWithinPartitions("bucket")
+        .transform(graft.engine.Ops.reportSort("bucket"))
     },
     Some("""WITH zt AS (SELECT CAST(list_sum(list_transform(range(0, 16), i ->
                    (((l_partkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << CAST(2 * i AS INT))
@@ -176,7 +176,7 @@ object QueriesR3 {
         .withColumn("prob",
           col("cnt").cast(DoubleType) /
             sum("cnt").over(Window.partitionBy("prev_type")).cast(DoubleType))
-        .repartition(1).sortWithinPartitions("prev_type", "next_type")
+        .transform(graft.engine.Ops.reportSort("prev_type", "next_type"))
     },
     Some("""WITH seq AS (SELECT user_id, event_type,
                                 lag(event_type) OVER (PARTITION BY user_id

@@ -39,7 +39,7 @@ object QueriesR3b {
       "first-reach IS minimality.",
     (s, d) => {
       val e = Graph.backbone(s, d).select("a", "b")
-      Graph.bfsHops(e, 4).repartition(1).sortWithinPartitions("hop", "node")
+      Graph.bfsHops(e, 4).transform(graft.engine.Ops.reportSort("hop", "node"))
     },
     Some("""WITH ed AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
                         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -122,7 +122,7 @@ object QueriesR3b {
       t(s, d, "documents")
         .select(col("doc_id"), nToks.as("n_toks"), logit.as("logit"))
         .withColumn("keep", col("logit") > 0)
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH f AS (SELECT doc_id,
                    len(string_split(text, ' ')) AS n_toks,
@@ -275,7 +275,7 @@ object QueriesR3b {
         .select(col("event_type"), col("day"), col("n"), col("cents"),
           (col("fn") === col("n") && col("fcents") === col("cents"))
             .as("matches_full"))
-        .repartition(1).sortWithinPartitions("event_type", "day")
+        .transform(graft.engine.Ops.reportSort("event_type", "day"))
     },
     Some("""WITH ev AS (SELECT event_type,
                    date_trunc('day', ts) AS day,
@@ -323,7 +323,7 @@ object QueriesR3b {
           (col("bucket") * col("n_docs") - col("sum_toks")).as("pad_waste"),
           ((col("bucket") * col("n_docs") - col("sum_toks")).cast(DoubleType) /
             (col("bucket") * col("n_docs")).cast(DoubleType)).as("waste_rate"))
-        .repartition(1).sortWithinPartitions("bucket")
+        .transform(graft.engine.Ops.reportSort("bucket"))
     },
     Some("""WITH b AS (SELECT ((len(string_split(text, ' ')) + 15) // 16) * 16 AS bucket,
                               len(string_split(text, ' ')) AS n_toks
@@ -470,7 +470,7 @@ object QueriesR3b {
         .groupBy("w").agg(count(lit(1)).as("freq"))
         .select(expr("trim(regexp_replace(w, '(.)', '$1 '))").as("symstr"),
           col("freq"))
-      graft.operators.TextAnalysis.bpeTrainMerges(wordFreq, 3).repartition(1).sortWithinPartitions("round")
+      graft.operators.TextAnalysis.bpeTrainMerges(wordFreq, 3).transform(graft.engine.Ops.reportSort("round"))
     },
     Some("""WITH w0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS symstr,
                                count(*) AS freq

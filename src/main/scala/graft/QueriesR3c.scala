@@ -53,7 +53,7 @@ object QueriesR3c {
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx") - col("exact_users")) <=
             lit(0.1) * col("exact_users")).as("within_10pct"))
-        .repartition(1).sortWithinPartitions("event_type")
+        .transform(graft.engine.Ops.reportSort("event_type"))
     },
     Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
                    true AS within_10pct
@@ -238,7 +238,7 @@ object QueriesR3c {
       assigned
         .join(pruned.withColumn("hit", lit(1)), Seq("id"), "left")
         .select(col("id"), col("cell"), col("hit").isNull.as("kept"))
-        .repartition(1).sortWithinPartitions("id")
+        .transform(graft.engine.Ops.reportSort("id"))
     },
     Some("""WITH base AS (SELECT vec_id AS id,
                        list_transform(embedding::DOUBLE[],
@@ -318,7 +318,7 @@ object QueriesR3c {
         .select(col("doc_id"), col("n"), col("s_micro"),
           round(log2(col("n")) - col("s_micro") / (col("n") * lit(1e6)), 3)
             .as("entropy"))
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
                         FROM (SELECT doc_id, text,

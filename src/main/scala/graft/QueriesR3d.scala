@@ -46,7 +46,7 @@ object QueriesR3d {
         .agg(count(lit(1)).as("n_toks"), sum("nll_micro").as("s_micro"))
         .select(col("doc_id"), col("n_toks"), col("s_micro"),
           round(col("s_micro") / (col("n_toks") * lit(1e6)), 3).as("bits_per_tok"))
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                           FROM documents),
@@ -84,7 +84,7 @@ object QueriesR3d {
         .select(col("vec_id"),
           round(e16 / e64, 6).as("energy_frac"),
           round(element_at(v16, 1) / sqrt(e16), 6).as("c1_norm"))
-        .repartition(1).sortWithinPartitions("vec_id")
+        .transform(graft.engine.Ops.reportSort("vec_id"))
     },
     Some("""WITH e AS (SELECT vec_id,
                        list_transform(embedding::DOUBLE[],
@@ -129,7 +129,7 @@ object QueriesR3d {
       nr.join(ap, "flag").join(ex, "flag")
         .select(col("flag"), col("n_rows"),
           ok(1).as("ok50"), ok(2).as("ok90"), ok(3).as("ok99"))
-        .repartition(1).sortWithinPartitions("flag")
+        .transform(graft.engine.Ops.reportSort("flag"))
     },
     Some("""SELECT l_returnflag AS flag, count(*) AS n_rows,
                    true AS ok50, true AS ok90, true AS ok99
@@ -167,7 +167,7 @@ object QueriesR3d {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= col("quota"))
         .select(col("event_type"), col("event_id"))
-        .repartition(1).sortWithinPartitions("event_type", "event_id")
+        .transform(graft.engine.Ops.reportSort("event_type", "event_id"))
     },
     Some("""WITH per AS (SELECT event_type, count(*) AS cnt
                          FROM events GROUP BY event_type),
@@ -275,7 +275,7 @@ object QueriesR3d {
             expr(s"$target div cnt") +
               when(col("rk") <= lit(target) % col("cnt"), 1L).otherwise(0L)))
             .as("epoch"))
-        .repartition(1).sortWithinPartitions("source", "doc_id", "epoch")
+        .transform(graft.engine.Ops.reportSort("source", "doc_id", "epoch"))
     },
     Some("""WITH per AS (SELECT source, count(*) AS cnt
                          FROM documents GROUP BY source),

@@ -82,7 +82,7 @@ object QueriesR3e {
             .cast(LongType).as("hamming"))
         .distinct() // a close pair can agree on several bands
         .filter(col("hamming") <= 2)
-        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+        .transform(graft.engine.Ops.reportSort("doc_a", "doc_b"))
     },
     Some("""WITH tokens AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -151,7 +151,7 @@ object QueriesR3e {
         .agg(min("c").as("cm_est"))
         .select(col("tok"), col("exact"), col("cm_est"),
           (col("cm_est") >= col("exact")).as("never_under"))
-        .repartition(1).sortWithinPartitions(desc("exact"), col("tok"))
+        .transform(graft.engine.Ops.reportSort(desc("exact"), col("tok")))
     },
     Some("""WITH toks AS (
               SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -211,7 +211,7 @@ object QueriesR3e {
         .withColumn("rs", sum("n_toks").over(wBand))
         .filter(col("cum_before") + col("rs") <= budget)
         .select(col("doc_id"), col("n_toks"), col("score_micro"), col("band"))
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH docs AS (
               SELECT doc_id,
@@ -375,7 +375,7 @@ object QueriesR3e {
           sum(round(col("d2") / lit(1099511627776.0) * 1e6, 0)
             .cast(LongType)).as("err_micro"))
         .select(col("id").as("vec_id"), col("pq_code"), col("err_micro"))
-        .repartition(1).sortWithinPartitions("vec_id")
+        .transform(graft.engine.Ops.reportSort("vec_id"))
     },
     Some("""WITH v AS (SELECT vec_id AS id,
                        list_transform(embedding::DOUBLE[],

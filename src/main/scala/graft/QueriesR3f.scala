@@ -92,7 +92,7 @@ object QueriesR3f {
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("rank"), col("id").as("cand"),
           col("adc_micro"))
-        .repartition(1).sortWithinPartitions("q_id", "rank")
+        .transform(graft.engine.Ops.reportSort("q_id", "rank"))
     },
     Some("""WITH v AS (SELECT vec_id AS id,
                        list_transform(embedding::DOUBLE[],
@@ -194,7 +194,7 @@ object QueriesR3f {
         .select(col("q_id"),
           coalesce(col("h"), lit(0L)).as("hits"),
           (coalesce(col("h"), lit(0L)) * 20).as("recall_pct"))
-        .repartition(1).sortWithinPartitions("q_id")
+        .transform(graft.engine.Ops.reportSort("q_id"))
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                        list_transform(embedding::DOUBLE[],
@@ -379,7 +379,7 @@ object QueriesR3f {
         .select(col("r.rule").as("rule"),
           col("r.violations").as("violations"),
           (col("r.violations") === 0).as("pass"))
-        .repartition(1).sortWithinPartitions("rule")
+        .transform(graft.engine.Ops.reportSort("rule"))
     },
     Some("""WITH base AS (SELECT
               CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)

@@ -164,7 +164,7 @@ object QueriesR3h {
       ok.unionByName(gen)
         .select(col("c_nationkey"), col("segment"), col("n"), col("level"),
           (col("n") >= k).as("anonymous"))
-        .repartition(1).sortWithinPartitions("c_nationkey", "level", "segment")
+        .transform(graft.engine.Ops.reportSort("c_nationkey", "level", "segment"))
     },
     Some("""WITH g AS (
               SELECT c_nationkey, c_mktsegment AS segment,
@@ -327,7 +327,7 @@ object QueriesR3h {
         samples.reduce(_ + _).as("dc_sum"),
         greatest(samples.map(abs): _*).as("peak"),
         samples.map(x => x * x).reduce(_ + _).as("energy"))
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH s AS (SELECT doc_id,
                               8000 + (doc_id % 5) * 8820 AS sr

@@ -71,7 +71,7 @@ object QueriesR3i {
           sum("nll_micro").as("nll_sum_micro"))
         .select(col("doc_id"), col("n_pairs"), col("nll_sum_micro"),
           expr("nll_sum_micro div n_pairs").as("avg_bits_micro"))
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
                           FROM documents),
@@ -122,7 +122,7 @@ object QueriesR3i {
           org.apache.spark.sql.expressions.Window
             .orderBy(desc("cnt"), col("l_suppkey"))))
         .select("rank", "l_suppkey", "cnt", "share_bp", "x_mean_x100")
-        .repartition(1).sortWithinPartitions("rank")
+        .transform(graft.engine.Ops.reportSort("rank"))
     },
     Some("""WITH g AS (SELECT l_suppkey, count(*) AS cnt
                        FROM lineitem GROUP BY 1),
@@ -184,7 +184,7 @@ object QueriesR3i {
           struct(lit("vocab_size").as("metric"),
             col("vocab_size").as("value")))).as("r"))
         .select(col("r.metric").as("metric"), col("r.value").as("value"))
-        .repartition(1).sortWithinPartitions("metric")
+        .transform(graft.engine.Ops.reportSort("metric"))
     },
     Some("""WITH docs AS (
               SELECT doc_id, text, lang, source,

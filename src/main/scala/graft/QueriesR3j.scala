@@ -50,7 +50,7 @@ object QueriesR3j {
         .withColumn("rank", row_number().over(
           Window.orderBy(desc("key_nano"), col("doc_id"))))
         .select("rank", "doc_id", "n_chars", "key_nano")
-        .repartition(1).sortWithinPartitions("rank")
+        .transform(graft.engine.Ops.reportSort("rank"))
     },
     Some("""WITH scored AS (
               SELECT doc_id, n_chars,
@@ -187,7 +187,7 @@ object QueriesR3j {
             .cast(LongType).as("intercept_micro"),
           round(cov * cov / (varx * vary) * 1e6, 0)
             .cast(LongType).as("r2_micro"))
-        .repartition(1).sortWithinPartitions("flag")
+        .transform(graft.engine.Ops.reportSort("flag"))
     },
     Some("""WITH base AS (
               SELECT l_returnflag AS flag,

@@ -48,7 +48,7 @@ object QueriesR3k {
           round(e * 1e6, 0).cast(LongType).as("exp_micro"),
           round((dd("obs") - e) * (dd("obs") - e) / e * 1e6, 0)
             .cast(LongType).as("contrib_micro"))
-        .repartition(1).sortWithinPartitions("etype", "band")
+        .transform(graft.engine.Ops.reportSort("etype", "band"))
     },
     Some("""WITH cells AS (
               SELECT event_type AS etype,
@@ -301,7 +301,7 @@ object QueriesR3k {
           col("votes"),
           (col("predicted") === col("true_label")).cast("int")
             .as("correct"))
-        .repartition(1).sortWithinPartitions("q_id")
+        .transform(graft.engine.Ops.reportSort("q_id"))
     },
     Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
                               label

@@ -49,7 +49,7 @@ object QueriesR3l {
         .select(col("nation"), col("segment"), col("n"),
           col("l_distinct"), col("entropy_micro"),
           (col("l_distinct") >= l).cast("int").as("diverse"))
-        .repartition(1).sortWithinPartitions("nation", "segment")
+        .transform(graft.engine.Ops.reportSort("nation", "segment"))
     },
     Some("""WITH sv AS (
               SELECT c_nationkey AS nation, c_mktsegment AS segment,
@@ -101,7 +101,7 @@ object QueriesR3l {
           sum("n_repl").as("replacement_chars"),
           sum((col("n_bytes") === col("n_chars")).cast(LongType))
             .as("pure_ascii_docs"))
-        .repartition(1).sortWithinPartitions("source")
+        .transform(graft.engine.Ops.reportSort("source"))
     },
     Some("""WITH per AS (
               SELECT source,
@@ -167,7 +167,7 @@ object QueriesR3l {
         }: _*)).as("r"))
         .select(col("r.x").as("x"), col("r.y").as("y"),
           col("r.corr_micro").as("corr_micro"))
-        .repartition(1).sortWithinPartitions("x", "y")
+        .transform(graft.engine.Ops.reportSort("x", "y"))
     },
     Some("""WITH base AS (
               SELECT CAST(l_quantity AS BIGINT) AS qty,

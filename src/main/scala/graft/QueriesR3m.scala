@@ -46,7 +46,7 @@ object QueriesR3m {
             .as("benford_micro"))
         .withColumn("gap_micro",
           abs(col("share_micro") - col("benford_micro")))
-        .repartition(1).sortWithinPartitions("digit")
+        .transform(graft.engine.Ops.reportSort("digit"))
     },
     Some("""WITH digits AS (
               SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
@@ -165,7 +165,7 @@ object QueriesR3m {
           col("r.w_old_micro").as("w_old_micro"),
           col("r.grad_micro").as("grad_micro"),
           col("r.w_new_micro").as("w_new_micro"))
-        .repartition(1).sortWithinPartitions("feature")
+        .transform(graft.engine.Ops.reportSort("feature"))
     },
     Some("""WITH base AS (
               SELECT CAST(l_quantity AS BIGINT) AS qty,

@@ -52,7 +52,7 @@ object QueriesR3n {
           sum("revenue_cents").over(Window.partitionBy("cohort_week")
             .orderBy("weeks_since")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .repartition(1).sortWithinPartitions("cohort_week", "weeks_since")
+        .transform(graft.engine.Ops.reportSort("cohort_week", "weeks_since"))
     },
     Some("""WITH fw AS (SELECT user_id,
                                date_trunc('week', min(ts)) AS cohort_week
@@ -104,7 +104,7 @@ object QueriesR3n {
         .groupBy("region", "priority")
         .agg(count(lit(1)).as("n_orders"),
           sum("cents").as("revenue_cents"))
-        .repartition(1).sortWithinPartitions("region", "priority")
+        .transform(graft.engine.Ops.reportSort("region", "priority"))
     },
     Some("""SELECT r_name AS region, o_orderpriority AS priority,
                    CAST(count(*) AS BIGINT) AS n_orders,
@@ -147,7 +147,7 @@ object QueriesR3n {
           sum((col("val") === "" || col("val") === "0")
             .cast(LongType)).as("n_blank_or_zero"),
           countDistinct("val").as("n_distinct"))
-        .repartition(1).sortWithinPartitions("column")
+        .transform(graft.engine.Ops.reportSort("column"))
     },
     Some("""WITH unp AS (
               SELECT 'c_custkey' AS "column",

@@ -89,7 +89,7 @@ object QueriesR3o {
         .groupBy("canonical_url")
         .agg(count(lit(1)).as("n_variants"),
           min("doc_id").as("first_doc"))
-        .repartition(1).sortWithinPartitions("canonical_url")
+        .transform(graft.engine.Ops.reportSort("canonical_url"))
     },
     Some("""WITH raw AS (
               SELECT doc_id,

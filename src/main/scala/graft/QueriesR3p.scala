@@ -61,7 +61,7 @@ object QueriesR3p {
       pred.groupBy(col("label").as("actual"),
           col("c_label").as("predicted"))
         .agg(count(lit(1)).as("n_vecs"))
-        .repartition(1).sortWithinPartitions("actual", "predicted")
+        .transform(graft.engine.Ops.reportSort("actual", "predicted"))
     },
     Some("""WITH dims AS (
               SELECT vec_id, label, i - 1 AS dim,
@@ -125,7 +125,7 @@ object QueriesR3p {
           max("mad4").as("mad4"),
           sum((col("d2") * 4 > col("mad4") * 6).cast(LongType))
             .as("n_outliers"))
-        .repartition(1).sortWithinPartitions("etype")
+        .transform(graft.engine.Ops.reportSort("etype"))
     },
     Some("""WITH base AS (
               SELECT event_type AS etype,

@@ -128,7 +128,7 @@ object QueriesR3q {
             sqrt((dd("n") * dd("sxx") - dd("sx") * dd("sx")) *
                  (dd("n") * dd("syy") - dd("sy") * dd("sy"))) * 1e6, 0)
             .cast(LongType).as("r_micro"))
-        .repartition(1).sortWithinPartitions("k")
+        .transform(graft.engine.Ops.reportSort("k"))
     },
     Some("""WITH daily AS (
               SELECT CAST(ts AS DATE) AS day,

@@ -43,7 +43,7 @@ object QueriesR3r {
         log(lit(1.0) - lit(2.0) * abs(v)) * 1e6, 0).cast(LongType)
       g.select(col("nation"), col("n"), noise.as("noise_micro"),
           (col("n") * 1000000L + noise).as("noisy_micro"))
-        .repartition(1).sortWithinPartitions("nation")
+        .transform(graft.engine.Ops.reportSort("nation"))
     },
     Some("""WITH g AS (SELECT c_nationkey AS nation, count(*) AS n
                        FROM customer GROUP BY 1),
@@ -174,7 +174,7 @@ object QueriesR3r {
           when(col("prev_cents") > 0,
             expr("((cents - prev_cents) * 10000) div prev_cents"))
             .as("delta_bp"))
-        .repartition(1).sortWithinPartitions("etype", "week")
+        .transform(graft.engine.Ops.reportSort("etype", "week"))
     },
     Some("""WITH weekly AS (
               SELECT event_type AS etype, date_trunc('week', ts) AS wk,

@@ -65,7 +65,7 @@ object QueriesR3s {
           date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
           col("o_orderstatus").as("status_at_ship"),
           col("island"))
-        .repartition(1).sortWithinPartitions("l_orderkey")
+        .transform(graft.engine.Ops.reportSort("l_orderkey"))
     },
     Some("""WITH marked AS (
               SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
@@ -228,7 +228,7 @@ object QueriesR3s {
         .filter(col("rk") === 1)
         .select(col("status"), col("priority").as("mode_priority"),
           col("cnt"))
-        .repartition(1).sortWithinPartitions("status")
+        .transform(graft.engine.Ops.reportSort("status"))
     },
     Some("""WITH cnt AS (SELECT o_orderstatus AS status,
                                 o_orderpriority AS priority,

@@ -58,7 +58,7 @@ object QueriesR3t {
         .select(col("q_id"), col("q_label"), col("rank"), col("neg"),
           col("neg_label"),
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
-        .repartition(1).sortWithinPartitions("q_id", "rank")
+        .transform(graft.engine.Ops.reportSort("q_id", "rank"))
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                               list_transform(embedding::DOUBLE[],
@@ -119,7 +119,7 @@ object QueriesR3t {
         .select(col("doc_id"), col("lang"), col("n_toks"),
           col("n_foreign"),
           expr("(n_foreign * 10000) div n_toks").as("foreign_bp"))
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH toks AS (SELECT doc_id, lang,
                                  unnest(string_split(text, ' ')) AS tok

@@ -46,7 +46,7 @@ object QueriesR3u {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_islands"),
           sum("covered").cast(LongType).as("covered_sec"))
-        .repartition(1).sortWithinPartitions("user_id")
+        .transform(graft.engine.Ops.reportSort("user_id"))
     },
     Some("""WITH ev AS (SELECT user_id,
                                epoch_us(ts) // 1000000 AS st,

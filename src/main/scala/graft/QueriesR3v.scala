@@ -44,7 +44,7 @@ object QueriesR3v {
           round(se2 * se2 /
             (pow(col("va") / col("na"), 2) / (col("na") - 1) +
              pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 4).as("df"))
-        .repartition(1).sortWithinPartitions("type_a", "type_b")
+        .transform(graft.engine.Ops.reportSort("type_a", "type_b"))
     },
     Some("""WITH g AS (SELECT event_type,
                               CAST(count(*) AS BIGINT) AS n,
@@ -185,7 +185,7 @@ object QueriesR3v {
         .groupBy("r_score", "f_score", "m_score")
         .agg(count(lit(1)).as("n_customers"),
           sum(col("cents")).cast(LongType).as("total_cents"))
-        .repartition(1).sortWithinPartitions("r_score", "f_score", "m_score")
+        .transform(graft.engine.Ops.reportSort("r_score", "f_score", "m_score"))
     },
     Some("""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx
                         FROM orders),

@@ -160,7 +160,7 @@ object QueriesR3w {
           count(col("lat")).as("n_converted"),
           round(expr("percentile(lat / 3600.0, 0.5)"), 4).as("med_hours"),
           round(expr("percentile(lat / 3600.0, 0.9)"), 4).as("p90_hours"))
-        .repartition(1).sortWithinPartitions("cohort_week")
+        .transform(graft.engine.Ops.reportSort("cohort_week"))
     },
     Some("""WITH ev AS (SELECT user_id, event_type,
                                epoch_us(ts) // 1000000 AS sec, ts

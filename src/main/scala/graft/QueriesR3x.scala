@@ -66,7 +66,7 @@ object QueriesR3x {
                 .otherwise(lit(0.0))).over(wPref)), 6)))
         .select(col("dur_days"), col("n_at_risk"), col("d").as("n_events"),
           col("c").as("n_censored"), col("survival"))
-        .repartition(1).sortWithinPartitions("dur_days")
+        .transform(graft.engine.Ops.reportSort("dur_days"))
     },
     Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec
                         FROM events),
@@ -134,7 +134,7 @@ object QueriesR3x {
         .groupBy(col("source"), col("n_before"), col("accept_bp"))
         .agg(count(lit(1)).as("n_after"))
         .select("source", "n_before", "accept_bp", "n_after")
-        .repartition(1).sortWithinPartitions("source")
+        .transform(graft.engine.Ops.reportSort("source"))
     },
     Some("""WITH hist AS (SELECT source, CAST(count(*) AS BIGINT)
                             AS n_before
@@ -172,7 +172,7 @@ object QueriesR3x {
         .select(col("event_type"), col("isodow").cast(LongType)
             .as("isodow"), col("n"),
           expr("(n * 7 * 10000) div total").as("seasonal_bp"))
-        .repartition(1).sortWithinPartitions("event_type", "isodow")
+        .transform(graft.engine.Ops.reportSort("event_type", "isodow"))
     },
     Some("""WITH ev AS (SELECT event_type,
                                CAST(isodow(ts) AS BIGINT) AS isodow

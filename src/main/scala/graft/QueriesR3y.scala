@@ -69,7 +69,7 @@ object QueriesR3y {
         .select(col("feature"), col("v").as("threshold"),
           col("nl"), col("nr"),
           round(lit(1.0) - col("score") / col("nt"), 6).as("gini"))
-        .repartition(1).sortWithinPartitions("feature")
+        .transform(graft.engine.Ops.reportSort("feature"))
     },
     Some("""WITH li AS (
               SELECT CAST(l_returnflag = 'R' AS BIGINT) AS pos,

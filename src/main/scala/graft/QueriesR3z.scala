@@ -45,7 +45,7 @@ object QueriesR3z {
         .filter(col("rk") <= 15)
         .select(col("side"), col("rk").cast(LongType).as("rk"),
           col("node"), col("score"))
-        .repartition(1).sortWithinPartitions("side", "rk")
+        .transform(graft.engine.Ops.reportSort("side", "rk"))
     },
     Some {
       val rounds = (1 to 3).map { r =>
@@ -111,7 +111,7 @@ object QueriesR3z {
           expr("(n_types * 10000) div n_tokens").as("ttr_bp"),
           round(log(col("n_types").cast("double")) /
             log(col("n_tokens").cast("double")), 6).as("herdan_c"))
-        .repartition(1).sortWithinPartitions("source")
+        .transform(graft.engine.Ops.reportSort("source"))
     },
     Some("""WITH toks AS (SELECT source,
                                  unnest(string_split(text, ' ')) AS tok

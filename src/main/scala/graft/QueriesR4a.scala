@@ -105,7 +105,7 @@ object QueriesR4a {
           expr("(tp * 10000) div (tp + fp)").as("prec_bp"),
           expr("(tp * 10000) div (tp + fn)").as("rec_bp"),
           expr("(2 * tp * 10000) div (2 * tp + fp + fn)").as("f1_bp"))
-        .repartition(1).sortWithinPartitions("clazz")
+        .transform(graft.engine.Ops.reportSort("clazz"))
     },
     Some("""WITH scored AS (
               SELECT CAST(lang = 'en' AS BIGINT) AS gold_en,

@@ -202,7 +202,7 @@ object QueriesR4b {
           coalesce(col("n_voice"), lit(0L)).as("n_voice"),
           coalesce(col("n_segments"), lit(0L)).as("n_segments"),
           coalesce(col("longest_run"), lit(0L)).as("longest_run"))
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH samp AS (SELECT doc_id, i,
                                  (doc_id * 31 + i*i*7) % 65536 AS u

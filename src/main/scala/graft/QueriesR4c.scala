@@ -78,7 +78,7 @@ object QueriesR4c {
         sel = sel.unionByName(pick).ckpt(true)
       }
       sel.select("rank", "doc_id", "rel", "maxsim", "mmr")
-        .repartition(1).sortWithinPartitions("rank")
+        .transform(graft.engine.Ops.reportSort("rank"))
     },
     Some {
       val base =
@@ -164,7 +164,7 @@ object QueriesR4c {
         .select(col("fold"), col("n_rows"), col("n_groups"),
           expr("(n_pos * 10000) div n_rows").as("pos_bp"),
           col("groups_split"))
-        .repartition(1).sortWithinPartitions("fold")
+        .transform(graft.engine.Ops.reportSort("fold"))
     },
     Some("""WITH rows_t AS (
               SELECT o_custkey,

@@ -52,7 +52,7 @@ object QueriesR4d {
           col("y"), col("trend"), col("seasonal"),
           round(col("detr_x7").cast("double") / 7 - col("seasonal"), 6)
             .as("residual"))
-        .repartition(1).sortWithinPartitions("day")
+        .transform(graft.engine.Ops.reportSort("day"))
     },
     Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
                                   CAST(count(*) AS BIGINT) AS y

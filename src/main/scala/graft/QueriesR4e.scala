@@ -55,7 +55,7 @@ object QueriesR4e {
             .cast("double") /
             (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6)
             .as("auc"))
-        .repartition(1).sortWithinPartitions("segment")
+        .transform(graft.engine.Ops.reportSort("segment"))
     },
     Some("""WITH scored AS (
               SELECT c_mktsegment AS segment, o_totalprice AS score,
@@ -117,7 +117,7 @@ object QueriesR4e {
             (col("n") * col("mc")).cast("double") -
             col("n_pos").cast("double") / col("n").cast("double"), 6)
             .as("gap"))
-        .repartition(1).sortWithinPartitions("bin")
+        .transform(graft.engine.Ops.reportSort("bin"))
     },
     Some("""WITH cents AS (
               SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
@@ -186,7 +186,7 @@ object QueriesR4e {
             col("tot_pos").cast("double"), 6).as("cum_gain"),
           round((col("cum_pos") * col("tot_n")).cast("double") /
             (col("cum_n") * col("tot_pos")).cast("double"), 6).as("lift"))
-        .repartition(1).sortWithinPartitions(desc("decile"))
+        .transform(graft.engine.Ops.reportSort(desc("decile")))
     },
     Some("""WITH scored AS (
               SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

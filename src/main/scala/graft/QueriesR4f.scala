@@ -85,7 +85,7 @@ object QueriesR4f {
             .as("first_rel_rank"),
           coalesce(expr("1000000 div first_rank"), lit(0L))
             .cast(LongType).as("rr_micro"))
-        .repartition(1).sortWithinPartitions("q_id")
+        .transform(graft.engine.Ops.reportSort("q_id"))
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                               list_transform(embedding::DOUBLE[],
@@ -179,7 +179,7 @@ object QueriesR4f {
         .withColumn("acc",
           round(col("n_correct").cast("double") /
             col("n_suppliers").cast("double"), 6))
-        .repartition(1).sortWithinPartitions("true_nat")
+        .transform(graft.engine.Ops.reportSort("true_nat"))
     },
     Some("""WITH edges AS (
               SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
@@ -238,7 +238,7 @@ object QueriesR4f {
         .withColumn("acc",
           round(col("n_correct").cast("double") /
             col("n_transitions").cast("double"), 6))
-        .repartition(1).sortWithinPartitions("prev")
+        .transform(graft.engine.Ops.reportSort("prev"))
     },
     Some("""WITH trans AS (
               SELECT lag(event_type) OVER (PARTITION BY user_id

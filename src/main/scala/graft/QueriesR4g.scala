@@ -58,7 +58,7 @@ object QueriesR4g {
           col("ewma_micro"),
           round(col("ewma_micro").cast("double") / EwmaWSum, 6)
             .as("ewma"))
-        .repartition(1).sortWithinPartitions("user_id", "day")
+        .transform(graft.engine.Ops.reportSort("user_id", "day"))
     },
     Some(s"""WITH daily AS (
               SELECT user_id, CAST(ts AS DATE) AS day,

@@ -125,7 +125,7 @@ object QueriesR4h {
             lit("seasonal"))
             .when(col("snaive_ae_sum") > col("naive_ae_sum"),
               lit("naive")).otherwise(lit("tie")).as("winner"))
-        .repartition(1).sortWithinPartitions("user_id")
+        .transform(graft.engine.Ops.reportSort("user_id"))
     },
     Some("""WITH daily AS (
               SELECT user_id, CAST(ts AS DATE) AS day,
@@ -192,7 +192,7 @@ object QueriesR4h {
           round(col("n_last7").cast("double") /
             col("n_total").cast("double"), 6).as("last7_share"),
           (col("n_last7") * 52L < col("n_total")).as("volume_collapsed"))
-        .repartition(1).sortWithinPartitions("event_type")
+        .transform(graft.engine.Ops.reportSort("event_type"))
     },
     Some("""WITH wm AS (SELECT max(CAST(ts AS DATE)) AS watermark
                         FROM events),

@@ -45,7 +45,7 @@ object QueriesR4i {
           max("dd").as("max_drawdown"),
           date_format(min(when(col("dd") === col("max_dd"), col("day"))),
             "yyyy-MM-dd").as("drawdown_day"))
-        .repartition(1).sortWithinPartitions("user_id")
+        .transform(graft.engine.Ops.reportSort("user_id"))
     },
     Some("""WITH daily AS (
               SELECT user_id, CAST(ts AS DATE) AS day,
@@ -116,7 +116,7 @@ object QueriesR4i {
           round(u1, 6).as("u1"),
           round(when(variance > 0.0, (u1 - mu) / sqrt(variance)), 6)
             .as("z"))
-        .repartition(1).sortWithinPartitions("seg")
+        .transform(graft.engine.Ops.reportSort("seg"))
     },
     Some("""WITH base AS (
               SELECT c_mktsegment AS seg, o_totalprice AS v,
@@ -198,7 +198,7 @@ object QueriesR4i {
       hashed.join(broadcast(buckets), "bucket")
         .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"),
           col("n_set"), col("bucket"), col("bucket_size"))
-        .repartition(1).sortWithinPartitions("doc_id")
+        .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH px AS (
               SELECT doc_id, i,

@@ -62,7 +62,7 @@ object QueriesR4j {
       contrib.crossJoin(broadcast(total))
         .select("bin", "n_base", "n_cur", "p_base", "p_cur",
           "psi_contrib", "psi_total")
-        .repartition(1).sortWithinPartitions("bin")
+        .transform(graft.engine.Ops.reportSort("bin"))
     },
     Some("""WITH binned AS (
               SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
@@ -294,7 +294,7 @@ object QueriesR4j {
         .select(col("dim"), round(col("w_raw"), 6).as("w_raw"),
           round(col("w_raw") / col("nrm"), 6).as("w_unit"),
           round(col("lambda0"), 6).as("lambda0"))
-        .repartition(1).sortWithinPartitions("dim")
+        .transform(graft.engine.Ops.reportSort("dim"))
     },
     Some("""WITH e AS (
               SELECT vec_id,

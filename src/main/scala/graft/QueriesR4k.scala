@@ -58,7 +58,7 @@ object QueriesR4k {
           round(expr(
             "sl[(size(sl) + size(sl) % 2) div 2 - 1].slope"), 6)
             .as("ts_slope"))
-        .repartition(1).sortWithinPartitions("user_id")
+        .transform(graft.engine.Ops.reportSort("user_id"))
     },
     Some("""WITH daily AS (
               SELECT user_id, CAST(ts AS DATE) AS day,
@@ -121,7 +121,7 @@ object QueriesR4k {
         .select(col("event_type"), col("n").as("n_events"),
           col("totw").as("total_w"), col("value").as("w_median_value"),
           col("cumw").as("cum_at_median"))
-        .repartition(1).sortWithinPartitions("event_type")
+        .transform(graft.engine.Ops.reportSort("event_type"))
     },
     Some("""WITH base AS (
               SELECT event_type, event_id, value,
@@ -185,7 +185,7 @@ object QueriesR4k {
           col("digest_a"), col("digest_b"),
           (col("digest_a") === col("digest_b") &&
             col("n_a") === col("n_b")).as("in_sync"))
-        .repartition(1).sortWithinPartitions("status")
+        .transform(graft.engine.Ops.reportSort("status"))
     },
     Some("""WITH a AS (
               SELECT o_orderkey, o_orderstatus AS status,

@@ -48,7 +48,7 @@ object QueriesR4l {
         .select(col("user_id"),
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("n_purchases"), col("clicks_7d"))
-        .repartition(1).sortWithinPartitions("user_id", "day")
+        .transform(graft.engine.Ops.reportSort("user_id", "day"))
     },
     Some("""WITH clicks AS (
               SELECT user_id, CAST(ts AS DATE) AS cday,
@@ -113,7 +113,7 @@ object QueriesR4l {
             col("cut").cast("double") /
               least(col("vol"), col("total_vol") - col("vol"))
                 .cast("double")), 6).as("conductance"))
-        .repartition(1).sortWithinPartitions("community")
+        .transform(graft.engine.Ops.reportSort("community"))
     },
     Some("""WITH ed AS MATERIALIZED (
                 SELECT DISTINCT o_custkey AS c, l_suppkey AS s
@@ -230,7 +230,7 @@ object QueriesR4l {
             .as("trend"),
           round((col("lv_num") + col("tr_num")).cast("double") /
             holtDen.toDouble, 6).as("forecast_next"))
-        .repartition(1).sortWithinPartitions("user_id")
+        .transform(graft.engine.Ops.reportSort("user_id"))
     },
     Some {
       val lvTerms = (1 to 10).map(i =>

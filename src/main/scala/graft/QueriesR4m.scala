@@ -174,7 +174,7 @@ object QueriesR4m {
           max("maxp").as("max_price"))
         .select("custkey", "n_orders", "first_day", "last_day",
           "latest_status", "top_priority", "max_price")
-        .repartition(1).sortWithinPartitions("custkey")
+        .transform(graft.engine.Ops.reportSort("custkey"))
     },
     Some("""WITH o AS (
               SELECT o_custkey AS custkey, o_orderkey,

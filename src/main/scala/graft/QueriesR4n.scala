@@ -54,7 +54,7 @@ object QueriesR4n {
           col("cand"),
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"),
           col("n_tokens"), col("cum_tokens"))
-        .repartition(1).sortWithinPartitions("q_id", "rank")
+        .transform(graft.engine.Ops.reportSort("q_id", "rank"))
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                               list_transform(embedding::DOUBLE[],
@@ -228,7 +228,7 @@ object QueriesR4n {
           .cast(LongType)).cast(DoubleType) / 1e9 /
           (first("n_bands") - 1).cast(DoubleType), 6).as("t"))
         .withColumn("close", col("t") <= 0.25)
-        .repartition(1).sortWithinPartitions("c_nationkey")
+        .transform(graft.engine.Ops.reportSort("c_nationkey"))
     },
     Some("""WITH cu AS (SELECT c_nationkey,
                                CAST(floor(c_acctbal / 1000) AS BIGINT)

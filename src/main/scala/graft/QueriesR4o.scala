@@ -164,7 +164,7 @@ object QueriesR4o {
         .filter(col("min_cost_higher").isNull ||
           col("n_chars") < col("min_cost_higher"))
         .select("source", "div_micro", "n_chars", "doc_id")
-        .repartition(1).sortWithinPartitions(col("source"), desc("div_micro"), col("doc_id"))
+        .transform(graft.engine.Ops.reportSort(col("source"), desc("div_micro"), col("doc_id")))
     },
     Some("""WITH docs AS (
               SELECT doc_id, source, n_chars,
@@ -202,7 +202,7 @@ object QueriesR4o {
       cells.crossJoin(broadcast(cells.agg(sum("n").as("tot"))))
         .select(col("gold"), col("pred"), col("n"),
           round(col("n").cast(DoubleType) / col("tot"), 6).as("share"))
-        .repartition(1).sortWithinPartitions("gold", "pred")
+        .transform(graft.engine.Ops.reportSort("gold", "pred"))
     },
     Some("""WITH pred AS (
               SELECT lang AS gold,
@@ -245,7 +245,7 @@ object QueriesR4o {
           sum("tk").as("raw_tokens"),
           sum(round(col("tk").cast(DoubleType) * 1e6 / col("csz"), 0)
             .cast(LongType)).as("eff_tokens_micro"))
-        .repartition(1).sortWithinPartitions("source")
+        .transform(graft.engine.Ops.reportSort("source"))
     },
     Some("""WITH docs AS (
               SELECT doc_id, source,

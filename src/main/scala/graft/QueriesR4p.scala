@@ -250,7 +250,7 @@ object QueriesR4p {
         .select(col("cid"), col("pick").cast(LongType).as("pick"),
           col("id"),
           round(col("cos") * 1e6, 0).cast(LongType).as("cos_micro"))
-        .repartition(1).sortWithinPartitions("cid", "pick")
+        .transform(graft.engine.Ops.reportSort("cid", "pick"))
     },
     Some("""WITH e AS (SELECT vec_id AS id,
                               list_transform(embedding::DOUBLE[],

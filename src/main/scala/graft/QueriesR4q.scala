@@ -56,7 +56,7 @@ object QueriesR4q {
             .otherwise(lit("0_kept")))
       joined.groupBy("source", "tier")
         .agg(count(lit(1)).as("n_docs"))
-        .repartition(1).sortWithinPartitions("source", "tier")
+        .transform(graft.engine.Ops.reportSort("source", "tier"))
     },
     Some("""WITH docs AS (
               SELECT doc_id, source,
@@ -244,7 +244,7 @@ object QueriesR4q {
             col("n"), 6).as("r"),
           round(lit(1.0) - sqrt(col("ss") * col("ss") +
             col("sc") * col("sc")) / col("n"), 6).as("circ_variance"))
-        .repartition(1).sortWithinPartitions("event_type")
+        .transform(graft.engine.Ops.reportSort("event_type"))
     },
     Some(s"""WITH ev AS (
               SELECT event_type,
@@ -305,7 +305,7 @@ object QueriesR4q {
             .as("n_high"),
           min(when(col("x") < col("lo_fence"), col("x"))).as("worst_low"),
           max(when(col("x") > col("hi_fence"), col("x"))).as("worst_high"))
-        .repartition(1).sortWithinPartitions("seg")
+        .transform(graft.engine.Ops.reportSort("seg"))
     },
     Some("""WITH base AS (
               SELECT c_mktsegment AS seg,

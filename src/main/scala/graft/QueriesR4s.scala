@@ -106,7 +106,7 @@ object QueriesR4s {
             .cast(LongType).as("tpr_micro"),
           round(col("cum_fp").cast(DoubleType) / col("tot_n") * 1e6, 0)
             .cast(LongType).as("fpr_micro"))
-        .repartition(1).sortWithinPartitions(desc("band"))
+        .transform(graft.engine.Ops.reportSort(desc("band")))
     },
     Some("""WITH scored AS (
               SELECT CAST(floor(c_acctbal / 500) AS BIGINT) AS band,
@@ -160,7 +160,7 @@ object QueriesR4s {
         .groupBy(col("x.source").as("source_a"),
           col("y.source").as("source_b"))
         .agg(countDistinct(col("x.fp")).as("shared_fps"))
-      pairs.repartition(1).sortWithinPartitions("source_a", "source_b")
+      pairs.transform(graft.engine.Ops.reportSort("source_a", "source_b"))
     },
     Some("""WITH fps AS (
               SELECT source,
@@ -208,7 +208,7 @@ object QueriesR4s {
           (col("rk") - 1) * col("n_sources") + col("sidx"))
         .filter(col("position") < 40)
         .select(col("position"), col("source"), col("rk"), col("doc_id"))
-        .repartition(1).sortWithinPartitions("position")
+        .transform(graft.engine.Ops.reportSort("position"))
     },
     Some("""WITH docs AS (
               SELECT doc_id, source,

@@ -85,7 +85,7 @@ object QueriesR4t {
         .select(col("c_nationkey"), col("rk"), round(col("z"), 6).as("z"),
           col("p"), col("bh_bound"),
           (col("admit_tail") === 1L).as("significant"))
-        .repartition(1).sortWithinPartitions("rk")
+        .transform(graft.engine.Ops.reportSort("rk"))
     },
     Some(s"""WITH cu AS (SELECT c_nationkey, c_acctbal AS x FROM customer),
             g AS (SELECT c_nationkey, count(*) AS n, sum(x) AS sx,
@@ -151,7 +151,7 @@ object QueriesR4t {
       assigned.groupBy("source", "split")
         .agg(count(lit(1)).as("n_docs"), sum("tk").as("tokens"))
         .crossJoin(broadcast(leaks))
-        .repartition(1).sortWithinPartitions("source", "split")
+        .transform(graft.engine.Ops.reportSort("source", "split"))
     },
     Some("""WITH docs AS (
               SELECT doc_id, source,

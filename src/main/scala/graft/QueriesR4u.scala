@@ -71,7 +71,7 @@ object QueriesR4u {
           round(col("slope"), 6).as("slope"),
           round(col("icept"), 4).as("intercept"),
           round(lit(1.0) - col("sse") / col("sst"), 6).as("r2_full"))
-        .repartition(1).sortWithinPartitions("pct")
+        .transform(graft.engine.Ops.reportSort("pct"))
     },
     Some("""WITH base AS (
               SELECT o_orderkey AS k, c_acctbal AS x, o_totalprice AS y,
@@ -157,7 +157,7 @@ object QueriesR4u {
         .select(col("rk").as("k"), col("cum").cast(LongType).as("cum_occurrences"),
           round(col("cum").cast(DoubleType) / col("total"), 6)
             .as("coverage"))
-        .repartition(1).sortWithinPartitions("k")
+        .transform(graft.engine.Ops.reportSort("k"))
     },
     Some("""WITH cnt AS (
               SELECT tok, count(*) AS c

@@ -54,7 +54,7 @@ object QueriesR5a {
         .select(col("g"), col("n"), col("s"), col("n_pairs"),
           round(varS * 1e6, 0).cast(LongType).as("var_micro"),
           round(z * 1e6, 0).cast(LongType).as("z_micro"))
-        .repartition(1).sortWithinPartitions("g")
+        .transform(graft.engine.Ops.reportSort("g"))
     },
     Some("""WITH monthly AS (
               SELECT o_orderstatus AS g, date_trunc('month', o_orderdate) AS m,
@@ -216,7 +216,7 @@ object QueriesR5a {
         .select(col("pri"), col("st"), col("obs"),
           round(e * 1e6, 0).cast(LongType).as("exp_micro"),
           round(g * 1e6, 0).cast(LongType).as("g_contrib_micro"))
-        .repartition(1).sortWithinPartitions("pri", "st")
+        .transform(graft.engine.Ops.reportSort("pri", "st"))
     },
     Some("""WITH cells AS (
               SELECT o_orderpriority AS pri, o_orderstatus AS st,

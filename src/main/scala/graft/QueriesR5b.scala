@@ -162,7 +162,7 @@ object QueriesR5b {
           round(term * lit(5e5), 0).cast(LongType).as("half_term_micro"))
         .groupBy("source")
         .agg(sum("half_term_micro").as("js_micro"))
-        .repartition(1).sortWithinPartitions("source")
+        .transform(graft.engine.Ops.reportSort("source"))
     },
     Some("""WITH tk AS (
               SELECT source, unnest(string_split(text, ' ')) AS tok

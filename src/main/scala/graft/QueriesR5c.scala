@@ -135,7 +135,7 @@ object QueriesR5c {
             round(lit(2.0) * dd("e_rich") /
               (dd("n_rich") * (dd("n_rich") - 1)) * 1e6, 0))
             .otherwise(lit(0.0)).cast(LongType).as("phi_micro"))
-        .repartition(1).sortWithinPartitions("k")
+        .transform(graft.engine.Ops.reportSort("k"))
     },
     Some("""WITH ed AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
                         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -206,7 +206,7 @@ object QueriesR5c {
           round(rec * 1e6, 0).cast(LongType).as("recall_micro"),
           round(lit(2.0) * prec * rec / (prec + rec) * 1e6, 0)
             .cast(LongType).as("f1_micro"))
-        .repartition(1).sortWithinPartitions(desc("band"))
+        .transform(graft.engine.Ops.reportSort(desc("band")))
     },
     Some("""WITH scored AS (
               SELECT CAST(floor(c_acctbal / 500) AS BIGINT) AS band,
@@ -276,7 +276,7 @@ object QueriesR5c {
             .cast(LongType).as("rel_term_micro"),
           round(dd("n_k") * (ok - obar) * (ok - obar) * 1e6, 0)
             .cast(LongType).as("res_term_micro"))
-      terms.repartition(1).sortWithinPartitions("bin")
+      terms.transform(graft.engine.Ops.reportSort("bin"))
     },
     Some("""WITH scored AS (
               SELECT CAST(least(greatest(floor(c_acctbal / 500), 0), 40)

@@ -74,7 +74,7 @@ object QueriesR5d {
           round(sqrt(dd("chi2_micro") / 1e6 /
             (dd("n") * (least(col("r"), col("c")).cast(DoubleType) - 1)))
             * 1e6, 0).cast(LongType).as("v_micro"))
-        .repartition(1).sortWithinPartitions("pair")
+        .transform(graft.engine.Ops.reportSort("pair"))
     },
     Some("""WITH raw AS (
               SELECT 'rf_ls' AS pair, l_returnflag AS a, l_linestatus AS b
@@ -313,7 +313,7 @@ object QueriesR5d {
       conf.select(col("band"), col("tp"), col("fp"), col("fn"), col("tn"),
           round(mcc * 1e6, 0).cast(LongType).as("mcc_micro"),
           round(f1 * 1e6, 0).cast(LongType).as("f1_micro"))
-        .repartition(1).sortWithinPartitions(desc("band"))
+        .transform(graft.engine.Ops.reportSort(desc("band")))
     },
     Some("""WITH scored AS (
               SELECT CAST(floor(c_acctbal / 500) AS BIGINT) AS band,

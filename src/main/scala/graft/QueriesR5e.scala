@@ -61,7 +61,7 @@ object QueriesR5e {
           round(sk * 1e6, 0).cast(LongType).as("skew_micro"),
           round(ku * 1e6, 0).cast(LongType).as("kurt_micro"),
           round(jb * 1e6, 0).cast(LongType).as("jb_micro"))
-        .repartition(1).sortWithinPartitions("g")
+        .transform(graft.engine.Ops.reportSort("g"))
     },
     Some("""WITH base AS (
               SELECT l_returnflag AS g,
@@ -294,7 +294,7 @@ object QueriesR5e {
             .cast(LongType))
       scored.groupBy("jac_band")
         .agg(count(lit(1)).as("n_pairs"), sum("jac_micro").as("sum_jac_micro"))
-        .repartition(1).sortWithinPartitions("jac_band")
+        .transform(graft.engine.Ops.reportSort("jac_band"))
     },
     Some("""WITH toks AS (
               SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))

@@ -227,7 +227,7 @@ object QueriesR5f {
       perT
         .select(col("st"), col("n_blocks"), col("r_sum"),
           round(chi * 1e6, 0).cast(LongType).as("chi2_f_micro"))
-        .repartition(1).sortWithinPartitions("st")
+        .transform(graft.engine.Ops.reportSort("st"))
     },
     Some("""WITH cells AS (
               SELECT date_trunc('month', o_orderdate) AS m,
@@ -328,7 +328,7 @@ object QueriesR5f {
           col("alive2_micro").isNotNull && col("alive3_micro").isNotNull)
         .select(col("i").as("start_type"), col("p_purchase_micro"),
           col("alive1_micro"), col("alive2_micro"), col("alive3_micro"))
-        .repartition(1).sortWithinPartitions("start_type")
+        .transform(graft.engine.Ops.reportSort("start_type"))
     },
     Some("""WITH seq AS (
               SELECT user_id, event_type AS nxt,

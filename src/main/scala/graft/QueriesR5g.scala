@@ -54,7 +54,7 @@ object QueriesR5g {
         .select(col("decile"), col("new_grams"), col("cum_grams"),
           round(dd("cum_grams") / dd("total") * 1e6, 0).cast(LongType)
             .as("cum_share_micro"))
-        .repartition(1).sortWithinPartitions("decile")
+        .transform(graft.engine.Ops.reportSort("decile"))
     },
     Some("""WITH span AS (
               SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
@@ -122,7 +122,7 @@ object QueriesR5g {
             .cast(LongType).as("n_hat"),
           round(dd("m") * 1e6 / least(dd("n_a"), dd("n_b")), 0)
             .cast(LongType).as("overlap_micro"))
-        .repartition(1).sortWithinPartitions("src_a", "src_b")
+        .transform(graft.engine.Ops.reportSort("src_a", "src_b"))
     },
     Some("""WITH fps AS (
               SELECT DISTINCT source,
@@ -197,7 +197,7 @@ object QueriesR5g {
           col("n_mutual"),
           round(dd("n_mutual") / dd("n_edges") * 1e6, 0).cast(LongType)
             .as("symmetry_micro"))
-        .repartition(1).sortWithinPartitions("k")
+        .transform(graft.engine.Ops.reportSort("k"))
     },
     Some("""WITH e AS (
               SELECT vec_id AS id,
@@ -264,7 +264,7 @@ object QueriesR5g {
           round(sqrt(varC), 0).cast(LongType).as("sd_cents"),
           nFor(1).as("n_for_1pct"), nFor(2).as("n_for_2pct"),
           nFor(5).as("n_for_5pct"))
-        .repartition(1).sortWithinPartitions("g")
+        .transform(graft.engine.Ops.reportSort("g"))
     },
     Some("""WITH base AS (
               SELECT event_type AS g,

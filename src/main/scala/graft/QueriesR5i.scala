@@ -50,7 +50,7 @@ object QueriesR5i {
         .select(col("nk").as("nationkey"), col("n_pairs"),
           round(col("hl_shift_cents") * 10, 0).cast(LongType)
             .as("hl_shift_decicents"))
-        .repartition(1).sortWithinPartitions("nationkey")
+        .transform(graft.engine.Ops.reportSort("nationkey"))
     },
     Some("""WITH cust AS (
               SELECT nk, cb FROM (
@@ -225,7 +225,7 @@ object QueriesR5i {
           col("to_type"), col("n_users"),
           round(dd("n_users") * 1e6 / dd("step_total"), 0)
             .cast(LongType).as("share_micro"))
-        .repartition(1).sortWithinPartitions("step", "from_type", "to_type")
+        .transform(graft.engine.Ops.reportSort("step", "from_type", "to_type"))
     },
     Some("""WITH steps AS (
               SELECT user_id, step, event_type FROM (
@@ -286,7 +286,7 @@ object QueriesR5i {
             .as("alloc"))
         .groupBy("month")
         .agg(count(lit(1)).as("n_slices"), sum("alloc").as("alloc_cents"))
-        .repartition(1).sortWithinPartitions("month")
+        .transform(graft.engine.Ops.reportSort("month"))
     },
     Some("""WITH o AS (
               SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,

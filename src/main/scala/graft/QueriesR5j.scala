@@ -165,7 +165,7 @@ object QueriesR5j {
             .cast(LongType).as("d2_pick_micro"),
           round(lit(radius) / lit(1099511627776.0) * 1e6, 0)
             .cast(LongType).as("coverage_d2_micro"))
-        .repartition(1).sortWithinPartitions("round")
+        .transform(graft.engine.Ops.reportSort("round"))
     },
     Some {
       val panel =

@@ -46,7 +46,7 @@ object QueriesR5k {
           sum("ttr_micro").as("sum_micro"))
         .select(col("source"), col("n_segments"),
           expr("sum_micro div n_segments").as("msttr_micro"))
-        .repartition(1).sortWithinPartitions("source")
+        .transform(graft.engine.Ops.reportSort("source"))
     },
     Some("""WITH segs AS (
               SELECT source,
@@ -114,7 +114,7 @@ object QueriesR5k {
             .otherwise(round(col("m.d2") * 1e6, 0)).cast(LongType)
             .as("d2_micro"),
           col("m").isNull.cast("int").as("unmatched"))
-        .repartition(1).sortWithinPartitions("custkey")
+        .transform(graft.engine.Ops.reportSort("custkey"))
     },
     Some("""WITH cust AS (
               SELECT c_custkey AS id,
@@ -198,7 +198,7 @@ object QueriesR5k {
           round((lit(1e6) - dd("total_toks") * 1e6 /
             (dd("n_bins") * dd("ctx"))), 0).cast(LongType)
             .as("waste_micro"))
-        .repartition(1).sortWithinPartitions("ctx")
+        .transform(graft.engine.Ops.reportSort("ctx"))
     },
     Some("""WITH lens AS (
               SELECT doc_id, len(string_split(text, ' ')) AS len

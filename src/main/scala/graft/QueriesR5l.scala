@@ -79,7 +79,7 @@ object QueriesR5l {
           round(dd("n_kept") * 1e6 / dd("n_docs"), 0).cast(LongType)
             .as("share_micro"),
           expr("kept_tokens div n_kept").as("mean_len_kept"))
-        .repartition(1).sortWithinPartitions("pct")
+        .transform(graft.engine.Ops.reportSort("pct"))
     },
     Some("""WITH toks AS (
               SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -310,7 +310,7 @@ object QueriesR5l {
         .filter(col("rk") <= 3)
         .select(col("q_doc"), col("rk").cast(LongType).as("rk"),
           col("cand"), col("dist"))
-        .repartition(1).sortWithinPartitions("q_doc", "rk")
+        .transform(graft.engine.Ops.reportSort("q_doc", "rk"))
     },
     Some("""WITH tokens AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok

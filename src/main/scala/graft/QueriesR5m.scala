@@ -221,7 +221,7 @@ object QueriesR5m {
           round((dd("e_in") / m -
             (dd("d_sum") / (2.0 * m)) * (dd("d_sum") / (2.0 * m))) * 1e6,
             0).cast(LongType).as("q_contrib_micro"))
-        .repartition(1).sortWithinPartitions("community")
+        .transform(graft.engine.Ops.reportSort("community"))
     },
     Some("""WITH ed0 AS MATERIALIZED (
                 SELECT DISTINCT o_custkey AS c, l_suppkey AS s

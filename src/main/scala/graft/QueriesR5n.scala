@@ -110,7 +110,7 @@ object QueriesR5n {
           round((lit(0.39) * dd("words") / dd("sentences") +
             lit(11.8) * dd("syllables") / dd("words") - lit(15.59)) * 1e3,
             0).cast(LongType).as("fk_grade_milli"))
-        .repartition(1).sortWithinPartitions("source")
+        .transform(graft.engine.Ops.reportSort("source"))
     },
     Some("""WITH per_doc AS (
               SELECT source,
@@ -188,7 +188,7 @@ object QueriesR5n {
             .as("exp_recall_micro"),
           round(col("falseCand") * 1e3, 0).cast(LongType)
             .as("exp_false_cand_milli"))
-        .repartition(1).sortWithinPartitions(desc("bands"))
+        .transform(graft.engine.Ops.reportSort(desc("bands")))
     },
     Some("""WITH panel AS (
               SELECT doc_id AS id,

@@ -180,7 +180,7 @@ object QueriesR5o {
           (-col("pick.neg_len")).as("canonical_chars"),
           (col("total_chars") + col("pick.neg_len"))
             .as("reclaimable_chars"))
-        .repartition(1).sortWithinPartitions("fp")
+        .transform(graft.engine.Ops.reportSort("fp"))
     },
     Some("""WITH fp AS (
               SELECT doc_id, n_chars,

@@ -56,7 +56,7 @@ object QueriesR5p {
       }
       xi("x", "y", "orders->revenue")
         .unionByName(xi("y", "x", "revenue->orders"))
-        .repartition(1).sortWithinPartitions("direction")
+        .transform(graft.engine.Ops.reportSort("direction"))
     },
     Some("""WITH daily AS (
               SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
@@ -205,7 +205,7 @@ object QueriesR5p {
             .as("share_of_len_band_micro"),
           round(dd("n_docs") * 1e6 / dd("colt"), 0).cast(LongType)
             .as("share_of_ttr_decile_micro"))
-        .repartition(1).sortWithinPartitions("len_band", "ttr_decile")
+        .transform(graft.engine.Ops.reportSort("len_band", "ttr_decile"))
     },
     Some("""WITH binned AS (
               SELECT least(len // 100, 9) AS len_band,

@@ -47,7 +47,7 @@ object QueriesR5q {
             .cast(LongType).as("n_neyman"),
           round(dd("nh") * 1000.0 / dd("t_n"), 0).cast(LongType)
             .as("n_proportional"))
-        .repartition(1).sortWithinPartitions("stratum")
+        .transform(graft.engine.Ops.reportSort("stratum"))
     },
     Some("""WITH grp AS (
               SELECT c_mktsegment AS stratum,
@@ -199,7 +199,7 @@ object QueriesR5q {
             .cast(LongType).as("propensity_micro"),
           round(dd("clicks") / (dd("clicks") / dd("views") / col("ctr0")),
             0).cast(LongType).as("ips_clicks"))
-        .repartition(1).sortWithinPartitions("position")
+        .transform(graft.engine.Ops.reportSort("position"))
     },
     Some("""WITH pos AS (
               SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)

@@ -250,7 +250,7 @@ object QueriesR5r {
           col("suffix"), col("n"),
           round(dd("n") * 1e6 / dd("tot"), 0).cast(LongType)
             .as("share_micro"))
-        .repartition(1).sortWithinPartitions("lang", "rk")
+        .transform(graft.engine.Ops.reportSort("lang", "rk"))
     },
     Some("""WITH suf AS (
               SELECT lang, tok[-3:] AS suffix

@@ -89,7 +89,7 @@ object QueriesR5s {
           // one division of the exact integer sum by 6.0 — bit-identical
           round(col("phi6_micro").cast(DoubleType) / 6.0, 0)
             .cast(LongType).as("shapley_micro"))
-        .repartition(1).sortWithinPartitions("channel")
+        .transform(graft.engine.Ops.reportSort("channel"))
     },
     Some("""WITH mask AS (
               SELECT user_id,
@@ -171,7 +171,7 @@ object QueriesR5s {
           round(dd("shared") * 1e6 /
             (dd("va") + dd("vb") - dd("shared")), 0).cast(LongType)
             .as("jaccard_micro"))
-        .repartition(1).sortWithinPartitions("lang_a", "lang_b")
+        .transform(graft.engine.Ops.reportSort("lang_a", "lang_b"))
     },
     Some("""WITH vocab AS (
               SELECT DISTINCT lang, tok

@@ -50,7 +50,7 @@ object QueriesR5t {
           round(col("med") * 10, 0).cast(LongType).as("med_decicents"),
           round(dd("rev") * 1e6 / col("med"), 0).cast(LongType)
             .as("prominence_micro"))
-        .repartition(1).sortWithinPartitions("day")
+        .transform(graft.engine.Ops.reportSort("day"))
     },
     Some("""WITH daily AS (
               SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
@@ -130,7 +130,7 @@ object QueriesR5t {
         .select(col("part"), col("games"),
           round(col("winsr") * 10, 0).cast(LongType).as("wins_deci"),
           col("pi2_micro"))
-        .repartition(1).sortWithinPartitions(desc("pi2_micro"), col("part"))
+        .transform(graft.engine.Ops.reportSort(desc("pi2_micro"), col("part")))
     },
     Some("""WITH li AS (
               SELECT l_orderkey AS ok, l_partkey AS pk,
@@ -211,7 +211,7 @@ object QueriesR5t {
         .agg(count(lit(1)).as("n_orders"),
           sum("abs_delta").as("total_abs_delta_cents"),
           max("abs_delta").as("worst_delta_cents"))
-        .repartition(1).sortWithinPartitions("band")
+        .transform(graft.engine.Ops.reportSort("band"))
     },
     Some("""WITH derived AS (
               SELECT l_orderkey AS ok,

@@ -72,7 +72,7 @@ object QueriesR7a {
           .select(lit(l.toLong).as("level"), col("tile"), col("n"),
             col("cents"))
       }
-      levels.reduce(_ unionByName _).repartition(1).sortWithinPartitions("level", "tile")
+      levels.reduce(_ unionByName _).transform(graft.engine.Ops.reportSort("level", "tile"))
     },
     Some("""WITH pts AS (
               SELECT (c_nationkey * 7 % 180) - 90 +
@@ -179,7 +179,7 @@ object QueriesR7a {
         .filter(d2 <= 8.0)
         .select(col("tile"), col("c_custkey"), col("s_suppkey"),
           round(d2, 6).as("dist2"))
-        .repartition(1).sortWithinPartitions("c_custkey", "s_suppkey")
+        .transform(graft.engine.Ops.reportSort("c_custkey", "s_suppkey"))
     },
     Some {
       def qkSql(x: String, y: String): String = (1 to 6).map { l =>

@@ -75,7 +75,7 @@ object QueriesR8a {
           round(col("sum_micro").cast(DoubleType) / col("n_tasks") / 1e6, 6)
             .as("mean_pass_at_k"),
           col("n_solved"))
-        .repartition(1).sortWithinPartitions("k")
+        .transform(graft.engine.Ops.reportSort("k"))
     },
     Some {
       def prodSql(k: Int): String = (0 until k)
@@ -159,7 +159,7 @@ object QueriesR8a {
         .filter(col("rk") <= 2)
         .select(col("a").as("user"), col("rk").cast(LongType).as("rk"),
           col("item"), col("score"))
-        .repartition(1).sortWithinPartitions("user", "rk")
+        .transform(graft.engine.Ops.reportSort("user", "rk"))
     },
     Some("""WITH ed AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
                         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

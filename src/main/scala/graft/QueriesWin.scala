@@ -118,7 +118,7 @@ object QueriesWin {
           col("t1").isNotNull.as("did_view"),
           col("t2").isNotNull.as("did_click_after"),
           col("t3").isNotNull.as("did_purchase_after"))
-        .repartition(1).sortWithinPartitions("user_id")
+        .transform(graft.engine.Ops.reportSort("user_id"))
     },
     Some("""WITH v AS (
               SELECT user_id,
@@ -161,7 +161,7 @@ object QueriesWin {
         .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
           col("k"))
         .agg(countDistinct("user_id").as("n_active"))
-        .repartition(1).sortWithinPartitions("cohort_day", "k")
+        .transform(graft.engine.Ops.reportSort("cohort_day", "k"))
     },
     Some("""WITH ev AS (
               SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

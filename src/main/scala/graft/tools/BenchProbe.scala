@@ -85,7 +85,10 @@ object BenchProbe {
     // per-query time per pass plus thread/GC state, so the two trees'
     // curves can be diffed pass-by-pass and position-by-position.
     val sb = new StringBuilder
-    sb ++= "pass,idx,query,sec,threads,gcMs,rdds,storMb,heapMb,files\n"
+    // execMemMb = executor storage-pool usage reported by
+    // getExecutorMemoryStatus (max - free of the STORAGE memory pool),
+    // not total executor heap (ADVICE r10 naming fix)
+    sb ++= "pass,idx,query,sec,threads,gcMs,rdds,execMemMb,heapMb,files\n"
     def passRun(pass: Int): Map[String, Double] = {
       val t0 = System.nanoTime()
       val m = names.zipWithIndex.map { case (n, i) =>
@@ -99,7 +102,8 @@ object BenchProbe {
           f"threads=$threads gcMs=$gcMs heapMb=$heapUsedMb files=$localDirFiles")
       m
     }
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt
+    val passes = sys.env.get("SPARK_GRAFT_PROBE_PASSES")
+      .flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse(2)
     val all = (1 to passes).map { p =>
       if (p > 1) System.gc()
       passRun(p)

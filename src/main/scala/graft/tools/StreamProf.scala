@@ -22,7 +22,17 @@ object StreamProf {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // profiling REAL stream executions is this tool's whole purpose —
+      // a memo hit on rep 2+ would measure parquet readback instead
+      .config("spark.graft.streamResultMemo", "false")
       .getOrCreate()
+    sys.env.get("SPARK_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _           => ()
+        }
+      })
     graft.engine.Engine.fixtureFloorConfs(spark, sfDir)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -44,7 +54,19 @@ object StreamProf {
         df.write.format("noop").mode("overwrite").save()
         val t2 = System.nanoTime()
         println(f"=== $name rep $r: fn(incl stream)=${(t1 - t0) / 1e9}%.3f s, readback+noop=${(t2 - t1) / 1e9}%.3f s")
-        progress.forEach(j => println("  PROGRESS " + j))
+        // compact per-batch phase attribution pulled out of the progress
+        // JSON: durationMs.* are the micro-batch phases; stateOperators'
+        // commitTimeMs is the per-batch state-store commit total
+        progress.forEach { j =>
+          def grab(field: String): String = {
+            val m = ("\"" + field + "\"\\s*:\\s*(\\d+)").r
+            m.findAllMatchIn(j).map(_.group(1)).mkString("+")
+          }
+          val fields = Seq("triggerExecution", "latestOffset", "getBatch",
+            "queryPlanning", "walCommit", "commitOffsets", "addBatch",
+            "commitTimeMs", "numRowsTotal")
+          println("  BATCH " + fields.map(f => s"$f=${grab(f)}").mkString(" "))
+        }
       }
     }
     spark.stop()

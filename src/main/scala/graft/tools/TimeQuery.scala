@@ -45,6 +45,10 @@ object TimeQuery {
         }
       })
     graft.engine.Engine.fixtureFloorConfs(spark, sfDir, extraKeys.toSet)
+    // mirror Bench (round 11): graded/bench conditions measure REAL
+    // streaming execution, not a memoized-sink readback on rep 2+
+    if (!extraKeys.contains("spark.graft.streamResultMemo"))
+      spark.conf.set("spark.graft.streamResultMemo", "false")
     spark.sparkContext.setLogLevel("ERROR")
 
     val jobs = new AtomicInteger(0)

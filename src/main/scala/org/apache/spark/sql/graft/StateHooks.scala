@@ -40,8 +40,28 @@ object StateHooks {
     */
   private val EnableKey = "spark.graft.streamStateRelease"
 
+  /** JVM-wide live-stream census (ADVICE r10): `spark.streams.active` is
+    * SESSION-scoped, but `StateStore.unloadAll()` is JVM-global — a
+    * sibling session in the same JVM (`newSession()`, parallel test
+    * suites) can have a running streaming query whose loaded providers
+    * must not be yanked mid-batch. Every live `StreamExecution` owns a
+    * dedicated `QueryExecutionThread` named "stream execution thread
+    * for <id>" for the query's whole lifetime (it is the micro-batch
+    * loop itself), so a thread scan sees streams of EVERY session
+    * without needing a registry Spark doesn't expose. Our own stopped
+    * query's thread is already joined by `stop()` before this runs.
+    */
+  private def liveStreamThreadCount(): Int = {
+    var n = 0
+    Thread.getAllStackTraces.keySet().forEach { t =>
+      if (t.isAlive && t.getName.startsWith("stream execution thread")) n += 1
+    }
+    n
+  }
+
   def releaseAfterStreamStop(spark: SparkSession): Unit =
     if (spark.sparkContext.isLocal && spark.streams.active.isEmpty &&
+        liveStreamThreadCount() == 0 &&
         spark.conf.get(EnableKey, "true").toBoolean) {
       // unload only — the maintenance TASK stays up (stopping it would
       // make the next stream pay a pool restart; measured as a small
