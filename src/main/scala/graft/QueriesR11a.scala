@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Engine
+
+/** Round-11 batch 1: the REAL image decode path (VERDICT r10 task 7) —
+  * the multimodal tier's last stub boundary closed with javax.imageio.
+  */
+object QueriesR11a {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  // ------------- mm_decode_px: full PNG decode via javax.imageio
+
+  private val decodePx = Q(
+    "mm_decode_px",
+    "FULL image decode through a REAL codec, oracle-graded — closes the " +
+      "multimodal tier's one remaining stub (header-level PNG/WAV/JPEG " +
+      "parsing was already real; pixel decode was a deterministic " +
+      "fake). Every 16th document synthesizes a 16×16 RGB image whose " +
+      "pixel (x,y) is a pure function of (doc_id, x, y), encodes it to " +
+      "a genuine PNG with javax.imageio's encoder, and DECODES IT BACK " +
+      "with the real decoder inside mapPartitions (codec init amortized " +
+      "per partition, constant memory per row — the extractFeatures " +
+      "batch shape). Graded output: decoded raster dims plus exact " +
+      "channel sums and a position-weighted moment Σ(x+1)(y+1)·r that " +
+      "would catch any transposition. PNG is lossless, so the oracle " +
+      "replays the pixel formula in SQL and the hash-compare checks the " +
+      "actual encoder→decoder round-trip bit-for-bit. Scale shape: " +
+      "map-only (zero shuffle before the output sort) — decode " +
+      "pipelines at 100 TB are exactly this: narrow per-row kernels " +
+      "whose parallelism is the scan's.",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val ids = t(s, d, "documents")
+        .filter(col("doc_id") % 16 === 0)
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        // ImageIO scanner registry warm + cache off happen on first use
+        // in this task; both kernels below are per-row and allocation-flat
+        it.map { id =>
+          Multimodal.decodePngStats(id, Multimodal.encodePng(id, 16, 16))
+        }
+      }.toDF()
+        .transform(graft.engine.Ops.reportSort("doc_id"))
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents
+                         WHERE doc_id % 16 = 0),
+            px AS (SELECT doc_id, x, y,
+                          (7 * doc_id + 3 * x + 5 * y) % 256 AS r,
+                          (11 * doc_id + x * y) % 256 AS g,
+                          (13 * doc_id + 2 * x + y * y) % 256 AS b
+                   FROM ids
+                   CROSS JOIN (SELECT unnest(range(0, 16)) AS x)
+                   CROSS JOIN (SELECT unnest(range(0, 16)) AS y))
+            SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                   CAST(sum(r) AS BIGINT) AS r_sum,
+                   CAST(sum(g) AS BIGINT) AS g_sum,
+                   CAST(sum(b) AS BIGINT) AS b_sum,
+                   CAST(sum((x + 1) * (y + 1) * r) AS BIGINT) AS pos_moment
+            FROM px GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(decodePx)
+}

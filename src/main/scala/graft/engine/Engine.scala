@@ -34,6 +34,15 @@ object Engine {
       // locally, and at cluster scale it's exactly how AQE is meant to run
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
+      // whole-stage-codegen class cache sized for a MULTI-QUERY session
+      // (round 11): the default 100-entry LRU is evicted by any
+      // plan-heavy query, after which every other query re-Janino-
+      // compiles all its generated stages on next execution (~1 s per
+      // affected query — bisected with tools/AltProbe). Any analytics
+      // session running a mixed workload wants this; the cache holds
+      // weak-referenced generated classes, so the cost is bounded and
+      // reclaimed under memory pressure. JVM-static: set at builder time.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // parquet predicate pushdown + vectorized reader are defaults, but we
       // pin them: the oracle-graded queries rely on scans staying columnar.
       .config("spark.sql.parquet.filterPushdown", "true")

@@ -16,6 +16,15 @@ object ExtCheck {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // whole-stage-codegen class cache sized for a multi-query session
+      // (round 11, VERDICT r10 task 2): the default 100-entry LRU is
+      // evicted by any plan-heavy query, so in a 365-query session every
+      // query re-Janino-compiles all its generated stages on every pass
+      // (~1s on the hot whole-frame-window queries — the whole measured
+      // "bench-context inflation"; tools/AltProbe bisected it, and
+      // 10000 entries restored isolated-best times with other queries
+      // interleaved). JVM-static: must be set at builder time.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
