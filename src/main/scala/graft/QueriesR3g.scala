@@ -135,6 +135,20 @@ object QueriesR3g {
         .ckpt(false)
       // parts=4: ~1k nodes — the graph-sized pinning contract (round 10:
       // 8 → 4 halves the per-stage task floor, 131 → 71 tasks, same plan)
+      // Round-11 state (verdict task, third listing): 6 jobs / 22 stages
+      // / 67 tasks, from r10's 6/23/71 — the moved-count convergence in
+      // connectedComponents drops the final round's pointer-jump
+      // exchange. MEASURED REVERT the same round: jumps=2 (double
+      // pointer-jump per round) did NOT cut rounds — still 3 working +
+      // 1 observation, because these components are propagation-HOP-
+      // bound (the min label hasn't arrived at the far endpoint; chasing
+      // pointers harder can't deliver a label the edges haven't
+      // carried), and it ADDED an exchange every round: 23 → 31 stages,
+      // 1.39 → 1.84 s TimeQ best. Remaining structure is the algorithm's
+      // floor for this fixture: 4 observed rounds (labels change in
+      // round 3, so a 4th must observe stability) × 3 irreducible
+      // exchanges (prev jump re-key, labels→id, propagation groupBy)
+      // + the blocked-join build + the output sort.
       Dedup.connectedComponents(ents().select("id"), edges, parts = 4)
         .select(col("id").as("entity_id"), col("component").as("cluster_id"))
         // ~1k-row output: one-partition sort skips the range-sampling job

@@ -159,7 +159,8 @@ object Dedup {
     *               across 32 near-empty tasks per round is pure floor.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIters: Int = 25, parts: Int = 0): DataFrame = {
+                          maxIters: Int = 25, parts: Int = 0,
+                          jumps: Int = 1): DataFrame = {
     // Constraint propagation OFF for the loop: checkpointed labels keep
     // their attribute ids across rounds, so each round's union + pointer-
     // jumping self-join re-exposes one id on multiple plan branches and
@@ -222,14 +223,16 @@ object Dedup {
     // localCheckpoint (not cache): each round's plan would otherwise carry
     // the ENTIRE prior lineage — re-analyzed by the optimizer every round,
     // so planning cost grows superlinearly with rounds (measured 105 s at
-    // 5 k docs before truncation). LAZY checkpoints: the labelSum read is
-    // the materializing job, so each round schedules ONE driver job, not
-    // checkpoint + sum (measured 44 → ~24 jobs on er_name_cluster)
+    // 5 k docs before truncation). LAZY checkpoints: the round's moved-
+    // count read is the materializing job, so each round schedules ONE
+    // driver job, not checkpoint + read (measured 44 → ~24 jobs on
+    // er_name_cluster under the older sum scheme)
     var labels = n.select(col("id"), col("id").as("label")).ckpt(false)
-    // no init-sum job: the first round compares against None and never
-    // converges spuriously. An already-converged input (edge-less graph)
-    // pays one extra proof round; every real input saves the init job.
-    var checksum: Option[Long] = None
+    // lazy frames whose consumers materialize at the NEXT round's action —
+    // freed only once that action has run (freeing a lazy local
+    // checkpoint's input before its blocks exist would strand the
+    // truncated lineage)
+    var pendingFree: Seq[DataFrame] = Nil
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -250,9 +253,30 @@ object Dedup {
       // irreducible one: labels genuinely move along edges) where the
       // union shape paid three
       val propMin = prop.groupBy("id").agg(min("label").as("pmin"))
+      // `old` rides along so the round's convergence signal — did ANY
+      // label strictly improve in the merge — is an aggregate over this
+      // one co-located join, with no extra exchange and no proof round
+      // semantics of its own: propagation-stable ⟹ label[u] ≥ label[v]
+      // across every (symmetrized) edge ⟹ labels equal across every
+      // edge ⟹ constant per component ⟹ the fixpoint (and the constant
+      // is the component min, since the min node's label never changes).
+      // The previous sum-checksum convergence compared consecutive
+      // ROUNDS, which cost the final round its pointer-jump join; this
+      // is the same observation count with a cheaper last round.
       val stepped = labelsId.join(propMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), col("pmin")).as("label"))
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), col("pmin")).as("label"))
         .ckpt(false)
+      // the round's ONE driver action: materializes the previous round's
+      // lazy jump (labels) and this round's merge (stepped) in a single
+      // job, and reads back the moved count
+      val moved = stepped
+        .agg(coalesce(sum(when(col("label") < col("old"), 1L)
+          .otherwise(0L)), lit(0L))).head().getLong(0)
+      pendingFree.foreach(df =>
+        checkpointRdd(df).foreach(_.unpersist(blocking = false)))
+      pendingFree = Nil
+      converged = moved == 0L
       // pointer jumping: label ← stepped(label) — chasing THIS round's
       // pointer table (round 8; previously the one-step-older `labels`,
       // which converged in O(diameter) rounds, not O(log diameter):
@@ -264,30 +288,60 @@ object Dedup {
       // checkpoints in the round's single driver job. Monotonicity and
       // fixpoint are unchanged: labels only decrease toward the
       // component min, and a sum-stable round means no label moved.
-      val l = stepped.as("l")
-      val r = stepped.select(col("id").as("lid"), col("label").as("llabel"))
-      val next = l
-        .join(r, col("l.label") === col("lid"), "left")
-        .select(col("l.id").as("id"),
-          coalesce(col("llabel"), col("l.label")).as("label"))
-        .ckpt(false)
-      val nextSum = labelSum(next)
-      checkpointRdd(labels).foreach(_.unpersist(blocking = false))
-      // next is materialized past stepped now; free the round's inner
-      // checkpoint too. Local-mode caveat (ADVICE r8): if one of next's
-      // local-checkpoint blocks were lost AFTER this free (executor loss),
-      // its truncated lineage could not recompute through stepped — local
-      // mode can't lose executors, and a cluster run sets
-      // spark.graft.reliableCheckpoint=true (Ck.cp), under which these
-      // frees are no-ops on durable checkpoint files and recovery
-      // recomputes from the retained lineage instead.
-      checkpointRdd(stepped).foreach(_.unpersist(blocking = false))
-      labels = next
-      converged = checksum.contains(nextSum) // labels only decrease: equal sum = fixpoint
-      checksum = Some(nextSum)
+      // optionally chase the pointer more than once per round
+      // (`jumps` > 1): label ← stepped(stepped(label)). Each extra jump
+      // is one more label-keyed exchange + join inside the same round
+      // job. Helps ONLY when convergence is pointer-chain-depth-bound;
+      // when it is propagation-HOP-bound (the min label simply hasn't
+      // traversed enough edges yet — the typical LSH-star and ER-block
+      // shape), extra jumps cannot deliver an unarrived label and just
+      // cost their exchanges. MEASURED round 11 on both in-repo callers:
+      // er_name_cluster jumps=2 kept 3+1 rounds and went 23 → 31 stages
+      // / 1.39 → 1.84 s — both callers stay at the default 1; the knob
+      // remains for genuinely deep-chain graphs.
+      if (converged) {
+        // stepped == labels semantically; labels stays the result and
+        // stepped's just-materialized blocks are dropped right away. The
+        // jump below never runs — the old sum-checksum scheme paid its
+        // label-keyed exchange even in the no-change round.
+        checkpointRdd(stepped).foreach(_.unpersist(blocking = false))
+      } else {
+        var next = stepped.select(col("id"), col("label"))
+        val mids = scala.collection.mutable.Buffer.empty[DataFrame]
+        for (_ <- 1 to jumps) {
+          val l = next.as("l")
+          val r = next.select(col("id").as("lid"), col("label").as("llabel"))
+          next = l
+            .join(r, col("l.label") === col("lid"), "left")
+            .select(col("l.id").as("id"),
+              coalesce(col("llabel"), col("l.label")).as("label"))
+            .ckpt(false)
+          mids += next
+        }
+        // the jump stays LAZY: the next round's moved-action materializes
+        // it inside that round's single job. Free labels/stepped only
+        // after that happens (pendingFree). Local-mode caveat (ADVICE
+        // r8): if one of next's local-checkpoint blocks were lost AFTER
+        // the deferred free (executor loss), the truncated lineage could
+        // not recompute through stepped — local mode can't lose
+        // executors, and a cluster run sets
+        // spark.graft.reliableCheckpoint=true (Ck.cp), under which these
+        // frees are no-ops on durable checkpoint files and recovery
+        // recomputes from the retained lineage instead.
+        pendingFree = Seq(labels, stepped) ++ mids.dropRight(1)
+        labels = next
+      }
       it += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round $it sum=$nextSum converged=$converged")
+        System.err.println(s"[cc] round $it moved=$moved converged=$converged")
+    }
+    if (!converged && pendingFree.nonEmpty) {
+      // maxIters bailout with a still-lazy final jump: materialize it so
+      // the deferred frees below are safe (pathological path — real
+      // inputs converge)
+      labelSum(labels): Unit
+      pendingFree.foreach(df =>
+        checkpointRdd(df).foreach(_.unpersist(blocking = false)))
     }
     e.unpersist()
     labels.withColumnRenamed("label", "component")
