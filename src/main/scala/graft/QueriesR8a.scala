@@ -236,14 +236,33 @@ object QueriesR8a {
       // least(0, r) = 0 to clipped and 0 to total — identical sums —
       // while KEEPING such rows lets Σ r at n = 1 equal the corpus
       // reference length exactly.
-      val grams = toks.select(col("doc_id"), explode(expr(
-        """flatten(transform(sequence(1, 4), n -> concat(
-             transform(sequence(1, size(hyp) - n + 1), i ->
-               named_struct('n', n, 'side', 'h',
-                 'g', array_join(slice(hyp, i, n), ' '))),
-             transform(sequence(1, size(ref) - n + 1), i ->
-               named_struct('n', n, 'side', 'r',
-                 'g', array_join(slice(ref, i, n), ' '))))))""")).as("x"))
+      //
+      // Gram strings build INCREMENTALLY (round 11): the n-gram array is
+      // zip_with((n−1)-grams minus last, tokens shifted by n−1, concat),
+      // so each gram extends an already-built (n−1)-gram string — the
+      // former array_join(slice(toks, i, n)) allocated a fresh n-element
+      // array slice and re-joined all n tokens PER GRAM (Σn² work per
+      // position; measured 1.28 → 0.68 s TimeQ best). Same strings, same
+      // counts, oracle untouched.
+      def nextGrams(prev: Column, arr: Column, n: Int): Column =
+        zip_with(
+          slice(prev, lit(1), size(prev) - 1),
+          slice(arr, lit(n), size(arr) - n + 1),
+          (a, b) => concat(a, lit(" "), b))
+      val withGrams = toks
+        .withColumn("h1", col("hyp")).withColumn("r1", col("ref"))
+        .withColumn("h2", nextGrams(col("h1"), col("hyp"), 2))
+        .withColumn("r2", nextGrams(col("r1"), col("ref"), 2))
+        .withColumn("h3", nextGrams(col("h2"), col("hyp"), 3))
+        .withColumn("r3", nextGrams(col("r2"), col("ref"), 3))
+        .withColumn("h4", nextGrams(col("h3"), col("hyp"), 4))
+        .withColumn("r4", nextGrams(col("r3"), col("ref"), 4))
+      val tagged = flatten(array((1 to 4).flatMap(n => Seq(
+        transform(col(s"h$n"), g =>
+          struct(lit(n).as("n"), lit("h").as("side"), g.as("g"))),
+        transform(col(s"r$n"), g =>
+          struct(lit(n).as("n"), lit("r").as("side"), g.as("g"))))): _*))
+      val grams = withGrams.select(col("doc_id"), explode(tagged).as("x"))
         .select(col("doc_id"), col("x.n").cast(LongType).as("n"),
           col("x.side").as("side"), col("x.g").as("g"))
       // per-(doc, n, gram) clip, then the 8 corpus totals + both corpus

@@ -79,8 +79,17 @@ class NioCheckpointFileManager(root: Path, hadoopConf: Configuration)
             if (overwriteIfPossible)
               Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
                 StandardCopyOption.REPLACE_EXISTING)
-            else
-              Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+            else {
+              // NOT Files.move(ATOMIC_MOVE): POSIX rename(2) silently
+              // REPLACES an existing target, which would let a losing
+              // writer overwrite a committed log entry. link(2) is the
+              // atomic fail-if-exists primitive — create the target as a
+              // hard link of the temp (EEXIST → FileAlreadyExists), then
+              // drop the temp name. (Caught by NioCheckpointManagerSpec's
+              // first-writer-wins test.)
+              Files.createLink(target, tmp)
+              Files.deleteIfExists(tmp)
+            }
           } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
               Files.deleteIfExists(tmp)

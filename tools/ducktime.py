@@ -40,6 +40,10 @@ def main() -> None:
           f"{total:.1f} s")
     for n, t in slow:
         print(f"  {n:32s} {t:5.2f}")
+    with open("DUCK_DETAIL.json", "w") as f:
+        json.dump({k: round(v, 4) for k, v in best.items()}, f,
+                  sort_keys=True)
+    print("per-query times -> DUCK_DETAIL.json")
 
 
 if __name__ == "__main__":
