@@ -64,5 +64,53 @@ object QueriesR11a {
                    CAST(sum((x + 1) * (y + 1) * r) AS BIGINT) AS pos_moment
             FROM px GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(decodePx)
+  // ------------- mm_decode_audio: full WAV decode via javax.sound
+
+  private val decodeAudio = Q(
+    "mm_decode_audio",
+    "FULL audio decode through a REAL codec, oracle-graded — the audio " +
+      "sibling of mm_decode_px (mm_pcm_stats already parses PCM bytes " +
+      "at fixed RIFF offsets; this drives javax.sound's actual WAV " +
+      "codec, which walks the chunk structure and reports the format). " +
+      "Every 16th-plus-one document synthesizes 64 deterministic 16-bit " +
+      "mono PCM samples, encodes them with AudioSystem.write, and " +
+      "decodes back with AudioSystem.getAudioInputStream inside " +
+      "mapPartitions. Graded output: codec-reported sample rate, exact " +
+      "sample count, DC sum, peak magnitude, energy — PCM is lossless, " +
+      "so the oracle replays the synthesis formula in SQL and the hash " +
+      "check covers the real encoder→decoder round-trip. Map-only at " +
+      "any scale (the mm_decode_px shape).",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val ids = t(s, d, "documents")
+        .filter(col("doc_id") % 16 === 1)
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val sr = (8000 + (id % 5) * 8820).toInt
+          Multimodal.decodeWavStats(id, Multimodal.encodeWav(id, 64, sr))
+        }
+      }.toDF()
+        .transform(graft.engine.Ops.reportSort("doc_id"))
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents
+                         WHERE doc_id % 16 = 1),
+            samp AS (SELECT doc_id,
+                            (31 * doc_id + 7 * i * i) % 65536 AS u
+                     FROM ids CROSS JOIN
+                       (SELECT unnest(range(0, 64)) AS i)),
+            sgn AS (SELECT doc_id,
+                           CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
+                             AS v
+                    FROM samp)
+            SELECT s.doc_id AS doc_id,
+                   CAST(8000 + (s.doc_id % 5) * 8820 AS INT) AS sample_rate,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum(v) AS BIGINT) AS dc_sum,
+                   CAST(max(abs(v)) AS BIGINT) AS peak,
+                   CAST(sum(v * v) AS BIGINT) AS energy
+            FROM sgn s GROUP BY s.doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(decodePx, decodeAudio)
 }

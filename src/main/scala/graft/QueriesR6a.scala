@@ -451,7 +451,12 @@ object QueriesR6a {
       }
       s.read.parquet(memoDir)
         .select("user_id", "started", "ended", "n_events", "cents")
-        .orderBy("user_id", "started")
+        // conf-routed output sort (round 11): ~95k rows ≈ 4 MB fits one
+        // partition at fixture scale and skips the RangePartitioner
+        // sampling job; corpus-scale runs set
+        // spark.graft.reportSortPartitions > 1 and regain the parallel
+        // range sort (Ops.reportSort)
+        .transform(graft.engine.Ops.reportSort("user_id", "started"))
     },
     Some("""WITH wm AS (
               SELECT make_timestamp((max(epoch_ms(ts)) - 600000) * 1000)
@@ -647,7 +652,8 @@ object QueriesR6a {
       out
       }
       s.read.parquet(memoDir)
-        .orderBy("event_id")
+        // conf-routed output sort — see stream_session_state's readback
+        .transform(graft.engine.Ops.reportSort("event_id"))
     },
     Some("""SELECT e.event_id, e.ts, e.user_id,
                    c.c_name AS user_name,
@@ -755,7 +761,8 @@ object QueriesR6a {
       out
       }
       s.read.parquet(memoDir)
-        .orderBy("event_id")
+        // conf-routed output sort — see stream_session_state's readback
+        .transform(graft.engine.Ops.reportSort("event_id"))
     },
     Some("""SELECT event_id, ts, user_id, event_type,
                    CAST(round(value * 100, 0) AS BIGINT) AS value_cents

@@ -284,6 +284,65 @@ object Multimodal {
     PngPixelStats(id, img.getWidth, img.getHeight, rs, gs, bs, pm)
   }
 
+  /** Encode deterministic 16-bit mono PCM as a real WAV via
+    * javax.sound.sampled — the audio sibling of [[encodePng]]. Sample i
+    * of doc `id` is the signed view of (31·id + 7·i²) mod 2¹⁶ — the
+    * mm_pcm_stats synthesis family, replayable exactly in SQL.
+    */
+  def encodeWav(id: Long, n: Int, sampleRate: Int): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val u = ((31 * id + 7L * i * i) % 65536).toInt
+      data(2 * i) = (u & 0xff).toByte        // little-endian low byte
+      data(2 * i + 1) = ((u >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // 16-bit signed LE mono
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Exact audio statistics from a REAL decode: format metadata and the
+    * sample stream both come from javax.sound's WAV codec (not from
+    * fixed byte offsets — the codec walks the RIFF chunks), samples
+    * reassemble per the reported frame layout, and the stats are exact
+    * integers: DC sum, peak magnitude, energy. PCM is lossless, so
+    * decode(encode(s)) == s exactly. Corrupt/unsupported payloads yield
+    * the sample_rate = -1 sentinel row (the [[decodePngStats]] posture).
+    */
+  case class WavSampleStats(doc_id: Long, sample_rate: Int, n_samples: Long,
+                            dc_sum: Long, peak: Long, energy: Long)
+
+  def decodeWavStats(id: Long, payload: Array[Byte]): WavSampleStats = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) return WavSampleStats(id, -1, 0L, 0L, 0L, 0L)
+    val f = ais.getFormat
+    if (f.getSampleSizeInBits != 16 || f.getChannels != 1 || f.isBigEndian)
+      return WavSampleStats(id, -1, 0L, 0L, 0L, 0L)
+    val bytes = ais.readAllBytes()
+    var (n, dc, pk, en) = (0L, 0L, 0L, 0L)
+    var i = 0
+    while (i + 1 < bytes.length) {
+      val u = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+      val s = if (u >= 32768) u - 65536 else u
+      n += 1; dc += s
+      val a = math.abs(s).toLong
+      if (a > pk) pk = a
+      en += s.toLong * s
+      i += 2
+    }
+    WavSampleStats(id, f.getSampleRate.toInt, n, dc, pk, en)
+  }
+
   /** Resize stub: recompute metadata, pass payload through (a real kernel
     * transcodes). Shows metadata-typed transforms stay columnar.
     */

@@ -66,3 +66,47 @@ class PngDecodeSpec extends SparkSpec {
     }
   }
 }
+
+/** Audio sibling: pins the javax.sound WAV codec path (round 11). */
+class WavDecodeSpec extends SparkSpec {
+
+  test("encodeWav emits a RIFF/WAVE container the codec accepts") {
+    val bytes = graft.operators.Multimodal.encodeWav(5L, 16, 16000)
+    assert(new String(bytes.take(4)) == "RIFF")
+    assert(new String(bytes.slice(8, 12)) == "WAVE")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ais.getFormat.getSampleRate == 16000f)
+    assert(ais.getFormat.getChannels == 1)
+  }
+
+  test("decode(encode(pcm)) is bit-exact: golden stats for doc 33") {
+    val id = 33L
+    val st = graft.operators.Multimodal.decodeWavStats(
+      id, graft.operators.Multimodal.encodeWav(id, 64, 26640))
+    var (dc, pk, en) = (0L, 0L, 0L)
+    for (i <- 0 until 64) {
+      val u = ((31 * id + 7L * i * i) % 65536).toInt
+      val s = if (u >= 32768) u - 65536 else u
+      dc += s; pk = math.max(pk, math.abs(s).toLong); en += s.toLong * s
+    }
+    assert(st == graft.operators.Multimodal.WavSampleStats(
+      id, 26640, 64L, dc, pk, en))
+  }
+
+  test("corrupt and wrong-format payloads degrade to the sentinel") {
+    import graft.operators.Multimodal
+    assert(Multimodal.decodeWavStats(1L, Array[Byte](9, 9, 9)).sample_rate == -1)
+    // a truncated but RIFF-prefixed payload must not throw
+    val trunc = Multimodal.encodeWav(1L, 32, 8000).take(16)
+    assert(Multimodal.decodeWavStats(1L, trunc).sample_rate == -1)
+  }
+
+  test("mm_decode_audio runs distributed and every row decodes") {
+    val out = Queries.byName("mm_decode_audio")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n_samples") == 64L))
+    assert(out.forall(_.getAs[Int]("sample_rate") >= 8000))
+  }
+}
