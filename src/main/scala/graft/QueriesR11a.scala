@@ -112,5 +112,101 @@ object QueriesR11a {
                    CAST(sum(v * v) AS BIGINT) AS energy
             FROM sgn s GROUP BY s.doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(decodePx, decodeAudio)
+  // ------------- mm_resize_px: real decode → resize → re-encode loop
+
+  private val resizePx = Q(
+    "mm_resize_px",
+    "FULL image transcode loop, oracle-graded — decode via " +
+      "javax.imageio, NEAREST-NEIGHBOR resize 16×16 → 8×8 (src pixel " +
+      "(⌊x·16/8⌋, ⌊y·16/8⌋): an exact integer mapping, deliberately " +
+      "not Graphics2D's interpolating renderer, so the oracle can " +
+      "replay it), re-encode as PNG, decode AGAIN and grade the " +
+      "resized raster's exact channel sums — every byte passes through " +
+      "the real codec twice. Closes the brief's 'resize' verb with a " +
+      "real kernel (resizeMeta remains the metadata-only form for " +
+      "codec-less media). Map-only at any scale.",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val ids = t(s, d, "documents")
+        .filter(col("doc_id") % 16 === 2)
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val resized = Multimodal.resizePng(
+            Multimodal.encodePng(id, 16, 16), 8, 8)
+          Multimodal.decodePngStats(id, resized)
+        }
+      }.toDF()
+        .transform(graft.engine.Ops.reportSort("doc_id"))
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents
+                         WHERE doc_id % 16 = 2),
+            px AS (SELECT doc_id, x, y,
+                          (7 * doc_id + 3 * (2 * x) + 5 * (2 * y)) % 256
+                            AS r,
+                          (11 * doc_id + (2 * x) * (2 * y)) % 256 AS g,
+                          (13 * doc_id + 2 * (2 * x) + (2 * y) * (2 * y))
+                            % 256 AS b
+                   FROM ids
+                   CROSS JOIN (SELECT unnest(range(0, 8)) AS x)
+                   CROSS JOIN (SELECT unnest(range(0, 8)) AS y))
+            SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+                   CAST(sum(r) AS BIGINT) AS r_sum,
+                   CAST(sum(g) AS BIGINT) AS g_sum,
+                   CAST(sum(b) AS BIGINT) AS b_sum,
+                   CAST(sum((x + 1) * (y + 1) * r) AS BIGINT) AS pos_moment
+            FROM px GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ------------- mm_frame_decode: container walk + real sampled decode
+  // (mm_frame_sample is the expression-only container-slicing form in
+  // QueriesNext; this one actually decodes the sampled frames)
+
+  private val frameSample = Q(
+    "mm_frame_decode",
+    "REAL frame sampling, oracle-graded — closes the brief's " +
+      "'frame-sample' verb with actual decodes: each doc packs 6 " +
+      "16×16 PNG frames (frame f's pixels derive from id·8+f — a " +
+      "formula the oracle replays) into a length-prefixed container " +
+      "(the MJPEG-minus-headers layout), the kernel walks the frame " +
+      "index and decodes ONLY every 2nd frame with javax.imageio — " +
+      "the decode-what-you-keep discipline a video pipeline needs " +
+      "(skipped frames cost a seek, not a decode) — and the graded " +
+      "output is frame counts plus exact channel sums over the " +
+      "sampled frames. Map-only at any scale.",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val ids = t(s, d, "documents")
+        .filter(col("doc_id") % 16 === 3)
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val container = Multimodal.packFrames(
+            (0 until 6).map(f => Multimodal.encodePng(id * 8 + f, 16, 16)))
+          Multimodal.sampleDecodeFrames(id, container, everyK = 2)
+        }
+      }.toDF()
+        .transform(graft.engine.Ops.reportSort("doc_id"))
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents
+                         WHERE doc_id % 16 = 3),
+            fx AS (SELECT doc_id, doc_id * 8 + f AS fid
+                   FROM ids
+                   CROSS JOIN (SELECT unnest([0, 2, 4]) AS f)),
+            px AS (SELECT doc_id,
+                          (7 * fid + 3 * x + 5 * y) % 256 AS r,
+                          (11 * fid + x * y) % 256 AS g,
+                          (13 * fid + 2 * x + y * y) % 256 AS b
+                   FROM fx
+                   CROSS JOIN (SELECT unnest(range(0, 16)) AS x)
+                   CROSS JOIN (SELECT unnest(range(0, 16)) AS y))
+            SELECT doc_id, CAST(6 AS INT) AS n_frames,
+                   CAST(3 AS INT) AS n_sampled,
+                   CAST(sum(r) AS BIGINT) AS r_sum,
+                   CAST(sum(g) AS BIGINT) AS g_sum,
+                   CAST(sum(b) AS BIGINT) AS b_sum
+            FROM px GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(decodePx, decodeAudio, resizePx, frameSample)
 }

@@ -343,17 +343,97 @@ object Multimodal {
     WavSampleStats(id, f.getSampleRate.toInt, n, dc, pk, en)
   }
 
-  /** Resize stub: recompute metadata, pass payload through (a real kernel
-    * transcodes). Shows metadata-typed transforms stay columnar.
+  /** REAL image resize (round 11): decode via javax.imageio, sample the
+    * raster nearest-neighbor (src pixel (⌊x·sw/w⌋, ⌊y·sh/h⌋) — an exact
+    * integer mapping the SQL oracle can replay, unlike Graphics2D's
+    * interpolating render pipeline), re-encode as PNG. The full
+    * decode→transform→encode transcode loop a production media pipeline
+    * runs, with deterministic output. Corrupt input → null (the
+    * sentinel posture; callers keep the row).
+    */
+  def resizePng(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * sw / w, y * sh / h) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Resize-metadata form: recompute metadata, pass payload through
+    * (media types without a JVM codec keep this shape; images use
+    * [[resizePng]]). Shows metadata-typed transforms stay columnar.
     */
   def resizeMeta(df: DataFrame, w: Int, h: Int): DataFrame =
     df.withColumn("meta", struct(
       col("meta.media_type"), lit(w).as("width"), lit(h).as("height"),
       col("meta.sample_rate")))
 
+  /** Minimal multi-frame container (round 11): 4-byte big-endian frame
+    * length + frame bytes, repeated — the layout an MJPEG-style stream
+    * reduces to once you strip its headers. [[sampleDecodeFrames]] walks
+    * it and REALLY decodes the sampled frames.
+    */
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+    dos.flush()
+    bos.toByteArray
+  }
+
+  case class FrameSampleStats(doc_id: Long, n_frames: Int, n_sampled: Int,
+                              r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** REAL frame sampling (round 11, replaces the chunk-split stub as the
+    * image-container path): walk the length-prefixed container, decode
+    * every k-th frame with javax.imageio, and accumulate exact channel
+    * sums over the SAMPLED frames only — the decode-what-you-keep
+    * discipline a video pipeline needs (skipped frames cost a seek, not
+    * a decode). Truncated/corrupt containers stop the walk at the last
+    * whole frame; an undecodable sampled frame yields the -1 sentinel.
+    */
+  def sampleDecodeFrames(id: Long, payload: Array[Byte],
+                         everyK: Int): FrameSampleStats = {
+    var (off, idx, sampled) = (0, 0, 0)
+    var (rs, gs, bs) = (0L, 0L, 0L)
+    while (off + 4 <= payload.length) {
+      val len = ((payload(off) & 0xff) << 24) | ((payload(off + 1) & 0xff) << 16) |
+        ((payload(off + 2) & 0xff) << 8) | (payload(off + 3) & 0xff)
+      if (len < 0 || off + 4 + len > payload.length) {
+        return FrameSampleStats(id, idx, sampled, rs, gs, bs)
+      }
+      if (idx % everyK == 0) {
+        val st = decodePngStats(id,
+          java.util.Arrays.copyOfRange(payload, off + 4, off + 4 + len))
+        if (st.width < 0) return FrameSampleStats(id, -1, -1, 0L, 0L, 0L)
+        sampled += 1; rs += st.r_sum; gs += st.g_sum; bs += st.b_sum
+      }
+      idx += 1
+      off += 4 + len
+    }
+    FrameSampleStats(id, idx, sampled, rs, gs, bs)
+  }
+
   /** Frame-sample stub for video payloads: pick every k-th chunk of the
     * byte stream as a "frame" — the partitioning/array-output shape of a
-    * real frame sampler.
+    * real frame sampler. (Image containers use [[sampleDecodeFrames]],
+    * which decodes for real; this byte-chunk form remains for media
+    * with no JVM codec.)
     */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, everyK: Int)
                   (implicit spark: SparkSession): DataFrame = {

@@ -110,3 +110,44 @@ class WavDecodeSpec extends SparkSpec {
     assert(out.forall(_.getAs[Int]("sample_rate") >= 8000))
   }
 }
+
+/** Resize + frame-sample kernels (round 11): the remaining two verbs of
+  * the brief's decode/feature-extract/resize/frame-sample list, now real.
+  */
+class ResizeFrameSpec extends SparkSpec {
+  import graft.operators.Multimodal
+
+  test("resizePng nearest-neighbor: resized pixel (x,y) == source (2x,2y)") {
+    val id = 7L
+    val resized = Multimodal.resizePng(Multimodal.encodePng(id, 16, 16), 8, 8)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == ((7 * id + 3 * (2 * x) + 5 * (2 * y)) % 256),
+        s"r($x,$y)")
+    }
+  }
+
+  test("resizePng on corrupt input returns null, never throws") {
+    assert(Multimodal.resizePng(Array[Byte](1, 2, 3), 8, 8) == null)
+  }
+
+  test("packFrames + sampleDecodeFrames: counts, sums, truncation, sentinel") {
+    val id = 11L
+    val frames = (0 until 6).map(f => Multimodal.encodePng(id * 8 + f, 16, 16))
+    val full = Multimodal.sampleDecodeFrames(id, Multimodal.packFrames(frames), 2)
+    assert(full.n_frames == 6 && full.n_sampled == 3)
+    var rs = 0L
+    for (f <- Seq(0, 2, 4); y <- 0 until 16; x <- 0 until 16)
+      rs += (7 * (id * 8 + f) + 3 * x + 5 * y) % 256
+    assert(full.r_sum == rs)
+    // truncated container: walk stops cleanly at the last whole frame
+    val packed = Multimodal.packFrames(frames)
+    val trunc = Multimodal.sampleDecodeFrames(id, packed.dropRight(40), 2)
+    assert(trunc.n_frames == 5 && trunc.n_sampled == 3)
+    // a corrupt SAMPLED frame yields the sentinel
+    val bad = Multimodal.packFrames(Seq(Array[Byte](1, 2, 3)))
+    assert(Multimodal.sampleDecodeFrames(id, bad, 1).n_frames == -1)
+  }
+}
