@@ -68,9 +68,19 @@ object QueriesR6a {
     * size/mtime change and the stale replay input / stream result is
     * rebuilt instead of silently diverging from the batch twin.
     */
-  private def fixtureStamp(d: String): String = {
-    val f = new java.io.File(d, "events.parquet")
-    s"${f.length}:${f.lastModified}"
+  private def fixtureStamp(d: String): String = stampOf(d, "events")
+
+  /** Per-table content stamp. A single-file fixture stamps length:mtime
+    * directly; a multi-file parquet DIR stamps total child size + max
+    * child mtime — the directory entry's own mtime/length doesn't change
+    * when a part file is rewritten in place (ADVICE r11).
+    */
+  private def stampOf(d: String, table: String): String = {
+    val f = new java.io.File(d, s"$table.parquet")
+    if (f.isDirectory) {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+      s"${kids.map(_.length).sum}:${kids.map(_.lastModified).foldLeft(0L)(math.max)}"
+    } else s"${f.length}:${f.lastModified}"
   }
 
   private def replayInputTyped(s: SparkSession, d: String,
@@ -287,8 +297,13 @@ object QueriesR6a {
       val provider = s.conf
         .getOption("spark.sql.streaming.stateStore.providerClass").getOrElse("")
       val parts = s.conf.get("spark.graft.streamShufflePartitions", "2")
+      // fold in EVERY table the tier reads, not just events: the
+      // stream-static enrich joins customer, and regenerating that
+      // fixture alone must not serve a stale memoized sink (ADVICE r11).
+      // Over-invalidation for the events-only queries is harmless — the
+      // memo is a per-session cache.
       val key = new java.io.File(d).getCanonicalPath + "@" + fixtureStamp(d) +
-        s"#$name#$provider#$parts"
+        ":" + stampOf(d, "customer") + s"#$name#$provider#$parts"
       val dir = resultMemo.getOrElseUpdate(key, build)
       if (resultDirValid(dir)) dir
       else { val fresh = build; resultMemo.put(key, fresh); fresh }

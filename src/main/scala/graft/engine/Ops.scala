@@ -27,8 +27,11 @@ object Ops {
     * to expose.
     */
   def reportSort(cols: Column*)(df: DataFrame): DataFrame = {
+    // malformed knob value degrades to the single-partition default
+    // instead of NumberFormatException-ing every report query (ADVICE r11)
     val n = df.sparkSession.conf
-      .get("spark.graft.reportSortPartitions", "1").trim.toInt
+      .get("spark.graft.reportSortPartitions", "1").trim
+      .toIntOption.filter(_ > 0).getOrElse(1)
     if (n <= 1) df.repartition(1).sortWithinPartitions(cols: _*)
     else df.orderBy(cols: _*)
   }

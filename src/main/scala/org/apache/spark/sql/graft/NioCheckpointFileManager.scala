@@ -87,8 +87,26 @@ class NioCheckpointFileManager(root: Path, hadoopConf: Configuration)
               // hard link of the temp (EEXIST → FileAlreadyExists), then
               // drop the temp name. (Caught by NioCheckpointManagerSpec's
               // first-writer-wins test.)
-              Files.createLink(target, tmp)
-              Files.deleteIfExists(tmp)
+              // Filesystems without hard links (FUSE/overlay/FAT mounts)
+              // throw Unsupported/FileSystemException here; degrade to
+              // exists-check + plain ATOMIC_MOVE. The check-then-move has
+              // a lost-writer window two concurrent writers could race
+              // through, but only on link-less filesystems — the linking
+              // path keeps the true atomic fail-if-exists guarantee.
+              try {
+                Files.createLink(target, tmp)
+                Files.deleteIfExists(tmp)
+              } catch {
+                case e @ (_: UnsupportedOperationException |
+                          _: java.nio.file.FileSystemException)
+                    if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
+                  if (Files.exists(target)) {
+                    Files.deleteIfExists(tmp)
+                    throw new java.nio.file.FileAlreadyExistsException(
+                      target.toString)
+                  }
+                  Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+              }
             }
           } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
@@ -143,8 +161,13 @@ class NioCheckpointFileManager(root: Path, hadoopConf: Configuration)
     if (Files.exists(p)) {
       if (Files.isDirectory(p)) {
         import java.util.Comparator
-        Files.walk(p).sorted(Comparator.reverseOrder())
+        // walk() returns a Stream holding directory handles open until
+        // closed — leaking one per recursive checkpoint delete exhausts
+        // file descriptors over a long multi-query session
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder())
           .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
       } else Files.deleteIfExists(p): Unit
     }
   }

@@ -50,8 +50,14 @@ object StateHooks {
     * loop itself), so a thread scan sees streams of EVERY session
     * without needing a registry Spark doesn't expose. Our own stopped
     * query's thread is already joined by `stop()` before this runs.
+    *
+    * Public (not private) so `StreamThreadCensusSpec` can pin the name
+    * prefix against the DEPLOYED Spark: if an upgrade renames
+    * `QueryExecutionThread`, the census silently returns 0 and the
+    * unloadAll guard re-opens the sibling-session race — the spec turns
+    * that silent regression into a test failure (ADVICE r11).
     */
-  private def liveStreamThreadCount(): Int = {
+  def liveStreamThreadCount(): Int = {
     var n = 0
     Thread.getAllStackTraces.keySet().forEach { t =>
       if (t.isAlive && t.getName.startsWith("stream execution thread")) n += 1

@@ -53,6 +53,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Union"))
   }
 
+  test("sim_knn_label: banded-LSH candidates, no corpus×query cross join") {
+    // VERDICT r11 task 1: the last O(n²) graded plan. With queries = 10%
+    // of the corpus, ANY nested-loop/cartesian pairing is quadratic at
+    // scale — candidate generation must stay a hash join on the banded
+    // bucket key.
+    val p = plan("sim_knn_label")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "kNN labeling must generate candidates via the banded-LSH bucket " +
+        "join, never a corpus×query cross product")
+  }
+
   test("geo_quadkey_join: broadcast tile lookup, no shuffle join") {
     val p = plan("geo_quadkey_join")
     assert(p.contains("BroadcastHashJoin"),
