@@ -65,6 +65,18 @@ class PlanShapeSpec extends SparkSpec {
         "join, never a corpus×query cross product")
   }
 
+  test("j27_skew_salted: salt fan-out in the plan — salted key, exploded dim") {
+    // VERDICT r11 task 2: the skew-join capability must be graded AND
+    // structurally pinned — the join must run on (zkey, __salt) with the
+    // dim side exploded across the salt sequence; losing either silently
+    // reverts to the plain hot-key join the salting exists to prevent.
+    val p = plan("j27_skew_salted")
+    assert(p.contains("__salt"),
+      "salted join must carry the __salt column into the join keys")
+    assert(p.contains("Generate") || p.toLowerCase.contains("explode"),
+      "dim side must explode the salt sequence (buckets-fold replication)")
+  }
+
   test("geo_quadkey_join: broadcast tile lookup, no shuffle join") {
     val p = plan("geo_quadkey_join")
     assert(p.contains("BroadcastHashJoin"),
