@@ -146,10 +146,21 @@ object Bench {
     spark.stop() // stop FIRST: shutdown logs must not land after the line
 
     println(detailLine)
+    // VERDICT r11 task 7 asked for all per-query times in the driver's
+    // BENCH_r{N}.json. Measured ceiling: the driver keeps a HARD
+    // 2000-char stdout tail (BENCH_r11.json "tail" is exactly 2000
+    // chars) and parses the last complete JSON line out of it, while
+    // the full 370-entry dict is ~9.4 KB — it cannot fit by a 4.7×
+    // margin, in any encoding that keeps the query names. The complete
+    // dict therefore lives in BENCH_DETAIL.json (committed per round as
+    // BENCH_LOCAL_r{N}.json — same schema, all queries, in git history
+    // at the benched HEAD); the compact line below is sized to the
+    // largest budget that reliably survives the tail window (r11
+    // observation: compact line + trailing bytes ≈ 1750 of the 2000).
     val tail = s""","sf":"$sfDir"}"""
     val head =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$provenance,"n_queries":${results.size},"queries":"""
-    var budget = 1700 - head.length - tail.length - 2 // braces of queries map
+    var budget = 1850 - head.length - tail.length - 2 // braces of queries map
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((k, v) <- results.sortBy(-_._2)) {
       val e = "\"" + k + "\":" + fmt(v)

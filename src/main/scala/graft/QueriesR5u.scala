@@ -109,6 +109,17 @@ object QueriesR5u {
       "The argmax row is a deterministic top-1 cut. Output: KS, the " +
       "optimal threshold, and the class totals.",
     (s, d) => {
+      // FLOOR NOTE (round 12, VERDICT r11 task 6): 7 stages / 3 jobs /
+      // 42 tasks — checkpoint materialization (scan + the single bk
+      // exchange), the bounded offMap rollup nested via replicate-NL,
+      // the CDF window pass, top-1, final checkpoint. TimeQ best
+      // straddles the 1.0 s bar run-to-run (0.96 / 1.06 / 1.31 on one
+      // host, same code — SURVEY §8's boundary-noise caveat); the plan
+      // is already one data exchange end-to-end and every prior lever
+      // (broadcast→replicate-NL, two-level windows, eager ckpt) is
+      // measured at the site below. Stage floor × 7 ≈ the wall time;
+      // no further cut found that doesn't re-serialize the CDF.
+      //
       // scheduling-floor discipline: AQE's stage-at-a-time scheduling
       // turns each exchange into its own scheduler job; off, the eager
       // checkpoint + final materialization run as a handful of jobs.

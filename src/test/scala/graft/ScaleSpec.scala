@@ -24,6 +24,60 @@ class ScaleSpec extends SparkSpec {
     assert(spread > 4)
   }
 
+  test("AQE splits the Zipf-skewed join at runtime (the unsalted production path)") {
+    // j27_skew_salted grades the EXPLICIT salting path; this pins the
+    // other half of the 100 TB skew story: with AQE left ON (the
+    // production default — fixtureFloorConfs only disables it for
+    // fixture-sized inputs), the SAME Zipf key is detected and split at
+    // runtime by OptimizeSkewedJoin, no code changes. Thresholds are
+    // lowered to make fixture-sized shuffle bytes cross the detection
+    // bar; the assertion is the skew marker in the final adaptive plan.
+    val was = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // the spec session's 2 shuffle partitions make skew statistics
+      // meaningless (the hot key IS ~half of either partition's bytes);
+      // 16 partitions give AQE a real median to compare against
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = graft.engine.Engine
+        .table(spark, "/root/testdata/sf0.1", "events")
+        .select(col("event_id"),
+          floor(lit(100.0) / (col("user_id") % 100 + 1)).as("zkey"))
+      // a PLAIN dim (no aggregation between its exchange and the join):
+      // OptimizeSkewedJoin's ShuffleStage pattern requires Sort directly
+      // over the shuffle stage on BOTH sides — an agg in between (the
+      // j27 dim shape) structurally disqualifies the rule, which is
+      // itself worth knowing: the salted path has no such precondition
+      val dim = (0 until 100)
+        .map(k => (k.toLong, s"label$k")).toDF("zkey", "label")
+      val joined = fact.join(dim, Seq("zkey"), "left")
+        .groupBy("label").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE did not mark the Zipf join skewed — either detection " +
+          "thresholds drifted or OptimizeSkewedJoin stopped engaging:\n" +
+          plan.take(1200))
+    } finally was.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {
