@@ -45,9 +45,10 @@ object QueriesR4h {
       // total rides a cartesian instead of a broadcast build job.
       toks
         .filter(size(col("toks")) >= 5)
+        // incremental 5-gram build (F.ngrams, round 12): the former
+        // per-position concat_ws(slice(...)) was Σn² interpreted work
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("toks")) - 4),
-            i => concat_ws(" ", slice(col("toks"), i, lit(5))))).as("span"))
+          explode(graft.functions.F.ngrams(col("toks"), 5)).as("span"))
         .repartition(col("span"))
         .groupBy("span", "doc_id").agg(count(lit(1)).as("c"))
         .groupBy("span")

@@ -236,10 +236,12 @@ object QueriesR5u {
         .select(col("doc_id"), col("source"),
           // spans ship as xxhash64 longs, not ~40-byte 5-gram strings
           // (the dedup family's hashed-shingle trade — the output
-          // carries only counts, the oracle keeps exact strings)
-          explode(transform(sequence(lit(1), size(col("toks")) - 4),
-            i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(5))))))
-            .as("span"))
+          // carries only counts, the oracle keeps exact strings);
+          // incremental 5-gram build (F.ngrams, round 12) replaces the
+          // Σn² per-position concat_ws(slice(...)) — identical strings
+          // feed the hash, so counts are unchanged
+          explode(transform(graft.functions.F.ngrams(col("toks"), 5),
+            g => xxhash64(g))).as("span"))
         .ckpt(true)
       // no boiler join at all (round 9; was a groupBy + broadcast-back):
       // collapse to one row per (span, doc) on a span-pinned exchange —
