@@ -295,6 +295,17 @@ object QueriesR3k {
   // path (hash-green by construction), and the recall of THIS exact
   // construction is explicitly graded by sim_knn_recall below — the
   // "explicitly-graded recall bound" arm of the verdict's done-bar.
+  //
+  // MEASURED scaling curve (tools/KnnScaleProbe, best-of-2, corpus
+  // scaled by perturbed copies with queries held at 10% of corpus):
+  //   corpus    LSH (this plan)   brute-force (old plan)
+  //     2 000        1.28 s            0.63 s   (fixture floor wins)
+  //    10 000        1.18 s            2.24 s   (1.9× for LSH)
+  //    20 000        1.50 s           10.18 s   (6.8×)
+  //    40 000        2.48 s           40.23 s   (16.2×)
+  // brute quadruples per corpus doubling (the O(n²/10) signature);
+  // the LSH path stays near-linear with the occupancy cap bounding
+  // within-bucket fan-out as density grows.
 
   /** Shared banded-LSH machinery (sim_knn_label + sim_knn_recall):
     * 4 bands × 8 hyperplanes (planes 0–31), per-(band,signature)
