@@ -30,6 +30,8 @@ object GraphScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // streaming shapes must re-execute per pass, not read their memo
+      .config("spark.graft.streamResultMemo", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
