@@ -39,10 +39,16 @@ object Scale {
 
   /** Bucketed write: co-locates both tables on the join key so later
     * joins are exchange-free (bucket-local). The saveAsTable form is
-    * required — bucket metadata lives in the catalog.
+    * required — bucket metadata lives in the catalog. `path` makes the
+    * table EXTERNAL (files land there instead of the session warehouse
+    * dir — the graded j28 query uses a swept scratch dir so repeated
+    * harness runs never litter the working directory).
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(table)
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

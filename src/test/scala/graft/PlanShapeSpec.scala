@@ -77,6 +77,28 @@ class PlanShapeSpec extends SparkSpec {
       "dim side must explode the salt sequence (buckets-fold replication)")
   }
 
+  test("j28_bucketed_join: bucketed scans, zero exchanges below the rollup") {
+    // the bucketed layout's whole value: the per-customer agg rides the
+    // scan's bucket partitioning and the fact-dim join is bucket-local.
+    // Broadcasting disabled so the fixture-scale plan shows the same
+    // structure a 100 TB run would: with it on, only the two expected
+    // exchanges remain (the segment rollup + the report sort).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("j28_bucketed_join")
+      assert("Bucketed: true".r.findAllIn(p).size == 2,
+        "both sides must be bucketed scans:\n" + p.take(900))
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges == 2,
+        s"expected exactly 2 exchanges (segment rollup + report sort), " +
+          s"got $exchanges — the bucket-local agg/join re-shuffled:\n" +
+          p.take(1200))
+      assert(p.contains("SortMergeJoin"),
+        "bucket-local join must be a sort-merge join when not broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      "10485760")
+  }
+
   test("geo_quadkey_join: broadcast tile lookup, no shuffle join") {
     val p = plan("geo_quadkey_join")
     assert(p.contains("BroadcastHashJoin"),
