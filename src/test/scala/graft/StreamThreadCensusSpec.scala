@@ -14,6 +14,14 @@ import org.apache.spark.sql.graft.StateHooks
 class StreamThreadCensusSpec extends SparkSpec {
 
   test("a running streaming query is seen by the live-stream census") {
+    // checksum manager OFF for this throwaway checkpoint: Spark 4.1's
+    // ChecksumCheckpointFileManager spawns a JVM-permanent thread pool
+    // per checkpoint location (the round-9 leak class) — leaving it on
+    // here plants ~4 threads that SessionHygieneSpec's per-run census
+    // then counts, making THAT suite order-sensitive
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val ckWas = spark.conf.getOption(ckKey)
+    spark.conf.set(ckKey, "false")
     val q = spark.readStream.format("rate")
       .option("rowsPerSecond", "1").load()
       .writeStream.format("noop")
@@ -28,7 +36,13 @@ class StreamThreadCensusSpec extends SparkSpec {
         "running stream not counted: Spark renamed QueryExecutionThread " +
           "('stream execution thread' prefix) — update StateHooks census " +
           "or unloadAll races sibling sessions again")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      ckWas match {
+        case Some(v) => spark.conf.set(ckKey, v)
+        case None    => spark.conf.unset(ckKey)
+      }
+    }
     q.awaitTermination()
     assert(StateHooks.liveStreamThreadCount() == 0,
       "census counts a thread after the only stream stopped")
