@@ -75,12 +75,29 @@ object QueriesR12a {
     * session (Bench's two passes, FloorCheck's two conf arms) the write
     * is paid once and every later run is the pure bucket-local read.
     */
+  /** Directory-aware content stamp of one fixture table (the QueriesR6a
+    * stampOf discipline): single files stamp length:mtime; multi-file
+    * parquet dirs stamp total child size + max child mtime, because the
+    * dir entry's own metadata doesn't change when a part file is
+    * rewritten in place.
+    */
+  private def stampOf(d: String, table: String): String = {
+    val f = new java.io.File(d, s"$table.parquet")
+    if (f.isDirectory) {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+      s"${kids.map(_.length).sum}:${kids.map(_.lastModified).foldLeft(0L)(math.max)}"
+    } else s"${f.length}:${f.lastModified}"
+  }
+
   private def bucketedPair(s: SparkSession, d: String): (String, String) = {
-    val f = new java.io.File(d, "orders.parquet")
+    // BOTH source tables fold into the stamp: regenerating customer
+    // alone must not serve stale bucketed twins (the ADVICE-r11 stale-
+    // memo class QueriesR6a's stream memo was patched for)
     val stamp = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(
         new java.io.File(d).getCanonicalPath + "@" +
-          f.length + ":" + f.lastModified).toLong & 0xffffffffL)
+          stampOf(d, "orders") + ":" + stampOf(d, "customer")).toLong
+        & 0xffffffffL)
     val (to, tc) = (s"graft_bkt_orders_$stamp", s"graft_bkt_customer_$stamp")
     if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tc)) {
       val dir = java.nio.file.Files.createTempDirectory("graft_bkt_").toString

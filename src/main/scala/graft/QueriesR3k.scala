@@ -328,32 +328,16 @@ object QueriesR3k {
       Similarity.quantize(Similarity.toDoubleVec(col("embedding"))).as("v"),
       col("label"))
 
-  /** One row per (vector, band): base signature + refinement bits. All
-    * 2·bands signatures come from ONE [[graft.plans.HyperplaneSigChunks]]
-    * evaluation per row — a native codegen'd fused loop; the composed
-    * `aggregate`-fold alternative is a higher-order function that Spark
-    * evaluates INTERPRETED, which at 8 sigs × 64 dims × 3 lineage copies
-    * dominated this query at ~5.5 s for 2 000 rows (round-12 TimeQ);
-    * the native node brings the whole sig stage to noise level. Chunk k
-    * covers planes [k·8, k·8+8): chunks 0–3 are the band signatures,
-    * 4–7 the per-band refinement bits — exactly the plane layout the
-    * oracle SQL mirrors.
+  /** Signature layout shared by both lineages below: one
+    * [[graft.plans.HyperplaneSigChunks]] evaluation per row — a native
+    * codegen'd fused loop; the composed `aggregate`-fold alternative is
+    * a higher-order function Spark evaluates INTERPRETED, which at
+    * 8 sigs × 64 dims × 3 lineage copies dominated this query at
+    * ~5.5 s for 2 000 rows (round-12 TimeQ). Chunk k covers planes
+    * [k·8, k·8+8): chunks 0–(bands−1) are the band signatures, chunks
+    * bands–(2·bands−1) the per-band refinement bits — exactly the plane
+    * layout the oracle SQL mirrors.
     */
-  private def knnBandSigs(s: SparkSession, d: String,
-                          idName: String): DataFrame = {
-    val structs = (0 until KnnBands).map { tb =>
-      struct(
-        element_at(col("sa"), tb + 1).as("sg"),
-        element_at(col("sa"), KnnBands + tb + 1).as("ext"))
-    }
-    knnEmb(s, d)
-      .select(col("id").as(idName),
-        graft.plans.HyperplaneSigChunks(col("v"), nChunks = 2 * KnnBands,
-          planesPerChunk = KnnPlanes, dim = 64).as("sa"))
-      .select(col(idName), posexplode(array(structs: _*)))
-      .select(col(idName), col("pos").as("t"),
-        col("col.sg").as("sg"), col("col.ext").as("ext"))
-  }
 
   /** Banded keys PLUS the carried payload (vector, label, norm): the
     * rerank needs both rows' vectors, and carrying them through the band
@@ -367,10 +351,25 @@ object QueriesR3k {
     * any corpus, and both sides' identical occ lineages collapse to one
     * exchange via ReuseExchange.
     */
+  /** Occupancy lineage: base-band signatures ONLY — the occupancy count
+    * never looks at refinement bits, and column pruning cannot reach
+    * inside the pre-explode struct array, so computing the full
+    * 2·bands-chunk signature here would double the plane-dot work on
+    * this subtree for nothing (chunk k's weights depend only on the
+    * absolute plane index, so a bands-chunk evaluation yields the
+    * byte-identical band signatures).
+    */
+  private def knnOccSigs(s: SparkSession, d: String): DataFrame =
+    knnEmb(s, d)
+      .select(posexplode(
+        graft.plans.HyperplaneSigChunks(col("v"), nChunks = KnnBands,
+          planesPerChunk = KnnPlanes, dim = 64)))
+      .select(col("pos").as("t"), col("col").as("sg"))
+
   private def knnKeyedPayload(s: SparkSession, d: String, idName: String,
                               vecName: String, labName: String,
                               normName: String): DataFrame = {
-    val occ = knnBandSigs(s, d, "oid")
+    val occ = knnOccSigs(s, d)
       .groupBy("t", "sg").agg(count(lit(1)).as("occ_n"))
     val structs = (0 until KnnBands).map { tb =>
       struct(
