@@ -348,7 +348,8 @@ object Queries {
     QueriesR5m.all ++ QueriesR5n.all ++ QueriesR5o.all ++ QueriesR5p.all ++
     QueriesR5q.all ++ QueriesR5r.all ++ QueriesR5s.all ++ QueriesR5t.all ++
     QueriesR5u.all ++ QueriesR6a.all ++ QueriesR7a.all ++ QueriesR8a.all ++
-    QueriesR9a.all ++ QueriesR10a.all ++ QueriesR11a.all ++ QueriesR12a.all
+    QueriesR9a.all ++ QueriesR10a.all ++ QueriesR11a.all ++ QueriesR12a.all ++
+    QueriesR13a.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

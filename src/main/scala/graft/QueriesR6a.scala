@@ -70,18 +70,10 @@ object QueriesR6a {
     */
   private def fixtureStamp(d: String): String = stampOf(d, "events")
 
-  /** Per-table content stamp. A single-file fixture stamps length:mtime
-    * directly; a multi-file parquet DIR stamps total child size + max
-    * child mtime — the directory entry's own mtime/length doesn't change
-    * when a part file is rewritten in place (ADVICE r11).
-    */
-  private def stampOf(d: String, table: String): String = {
-    val f = new java.io.File(d, s"$table.parquet")
-    if (f.isDirectory) {
-      val kids = Option(f.listFiles()).getOrElse(Array.empty).filter(_.isFile)
-      s"${kids.map(_.length).sum}:${kids.map(_.lastModified).foldLeft(0L)(math.max)}"
-    } else s"${f.length}:${f.lastModified}"
-  }
+  // per-table content stamp: hoisted to the shared helper in round 13
+  // (ADVICE r12 — two private copies drifted apart)
+  private def stampOf(d: String, table: String): String =
+    graft.engine.Fixtures.stampOf(d, table)
 
   private def replayInputTyped(s: SparkSession, d: String,
                                tpe: Option[String]): String = {

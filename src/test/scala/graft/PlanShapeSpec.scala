@@ -99,6 +99,38 @@ class PlanShapeSpec extends SparkSpec {
       "10485760")
   }
 
+  test("s10_partition_pruned: day predicate prunes 23 of 30 dirs at planning") {
+    spark.conf.set("spark.graft.floorScope", "false")
+    // AQE off in scope: the assertion digs the FileSourceScan out of the
+    // physical leaves, and the adaptive wrapper hides them until runtime
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Queries.byName("s10_partition_pruned").fn(spark, sf)
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScan in plan"))
+      // the day bounds must be PARTITION filters (directory pruning —
+      // no footer opened, no row read), not data filters
+      assert(scan.metadata("PartitionFilters").contains("day"),
+        s"day not a partition filter: ${scan.metadata("PartitionFilters")}")
+      assert(scan.selectedPartitions.partitionCount === 7,
+        s"expected 7 of 30 day dirs scanned, got " +
+          s"${scan.selectedPartitions.partitionCount}")
+      // the layout really has 30 day dirs — 23 are never read
+      val dirs = new java.io.File(
+        QueriesR13a.partitionedEventsDir(spark, sf))
+        .listFiles().count(f => f.isDirectory && f.getName.startsWith("day="))
+      assert(dirs === 30, s"expected 30 day= dirs in the layout, got $dirs")
+      // one file per day dir: the repartition-by-key write discipline
+      assert(scan.relation.location.inputFiles
+        .count(_.contains("day=2024-01-08")) === 1,
+        "each day dir must hold exactly one part file")
+    } finally {
+      spark.conf.unset("spark.graft.floorScope")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("geo_quadkey_join: broadcast tile lookup, no shuffle join") {
     val p = plan("geo_quadkey_join")
     assert(p.contains("BroadcastHashJoin"),
