@@ -164,6 +164,22 @@ object QueriesR6a {
                                  out: String, ckpt: String): Unit = {
     val useFileSink =
       s.conf.get("spark.graft.streamFileSink", "false").toBoolean
+    // Measured-and-REJECTED lever, round 13 (VERDICT r12 task 3a):
+    // delivering the graded frame from inside foreachBatch —
+    // localCheckpoint each batch, readback = zero-IO union of the
+    // pinned batches, parquet sink skipped entirely when the memo is
+    // off. Paired within-JVM A/B (tools/PairProbe, 6 iters, 4 stateful
+    // shapes): TOTAL medians in-memory 5.35 s vs parquet 5.25 s, per-
+    // query paired deltas −0.02/+0.06/+0.12/+0.17 s — a wash-to-loss.
+    // The block-manager serialization a localCheckpoint pays per batch
+    // costs what the tmpfs parquet append cost, the final union job
+    // still pays the same scheduling floor as the schema-stamped
+    // readback, and the memo-on/off asymmetry added a second delivery
+    // path to maintain. The remaining per-query cost is structural:
+    // 1 data batch + 1 watermark-eviction trailer + 1 readback job,
+    // and the trailer cannot be dropped without faking eviction (the
+    // r10 lesson) — a sentinel row to pre-advance the watermark just
+    // ADDS a data batch before the trailer it was meant to remove.
     val writer =
       if (useFileSink) frame.writeStream.format("parquet").option("path", out)
       else frame.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
