@@ -359,24 +359,24 @@ object QueriesR3k {
     * absolute plane index, so a bands-chunk evaluation yields the
     * byte-identical band signatures).
     */
-  private def knnOccSigs(s: SparkSession, d: String): DataFrame =
-    knnEmb(s, d)
+  private def knnOccSigs(emb: () => DataFrame): DataFrame =
+    emb()
       .select(posexplode(
         graft.plans.HyperplaneSigChunks(col("v"), nChunks = KnnBands,
           planesPerChunk = KnnPlanes, dim = 64)))
       .select(col("pos").as("t"), col("col").as("sg"))
 
-  private def knnKeyedPayload(s: SparkSession, d: String, idName: String,
+  private def knnKeyedPayload(emb: () => DataFrame, idName: String,
                               vecName: String, labName: String,
                               normName: String): DataFrame = {
-    val occ = knnOccSigs(s, d)
+    val occ = knnOccSigs(emb)
       .groupBy("t", "sg").agg(count(lit(1)).as("occ_n"))
     val structs = (0 until KnnBands).map { tb =>
       struct(
         element_at(col("sa"), tb + 1).as("sg"),
         element_at(col("sa"), KnnBands + tb + 1).as("ext"))
     }
-    knnEmb(s, d)
+    emb()
       .select(col("id").as(idName), col("v").as(vecName),
         col("label").as(labName),
         Similarity.dot(col("v"), col("v")).cast("long").as(normName),
@@ -402,9 +402,9 @@ object QueriesR3k {
     * n_cand (candidates per query) and q_label through the same q_id
     * partition, so the caller never joins back to the corpus.
     */
-  private def knnTop5(s: SparkSession, d: String, qPred: Column): DataFrame = {
-    val c = knnKeyedPayload(s, d, "cand", "cvec", "n_label", "ni")
-    val q = knnKeyedPayload(s, d, "q_id", "qvec", "q_label", "nq")
+  private def knnTop5(emb: () => DataFrame, qPred: Column): DataFrame = {
+    val c = knnKeyedPayload(emb, "cand", "cvec", "n_label", "ni")
+    val q = knnKeyedPayload(emb, "q_id", "qvec", "q_label", "nq")
       .filter(qPred)
     // one exchange on q_id serves the whole tail: HashPartitioning(q_id)
     // satisfies the dedup groupBy (q_id ⊂ {q_id,cand}), both q_id
@@ -437,11 +437,8 @@ object QueriesR3k {
     * interpolate from the SAME vals the Spark path uses, so band/cap
     * parameter changes can never leave the oracle behind.
     */
-  private val knnLshSql: String =
-    s"""WITH e AS (SELECT vec_id AS id,
-                        list_transform(embedding::DOUBLE[],
-                          x -> round(x * 1048576)) AS v, label
-                   FROM embeddings),
+  private def knnLshSqlOver(eDef: String): String =
+    s"""WITH e AS ($eDef),
             sig AS (
               SELECT id, t,
                      (SELECT sum(CASE WHEN (
@@ -465,6 +462,12 @@ object QueriesR3k {
                      END AS bkey
               FROM sig JOIN occ USING (t, s))"""
 
+  private val knnLshSql: String = knnLshSqlOver(
+    """SELECT vec_id AS id,
+                        list_transform(embedding::DOUBLE[],
+                          x -> round(x * 1048576)) AS v, label
+                   FROM embeddings""")
+
   private val knnLabel = Q(
     "sim_knn_label",
     "ANN-kNN majority-vote labeling on embeddings: every 10th vector is " +
@@ -479,7 +482,7 @@ object QueriesR3k {
       "construction's recall against exact brute force.",
     (s, d) => {
       val qPred = col("q_id") % 10 === 0
-      val top5 = knnTop5(s, d, qPred)
+      val top5 = knnTop5(() => knnEmb(s, d), qPred)
       val votes = top5.groupBy("q_id", "n_label")
         .agg(count(lit(1)).as("votes"), max("n_cand").as("n_cand"),
           max("q_label").as("true_label"))
@@ -543,7 +546,8 @@ object QueriesR3k {
       "the oracle together, so the recall on record is always the " +
       "deployed construction's.",
     (s, d) => {
-      val lsh = knnTop5(s, d, col("q_id") >= 100 && col("q_id") < 110)
+      val lsh = knnTop5(() => knnEmb(s, d),
+        col("q_id") >= 100 && col("q_id") < 110)
         .select("q_id", "cand")
       val rawEmb = t(s, d, "embeddings").select(col("vec_id").as("id"),
         Similarity.toDoubleVec(col("embedding")).as("vec"))
@@ -599,5 +603,100 @@ object QueriesR3k {
             LEFT JOIN hits USING (q_id)
             ORDER BY q_id"""))
 
-  val all: Seq[Q] = Seq(chi2, naiveBayes, knnLabel, knnRecall)
+  // ------------- sim_knn_recall_planted: recall where neighbors EXIST
+
+  /** Corpus with PLANTED near-neighbors: every 50th vector gets a
+    * jittered twin (id + 10^12, deterministic per-coordinate noise
+    * ±3·0.005 BEFORE quantization — the dedup_embedding_cosine plant,
+    * scaled down so twin cosine ≈ 0.9996). Fresh lineage per call, like
+    * [[knnEmb]].
+    */
+  private def knnPlantedEmb(s: SparkSession, d: String): DataFrame =
+    knnEmb(s, d).unionByName(
+      t(s, d, "embeddings")
+        .filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000000000L).as("id"),
+          Similarity.quantize(
+            transform(Similarity.toDoubleVec(col("embedding")),
+              (x, i) => x +
+                (((col("vec_id") + 1000000000000L) * 31 + i * 17) % 7 - 3)
+                  .cast("double") * lit(0.005))).as("v"),
+          col("label")))
+
+  private val knnPlantedEDef: String =
+    """SELECT vec_id AS id,
+                        list_transform(embedding::DOUBLE[],
+                          x -> round(x * 1048576)) AS v, label
+                   FROM embeddings
+                   UNION ALL
+                   SELECT vec_id + 1000000000000 AS id,
+                          list_transform(range(0, 64), i ->
+                            round((embedding[i+1]::DOUBLE +
+                              CAST(((vec_id + 1000000000000)*31 + i*17) % 7
+                                   - 3 AS DOUBLE) * 0.005) * 1048576)) AS v,
+                          label
+                   FROM embeddings WHERE vec_id % 50 = 0"""
+
+  private val knnRecallPlanted = Q(
+    "sim_knn_recall_planted",
+    "Recall of the deployed banded-LSH construction where true " +
+      "neighbors EXIST (VERDICT r12 task 4): sim_knn_recall grades the " +
+      "recall bound on the fixture's near-random vectors (recall@5 ~ " +
+      "0.17 by construction — the 5 exact neighbors sit at ~70 deg, " +
+      "where an 8-plane band agrees w.p. ~0.02), which proves the " +
+      "bound machinery but not that the LSH finds neighbors that are " +
+      "actually near. Here every 50th vector gets a PLANTED jittered " +
+      "twin (cos ~ 0.9996, a ~1.6 deg angle -> per-band agreement " +
+      "~0.96, any-of-4-bands ~1), the twins are the query set, and " +
+      "each query's hit flag records whether its twin — its true " +
+      "nearest neighbor by an enormous margin (next-nearest cosine " +
+      "~0.5 on this corpus) — surfaces in the LSH top-5. The banding/" +
+      "cap/refinement constants interpolate from the same Scala vals " +
+      "as sim_knn_label, so parameter changes move this grade with " +
+      "the deployed construction. Measured: recall 1.0 at sf0.01 " +
+      "(10/10 twins), 0.925 at sf0.1 (37/40 — the 3 misses are " +
+      "cap-refinement splits in hot buckets, the documented trade) — " +
+      "clearing the 0.8 bar wherever neighbors exist.",
+    (s, d) => {
+      val top5 = knnTop5(() => knnPlantedEmb(s, d),
+        col("q_id") >= 1000000000000L)
+      val hits = top5
+        .filter(col("cand") === col("q_id") - 1000000000000L)
+        .select(col("q_id"), lit(1).as("hit"))
+      t(s, d, "embeddings").filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000000000L).as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          (col("q_id") - 1000000000000L).as("twin"),
+          coalesce(col("hit"), lit(0)).as("hit"))
+        .transform(graft.engine.Ops.reportSort("q_id"))
+    },
+    Some(s"""${knnLshSqlOver(knnPlantedEDef)},
+            cand AS (SELECT DISTINCT q.id AS q_id, c.id AS cand
+                     FROM keyed q JOIN keyed c
+                       ON q.t = c.t AND q.bkey = c.bkey AND q.id <> c.id
+                     WHERE q.id >= 1000000000000),
+            sc AS (SELECT cand.q_id, cand.cand,
+                          CAST(list_dot_product(qe.v, ce.v) AS BIGINT) AS dot_l,
+                          CAST(list_dot_product(qe.v, qe.v) AS BIGINT) AS nq,
+                          CAST(list_dot_product(ce.v, ce.v) AS BIGINT) AS ni
+                   FROM cand JOIN e qe ON qe.id = cand.q_id
+                             JOIN e ce ON ce.id = cand.cand),
+            lr AS (SELECT *, row_number() OVER
+                     (PARTITION BY q_id ORDER BY
+                        (dot_l::HUGEINT * abs(dot_l)::HUGEINT *
+                         10000000000::HUGEINT) //
+                          (nq::HUGEINT * ni::HUGEINT) DESC, cand) AS rank
+                   FROM sc),
+            hits AS (SELECT q_id, 1 AS hit FROM lr
+                     WHERE rank <= 5 AND cand = q_id - 1000000000000)
+            SELECT q_id, q_id - 1000000000000 AS twin,
+                   coalesce(hit, 0) AS hit
+            FROM (SELECT vec_id + 1000000000000 AS q_id FROM embeddings
+                  WHERE vec_id % 50 = 0)
+            LEFT JOIN hits USING (q_id)
+            ORDER BY q_id"""))
+
+  val all: Seq[Q] = Seq(chi2, naiveBayes, knnLabel, knnRecall,
+    knnRecallPlanted)
 }
