@@ -136,9 +136,37 @@ object Bench {
     // could break the contract line (quotes, backslashes, control chars)
     val runName = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUN", "local")
       .filter(c => c >= ' ' && c != '"' && c != '\\').take(64)
+    // ratio-first reporting (VERDICT r12 task 5): the wall total drifts
+    // ±25% with the host window, so the graded artifact carries its own
+    // denominator — the committed DUCK_DETAIL.json's per-query DuckDB
+    // totals, restricted to the queries THIS run executed, plus that
+    // file's mtime (epoch s, so a same-session regeneration is provable
+    // against the bench time without embedding a run timestamp that
+    // would break byte-identical replays). Absent/corrupt file → fields
+    // omitted, the line stays parseable.
+    val duckStamp: String = try {
+      val f = new java.io.File("DUCK_DETAIL.json")
+      if (!f.isFile) ""
+      else {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val entry = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
+        val duck = entry.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val covered = results.collect {
+          case (k, _) if duck.contains(k) => duck(k)
+        }
+        if (covered.isEmpty) ""
+        else s""","duck_total":${fmt(covered.sum)}""" +
+          s""","duck_n":${covered.size}""" +
+          s""","duck_mtime":${f.lastModified / 1000}"""
+      }
+    } catch { case _: Throwable => "" }
     val provenance =
       s""""run":"$runName"""" +
-        s""","cpus":$cpus,"host_procs":${Runtime.getRuntime.availableProcessors()}"""
+        s""","cpus":$cpus,"host_procs":${Runtime.getRuntime.availableProcessors()}""" +
+        duckStamp
     val detailLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$provenance,"n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
     val out = new java.io.PrintWriter("BENCH_DETAIL.json")

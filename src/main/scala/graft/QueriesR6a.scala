@@ -427,10 +427,15 @@ object QueriesR6a {
   private def deleteRecursively(dir: String): Unit = {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
-    val p = Paths.get(dir)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
+    // swallow everything: this runs from JVM shutdown hooks, and a late
+    // stack trace could land after Bench's stdout JSON line inside the
+    // driver's 2000-char tail (ADVICE r12)
+    try {
+      val p = Paths.get(dir)
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+    } catch { case _: Throwable => }
   }
 
   /** Deferred temp-dir cleanup: the graded frame is returned as a LAZY

@@ -78,9 +78,13 @@ object Ck {
             // as the streaming replay dirs in QueriesR6a
             sys.addShutdownHook {
               import java.util.Comparator
-              if (java.nio.file.Files.exists(dir))
-                java.nio.file.Files.walk(dir).sorted(Comparator.reverseOrder())
-                  .forEach(f => java.nio.file.Files.deleteIfExists(f))
+              // swallowed: a shutdown-hook stack trace could land after
+              // Bench's stdout JSON line in the driver's tail (ADVICE r12)
+              try {
+                if (java.nio.file.Files.exists(dir))
+                  java.nio.file.Files.walk(dir).sorted(Comparator.reverseOrder())
+                    .forEach(f => java.nio.file.Files.deleteIfExists(f))
+              } catch { case _: Throwable => }
             }
             sc.setCheckpointDir(dir.toString)
           }

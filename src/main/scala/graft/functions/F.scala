@@ -130,16 +130,22 @@ object F {
     * (higher-order functions never enter whole-stage codegen); the
     * incremental form is Σn. Same strings, same downstream hashes —
     * measured 1.28 → 0.68 s on eval_bleu_corpus (round 11) and applied
-    * to the 5-gram boilerplate family (round 12). Callers must guard
-    * `size(arr) >= n` (shorter arrays yield negative slice lengths).
+    * to the 5-gram boilerplate family (round 12). Total (ADVICE r12):
+    * arrays shorter than n yield an EMPTY array — without the guard the
+    * fold's negative slice lengths were undefined, and every caller had
+    * to remember the `size(toks) >= n` filter.
     */
-  def ngrams(arr: Column, n: Int): Column =
-    (2 to n).foldLeft(arr) { (prev, k) =>
+  def ngrams(arr: Column, n: Int): Column = {
+    val folded = (2 to n).foldLeft(arr) { (prev, k) =>
       zip_with(
         slice(prev, lit(1), size(prev) - 1),
         slice(arr, lit(k), size(arr) - k + 1),
         (a, b) => concat(a, lit(" "), b))
     }
+    if (n <= 1) folded
+    else when(size(arr) >= n, folded)
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** F15 — constant feature defaults, centralized (the reference repeats
     * these literals in three places and they must agree:

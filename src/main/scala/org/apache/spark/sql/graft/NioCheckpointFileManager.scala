@@ -105,7 +105,16 @@ class NioCheckpointFileManager(root: Path, hadoopConf: Configuration)
                     throw new java.nio.file.FileAlreadyExistsException(
                       target.toString)
                   }
-                  Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+                  // a filesystem lacking BOTH hard links and atomic move
+                  // (some FUSE/SMB mounts) still gets a rename rather
+                  // than an outright failure (ADVICE r12) — the plain
+                  // move widens the already-documented lost-writer
+                  // window on this degraded tier, nothing more
+                  try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+                  catch {
+                    case _: java.nio.file.AtomicMoveNotSupportedException =>
+                      Files.move(tmp, target)
+                  }
               }
             }
           } catch {
