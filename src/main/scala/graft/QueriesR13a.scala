@@ -115,5 +115,52 @@ object QueriesR13a {
                                        AND DATE '2024-01-14'
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(s10)
+  // ------------- mm_decode_jpeg: full JPEG decode via javax.imageio
+
+  private val decodeJpeg = Q(
+    "mm_decode_jpeg",
+    "FULL JPEG decode through the REAL codec, oracle-graded — extends " +
+      "the mm_decode_px PNG/WAV pattern to the lossy codec (VERDICT " +
+      "r12 task 7; jpegSofOffset already walks the headers, this " +
+      "drives the actual DCT pipeline). Every 16th-plus-four document " +
+      "synthesizes a 32×24 image whose 8×8 blocks are constant GRAY " +
+      "(block (bx,by) = (7·id+11·bx+13·by)%256), encodes with " +
+      "javax.imageio's JPEG writer at quality 1.0, and decodes back " +
+      "inside mapPartitions. That family round-trips EXACTLY — gray " +
+      "makes the fixed-point color transform exact, block-constant " +
+      "pixels are DC-only so the integer-DCT error terms are zero, and " +
+      "q=1.0 quant tables are all ones (Multimodal.encodeJpegGray " +
+      "doc; tools/JpegProbe measured maxDiff=0) — so the oracle " +
+      "replays the block formula in SQL and the hash-compare grades " +
+      "the real encoder→decoder loop. Map-only at any scale (the " +
+      "mm_decode_px shape).",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val ids = t(s, d, "documents")
+        .filter(col("doc_id") % 16 === 4)
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          Multimodal.decodeJpegStats(id, Multimodal.encodeJpegGray(id, 32, 24))
+        }
+      }.toDF()
+        .transform(graft.engine.Ops.reportSort("doc_id"))
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents
+                         WHERE doc_id % 16 = 4),
+            px AS (SELECT doc_id, x, y,
+                          (7 * doc_id + 11 * (x // 8) + 13 * (y // 8)) % 256
+                            AS v
+                   FROM ids
+                   CROSS JOIN (SELECT unnest(range(0, 32)) AS x)
+                   CROSS JOIN (SELECT unnest(range(0, 24)) AS y))
+            SELECT doc_id, CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+                   CAST(sum(v) AS BIGINT) AS r_sum,
+                   CAST(sum(v) AS BIGINT) AS g_sum,
+                   CAST(sum(v) AS BIGINT) AS b_sum,
+                   CAST(sum((x + 1) * (y + 1) * v) AS BIGINT) AS pos_moment
+            FROM px GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(s10, decodeJpeg)
 }

@@ -343,6 +343,62 @@ object Multimodal {
     WavSampleStats(id, f.getSampleRate.toInt, n, dc, pk, en)
   }
 
+  /** Encode a deterministic block-gray image as a real JPEG via
+    * javax.imageio at compression quality 1.0 — the lossy-codec sibling
+    * of [[encodePng]] (VERDICT r12 task 7). JPEG is lossy IN GENERAL,
+    * but this synthesis family round-trips EXACTLY, which is what lets
+    * a DuckDB oracle replay it:
+    *
+    *  - pixels are GRAY (r=g=b=v), and the fixed-point RGB→YCbCr
+    *    coefficients sum to 2^16 (and to 0 for the chroma rows), so the
+    *    color transform is exact: Y=v, Cb=Cr=128 — and constant chroma
+    *    is invariant under any subsampling;
+    *  - v is CONSTANT over each 8×8 DCT block (block (bx,by) of doc
+    *    `id` has v=(7·id+11·bx+13·by)%256), so every block is DC-only —
+    *    the AC coefficients, where all the integer-DCT approximation
+    *    error lives, are exactly zero;
+    *  - quality 1.0 scales the quantization tables to all-ones, so the
+    *    DC coefficient survives quantization unchanged.
+    *
+    * Verified exact over the id range by tools/JpegProbe (maxDiff=0)
+    * and pinned by JpegDecodeSpec; images whose pixels vary WITHIN a
+    * block would NOT round-trip and must use the PNG path.
+    */
+  def encodeJpegGray(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((7 * id + 11 * (x / 8) + 13 * (y / 8)) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    javax.imageio.ImageIO.setUseCache(false)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { wr.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Pixel statistics from a real JPEG decode — [[decodePngStats]] is
+    * already format-agnostic (ImageIO.read sniffs the container), so
+    * this alias exists to make the JPEG call sites self-documenting and
+    * to pin the corrupt-payload sentinel for the JPEG path in its spec.
+    */
+  def decodeJpegStats(id: Long, payload: Array[Byte]): PngPixelStats =
+    decodePngStats(id, payload)
+
   /** REAL image resize (round 11): decode via javax.imageio, sample the
     * raster nearest-neighbor (src pixel (⌊x·sw/w⌋, ⌊y·sh/h⌋) — an exact
     * integer mapping the SQL oracle can replay, unlike Graphics2D's
