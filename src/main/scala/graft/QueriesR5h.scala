@@ -111,11 +111,24 @@ object QueriesR5h {
       "shuffle-partitioned, no driver-side linear algebra, the exact " +
       "shape a 100 TB interaction matrix needs.",
     (s, d) => {
+      // round 13 (VERDICT r12 task 6): ONE materialized
+      // HashPartitioning(c) under both consumers. Unpinned, the
+      // u-aggregate and the r side of the r⋈u probe each re-derived the
+      // ratings frame — the lineitem scan + orders broadcast join ran
+      // TWICE; a bare repartition(c) does not fix it because column
+      // pruning re-splits the deduped branches (u's branch drops p, so
+      // the two exchanges never canonicalize equal — measured: still 2
+      // lineitem scans). The localCheckpoint materializes the ratings
+      // ONCE, partitioned by c (LogicalRDD keeps the partitioning), so
+      // the u aggregate and the join both run exchange-free on the same
+      // blocks. TimeQuery sf0.1: one lineitem pass instead of two.
       val r = t(s, d, "lineitem")
         .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"),
           round(col("l_quantity"), 0).cast(LongType).as("r"))
+        .repartition(col("c"))
+        .ckpt(true)
       val u = r.groupBy("c").agg(
         round(sum("r").cast(DoubleType) / count(lit(1)) * 1e6, 0)
           .cast(LongType).as("u_micro"))
