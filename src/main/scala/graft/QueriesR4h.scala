@@ -45,10 +45,11 @@ object QueriesR4h {
       // total rides a cartesian instead of a broadcast build job.
       toks
         .filter(size(col("toks")) >= 5)
-        // incremental 5-gram build (F.ngrams, round 12): the former
-        // per-position concat_ws(slice(...)) was Σn² interpreted work
+        // native 5-gram build (plans.NgramStrings, round 13): the
+        // round-12 incremental zip_with chain was still 4 interpreted
+        // lambda levels per row — same strings, one compiled loop
         .select(col("doc_id"),
-          explode(graft.functions.F.ngrams(col("toks"), 5)).as("span"))
+          explode(graft.plans.NgramStrings(col("toks"), 5)).as("span"))
         .repartition(col("span"))
         .groupBy("span", "doc_id").agg(count(lit(1)).as("c"))
         .groupBy("span")

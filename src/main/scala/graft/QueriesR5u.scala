@@ -237,11 +237,11 @@ object QueriesR5u {
           // spans ship as xxhash64 longs, not ~40-byte 5-gram strings
           // (the dedup family's hashed-shingle trade — the output
           // carries only counts, the oracle keeps exact strings);
-          // incremental 5-gram build (F.ngrams, round 12) replaces the
-          // Σn² per-position concat_ws(slice(...)) — identical strings
-          // feed the hash, so counts are unchanged
-          explode(transform(graft.functions.F.ngrams(col("toks"), 5),
-            g => xxhash64(g))).as("span"))
+          // native fused build+hash (plans.NgramHashes, round 13): the
+          // round-12 incremental zip_with chain was still 4 interpreted
+          // lambda levels + an interpreted hash transform per row —
+          // identical grams and hashes, one compiled loop
+          explode(graft.plans.NgramHashes(col("toks"), 5)).as("span"))
         .ckpt(true)
       // no boiler join at all (round 9; was a groupBy + broadcast-back):
       // collapse to one row per (span, doc) on a span-pinned exchange —
