@@ -3,6 +3,7 @@ package graft
 import graft.engine.Ck.Ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -32,29 +33,34 @@ object QueriesR4q {
     (s, d) => {
       val norm = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-      val docs = t(s, d, "documents")
+      // round 13: one lineage, three per-fingerprint window minimums.
+      // The former keeperOf shape referenced the fingerprint projection
+      // FOUR times (main + 3 keyed aggs) — the 3-md5 + double-regex
+      // normalization pass ran four times and the plan paid 6 exchanges
+      // (3 agg + 3 join). A window min over each fingerprint partition
+      // computes the keeper where the doc row already travels: the
+      // projection runs once and the plan is exactly 3 exchanges + the
+      // tiny report rollup. Cluster posture unchanged — each window key
+      // is a fingerprint (bounded clusters), never a corpus-wide key.
+      val tiers = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
           md5(col("text")).as("fp_raw"),
           md5(norm).as("fp_norm"),
           md5(concat_ws(" ",
             array_sort(array_distinct(split(col("text"), " ")))))
             .as("fp_set"))
-      def keeperOf(fp: String): DataFrame = docs
-        .groupBy(col(fp).as("fp"))
-        .agg(min("doc_id").as(s"keep_$fp"))
-      val joined = docs
-        .join(keeperOf("fp_raw"),
-          col("fp_raw") === col("fp"), "left").drop("fp")
-        .join(keeperOf("fp_norm"),
-          col("fp_norm") === col("fp"), "left").drop("fp")
-        .join(keeperOf("fp_set"),
-          col("fp_set") === col("fp"), "left").drop("fp")
+        .withColumn("keep_raw",
+          min("doc_id").over(Window.partitionBy("fp_raw")))
+        .withColumn("keep_norm",
+          min("doc_id").over(Window.partitionBy("fp_norm")))
+        .withColumn("keep_set",
+          min("doc_id").over(Window.partitionBy("fp_set")))
         .withColumn("tier",
-          when(col("doc_id") =!= col("keep_fp_raw"), lit("1_exact"))
-            .when(col("doc_id") =!= col("keep_fp_norm"), lit("2_normalized"))
-            .when(col("doc_id") =!= col("keep_fp_set"), lit("3_token_set"))
+          when(col("doc_id") =!= col("keep_raw"), lit("1_exact"))
+            .when(col("doc_id") =!= col("keep_norm"), lit("2_normalized"))
+            .when(col("doc_id") =!= col("keep_set"), lit("3_token_set"))
             .otherwise(lit("0_kept")))
-      joined.groupBy("source", "tier")
+      tiers.groupBy("source", "tier")
         .agg(count(lit(1)).as("n_docs"))
         .transform(graft.engine.Ops.reportSort("source", "tier"))
     },
