@@ -115,6 +115,81 @@ object QueriesR13a {
                                        AND DATE '2024-01-14'
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Session-memoized range-clustered twin of the events table with a
+    * `_zonemap.tsv` min/max manifest ([[graft.sources.ZoneMap.write]],
+    * 30 ts-range buckets ≈ one file per day of the fixture's 30-day
+    * domain). Same memo discipline as [[partitionedEventsDir]]:
+    * content-stamped key, computeIfAbsent build, swallowing sweeper.
+    */
+  private val zoneMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def zonemapEventsDir(s: SparkSession, d: String): String = {
+    val key = new java.io.File(d).getCanonicalPath + "@" +
+      graft.engine.Fixtures.stampOf(d, "events")
+    def build(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_zonemap_events_").toString
+      sys.addShutdownHook {
+        try {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+          }
+          rm(new java.io.File(dir))
+        } catch { case _: Throwable => }
+      }
+      graft.sources.ZoneMap.write(t(s, d, "events"), dir, "ts", 30)
+      dir
+    }
+    val dir = zoneMemo.computeIfAbsent(key, _ => build())
+    if (new java.io.File(dir).isDirectory) dir
+    else zoneMemo.synchronized {
+      val fresh = build(); zoneMemo.put(key, fresh); fresh
+    }
+  }
+
+  // ------------- s11_zonemap_skip: min/max-manifest file skipping
+
+  private val s11 = Q(
+    "s11_zonemap_skip",
+    "File-level data skipping via a min/max zone-map manifest — the " +
+      "Delta/Iceberg stats-prune mechanism s10's DIRECTORY pruning " +
+      "can't give a high-cardinality key: events are range-clustered " +
+      "on ts into 30 files (each covering ~one day), per-file min/max " +
+      "epoch-micros recorded in `_zonemap.tsv` at write time " +
+      "(sources/ZoneMap), and a 4-day range predicate resolves " +
+      "DRIVER-side against the manifest so ~26 of 30 files are never " +
+      "listed into the scan — no footer read, no task scheduled " +
+      "(ZoneMapSpec pins inputFiles == the overlap set, plus the " +
+      "missing-manifest full-read fallback). Boundary files straddle " +
+      "the range, so the residual row filter stays — pruning is an " +
+      "accelerator, never a semantics change, which is exactly what " +
+      "the hash-compare grades: per-type counts, cent sums, and exact " +
+      "min/max event micros against the flat-table oracle.",
+    (s, d) => {
+      val loM = java.time.LocalDateTime.of(2024, 1, 10, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      val hiM = java.time.LocalDateTime.of(2024, 1, 14, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      graft.sources.ZoneMap.readPruned(s, zonemapEventsDir(s, d), loM, hiM)
+        .filter(unix_micros(col("ts")) >= loM && unix_micros(col("ts")) < hiM)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+          min(unix_micros(col("ts"))).as("min_ts_us"),
+          max(unix_micros(col("ts"))).as("max_ts_us"))
+        .transform(graft.engine.Ops.reportSort("event_type"))
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-14 00:00:00'
+            GROUP BY 1 ORDER BY 1"""))
+
   // ------------- mm_decode_jpeg: full JPEG decode via javax.imageio
 
   private val decodeJpeg = Q(
@@ -162,5 +237,5 @@ object QueriesR13a {
                    CAST(sum((x + 1) * (y + 1) * v) AS BIGINT) AS pos_moment
             FROM px GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(s10, decodeJpeg)
+  val all: Seq[Q] = Seq(s10, s11, decodeJpeg)
 }
