@@ -190,6 +190,145 @@ object QueriesR13a {
               AND ts <  TIMESTAMP '2024-01-14 00:00:00'
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Session-memoized Z-ORDERED twin of the events table with a
+    * multi-column (v2) zone-map manifest: the `curate_zorder` Morton
+    * construction actually driving a layout. 11 bits of user_id
+    * interleaved with 11 bits of the event's position in the 30-day
+    * fixture window, clustered into 32 range buckets of the z curve,
+    * per-file min/max recorded for BOTH user_id and ts
+    * ([[graft.sources.ZoneMap.writeClustered]]). The bit widths cover
+    * every fixture scale (user_id < 2048); at production scale the user
+    * dimension would hash/pmod first, which only changes the key
+    * construction, not the prune machinery.
+    */
+  private val zorderMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private val evT0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+  private val evSpan = 30L * 86400L * 1000000L
+
+  private[graft] def zorderEventsDir(s: SparkSession, d: String): String = {
+    val key = new java.io.File(d).getCanonicalPath + "@" +
+      graft.engine.Fixtures.stampOf(d, "events")
+    def build(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_zorder_events_").toString
+      sys.addShutdownHook {
+        try {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+          }
+          rm(new java.io.File(dir))
+        } catch { case _: Throwable => }
+      }
+      // literal-unrolled interleave (the curate_zorder discipline: shift
+      // amounts are plan-time literals so the key stays in codegen)
+      val df0 = t(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("__ub", pmod(col("user_id"), lit(2048L)))
+        .withColumn("__tb", expr(
+          s"greatest(0L, least(2047L, ((ts_us - ${evT0}L) * 2048L) div ${evSpan}L))"))
+      val z = (0 until 11).foldLeft(lit(0L)) { (acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(shiftright(col("__ub"), i).bitwiseAND(lit(1L)), 2 * i))
+          .bitwiseOR(shiftleft(shiftright(col("__tb"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }
+      val df = df0.withColumn("z", z).drop("__ub", "__tb")
+      graft.sources.ZoneMap.writeClustered(
+        df, dir, "z", Seq("user_id", "ts_us"), 32)
+      dir
+    }
+    val dir = zorderMemo.computeIfAbsent(key, _ => build())
+    if (new java.io.File(dir).isDirectory) dir
+    else zorderMemo.synchronized {
+      val fresh = build(); zorderMemo.put(key, fresh); fresh
+    }
+  }
+
+  // ------------- s12_zorder_skip: 2-D zone-map prune over a z-ordered layout
+
+  private val s12 = Q(
+    "s12_zorder_skip",
+    "Multi-dimensional data skipping over a Z-ORDERED layout — the " +
+      "reason OPTIMIZE ZORDER exists: a single-key sort (s11) gives " +
+      "ONE column a tight per-file envelope, the Morton-interleaved " +
+      "layout gives BOTH user_id and ts partial envelopes, so the " +
+      "conjunctive box predicate (first quarter of users AND a 7-day " +
+      "window) prunes multiplicatively — each file must overlap BOTH " +
+      "ranges to be listed into the scan. File selection happens " +
+      "driver-side against the v2 manifest (ZoneMap.readPrunedMulti), " +
+      "and the USER bound itself derives from the manifest's recorded " +
+      "max — table-stats-driven planning with zero Spark jobs, the " +
+      "oracle mirroring it with a scalar subquery. ZoneMapSpec pins " +
+      "kept(2-D) <= min(kept(user), kept(ts)) < all files, plus the " +
+      "unknown-column and corrupt-manifest full-read fallbacks.",
+    (s, d) => {
+      val dir = zorderEventsDir(s, d)
+      val zones = graft.sources.ZoneMap.readManifest2(dir)
+        .getOrElse(sys.error(s"zone-map manifest missing under $dir"))
+      val maxU = zones.flatMap(_.bounds("user_id")._2).max
+      val uHi = (maxU + 1L) / 4L // exclusive: first quarter of the id space
+      val tLo = evT0 + 7L * 86400L * 1000000L  // 2024-01-08
+      val tHi = evT0 + 14L * 86400L * 1000000L // 2024-01-15
+      graft.sources.ZoneMap.readPrunedMulti(s, dir,
+          Seq(("user_id", 0L, uHi), ("ts_us", tLo, tHi)))
+        .filter(col("user_id") < uHi &&
+          col("ts_us") >= tLo && col("ts_us") < tHi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .transform(graft.engine.Ops.reportSort("event_type"))
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+            WHERE user_id < (SELECT (max(user_id) + 1) // 4 FROM events)
+              AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+            GROUP BY 1 ORDER BY 1"""))
+
+  // ------------- s13_meta_count: metadata-accelerated range count
+
+  private val s13 = Q(
+    "s13_meta_count",
+    "Metadata-accelerated range COUNT over the zone-mapped layout — " +
+      "the Delta answer-from-the-log move: files whose min/max " +
+      "envelope sits wholly inside the 10-day range contribute their " +
+      "manifest row count (minus recorded null keys) with NO read, and " +
+      "only the one-or-two boundary files that straddle an endpoint " +
+      "are scanned and row-filtered (ZoneMap.countRange; ZoneMapSpec " +
+      "pins the interior/boundary partition and that the scan holds " +
+      "ONLY straddling files). At 100 TB this answers a month-long " +
+      "count by reading two files instead of the month. A manifest " +
+      "that can't vouch (absent, corrupt, or pre-null-count legacy) " +
+      "falls back to the full scan — the same degrade-never-fail " +
+      "contract as the prune paths — and the oracle's plain count(*) " +
+      "grades that metadata arithmetic + boundary residual is EXACTLY " +
+      "the full-scan answer.",
+    (s, d) => {
+      val lo = evT0 + 5L * 86400L * 1000000L  // 2024-01-06
+      val hi = evT0 + 15L * 86400L * 1000000L // 2024-01-16
+      val dir = zonemapEventsDir(s, d)
+      graft.sources.ZoneMap.countRange(s, dir, lo, hi) match {
+        case Some((interior, boundary)) =>
+          boundary
+            .filter(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi)
+            .agg((count(lit(1)) + lit(interior)).as("n"))
+        case None =>
+          graft.sources.ZoneMap.readPruned(s, dir, lo, hi)
+            .filter(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi)
+            .agg(count(lit(1)).as("n"))
+      }
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-06 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-16 00:00:00'"""))
+
   // ------------- mm_decode_jpeg: full JPEG decode via javax.imageio
 
   private val decodeJpeg = Q(
@@ -237,5 +376,5 @@ object QueriesR13a {
                    CAST(sum((x + 1) * (y + 1) * v) AS BIGINT) AS pos_moment
             FROM px GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(s10, s11, decodeJpeg)
+  val all: Seq[Q] = Seq(s10, s11, s12, s13, decodeJpeg)
 }

@@ -27,12 +27,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * S3 (LIST + GET per file).
   *
   * Manifest format: `_zonemap.tsv`, one `fileName \t minMicros \t
-  * maxMicros \t rows` line per data file (tab-safe: part-file names are
-  * Spark-generated). Timestamps ride as epoch MICROS (`unix_micros`,
-  * exact — the parquet physical type), so replays are byte-stable and no
-  * timezone parse is involved. A file whose key column is entirely null
-  * records empty min/max and is dropped by every range predicate —
-  * correct, because a range predicate never matches null keys.
+  * maxMicros \t rows \t nullCount` line per data file (tab-safe:
+  * part-file names are Spark-generated; the reader also accepts the
+  * 4-field pre-null-count form, which only [[countRange]] refuses).
+  * Timestamps ride as epoch MICROS (`unix_micros`, exact — the parquet
+  * physical type), so replays are byte-stable and no timezone parse is
+  * involved. A file whose key column is entirely null records empty
+  * min/max and is dropped by every range predicate — correct, because a
+  * range predicate never matches null keys.
   *
   * Read path degrades, never fails: a missing or unparseable manifest
   * (or any line of it) falls back to reading every file, so the manifest
@@ -42,7 +44,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object ZoneMap {
 
   final case class Zone(file: String, minMicros: Option[Long],
-                        maxMicros: Option[Long], rows: Long)
+                        maxMicros: Option[Long], rows: Long,
+                        nulls: Option[Long] = None)
 
   private def schemaPath(dir: String) = Paths.get(dir, "_schema.json")
   private def manifestPath(dir: String) = Paths.get(dir, "_zonemap.tsv")
@@ -67,13 +70,16 @@ object ZoneMap {
       .groupBy(input_file_name().as("f"))
       .agg(min(unix_micros(col(key))).as("mn"),
         max(unix_micros(col(key))).as("mx"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        // null keys count toward rows but never match a range predicate;
+        // recording them is what lets countRange vouch for interior files
+        (count(lit(1)) - count(col(key))).as("nulls"))
       .collect() // ≤ buckets rows: the manifest IS driver-sized metadata
       .map { r =>
         val name = r.getString(0).split('/').last
         val mn = if (r.isNullAt(1)) "" else r.getLong(1).toString
         val mx = if (r.isNullAt(2)) "" else r.getLong(2).toString
-        s"$name\t$mn\t$mx\t${r.getLong(3)}"
+        s"$name\t$mn\t$mx\t${r.getLong(3)}\t${r.getLong(4)}"
       }
       .sorted
     Files.write(manifestPath(dir),
@@ -89,9 +95,10 @@ object ZoneMap {
         .split("\n").toSeq.filter(_.nonEmpty)
       Some(lines.map { ln =>
         val a = ln.split("\t", -1)
-        require(a.length == 4, s"bad zonemap line: $ln")
+        require(a.length == 4 || a.length == 5, s"bad zonemap line: $ln")
         def opt(s: String) = if (s.isEmpty) None else Some(s.toLong)
-        Zone(a(0), opt(a(1)), opt(a(2)), a(3).toLong)
+        Zone(a(0), opt(a(1)), opt(a(2)), a(3).toLong,
+          if (a.length == 5) Some(a(4).toLong) else None)
       })
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -120,13 +127,145 @@ object ZoneMap {
       case None => reader.parquet(dir)
       case Some(zones) =>
         val keep = zones.collect {
-          case Zone(f, Some(mn), Some(mx), _)
+          case Zone(f, Some(mn), Some(mx), _, _)
             if mx >= loMicros && mn < hiMicros => s"$dir/$f"
         }
         if (keep.isEmpty)
           // no overlapping file: an empty frame with the layout's schema
           reader.parquet(dir).limit(0)
         else reader.parquet(keep: _*)
+    }
+  }
+
+  // ------------------------------------------------- multi-column (v2)
+
+  /** v2 manifest: per-file min/max for SEVERAL long-typed columns at
+    * once — the stats shape Delta's OPTIMIZE ZORDER exists to make
+    * useful. A single-key range layout (v1 above) gives ONE dimension a
+    * tight per-file envelope; clustering by a Morton-interleaved z key
+    * (the `curate_zorder` construction) gives EVERY interleaved
+    * dimension a partial envelope, so a conjunction of range predicates
+    * prunes multiplicatively — the 2-D box that keeps 1/k of the files
+    * per dimension keeps ~1/k² overall, which no single-column sort can
+    * do. Format: `_zonemap2.tsv`, header `#cols \t c1 \t c2 ...`, then
+    * `file \t rows \t mn1 \t mx1 \t mn2 \t mx2 ...` (empty = all-null).
+    */
+  final case class ZoneN(file: String, rows: Long,
+                         bounds: Map[String, (Option[Long], Option[Long])])
+
+  private def manifest2Path(dir: String) = Paths.get(dir, "_zonemap2.tsv")
+
+  /** Cluster by an arbitrary expression (typically a z key already in
+    * `df`) and record per-file min/max for each of `stats` (long-typed)
+    * columns. Same cost shape as [[write]]: one metadata-sized stats job.
+    */
+  def writeClustered(df: DataFrame, dir: String, clusterBy: String,
+                     stats: Seq[String], buckets: Int): Unit = {
+    df.repartitionByRange(buckets, col(clusterBy))
+      .sortWithinPartitions(clusterBy)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    Files.write(schemaPath(dir),
+      df.schema.json.getBytes(StandardCharsets.UTF_8))
+    val aggs = count(lit(1)).as("n") +:
+      stats.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val zones = df.sparkSession.read.schema(df.schema).parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val cells = stats.indices.flatMap { i =>
+          val (mnI, mxI) = (2 + 2 * i, 3 + 2 * i)
+          Seq(if (r.isNullAt(mnI)) "" else r.getLong(mnI).toString,
+            if (r.isNullAt(mxI)) "" else r.getLong(mxI).toString)
+        }
+        (r.getString(0).split('/').last +: r.getLong(1).toString +: cells)
+          .mkString("\t")
+      }
+      .sorted
+    val header = ("#cols" +: stats).mkString("\t")
+    Files.write(manifest2Path(dir),
+      (header +: zones).mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Parse the v2 manifest; None = absent/corrupt → caller reads all. */
+  def readManifest2(dir: String): Option[Seq[ZoneN]] = {
+    val p = manifest2Path(dir)
+    if (!Files.isRegularFile(p)) return None
+    try {
+      val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty)
+      val head = lines.head.split("\t", -1)
+      require(head.headOption.contains("#cols") && head.length > 1,
+        "v2 manifest must start with a #cols header")
+      val cols = head.drop(1).toSeq
+      Some(lines.tail.map { ln =>
+        val a = ln.split("\t", -1)
+        require(a.length == 2 + 2 * cols.size, s"bad zonemap2 line: $ln")
+        def opt(s: String) = if (s.isEmpty) None else Some(s.toLong)
+        val bounds = cols.zipWithIndex.map { case (c, i) =>
+          c -> ((opt(a(2 + 2 * i)), opt(a(3 + 2 * i))))
+        }.toMap
+        ZoneN(a(0), a(1).toLong, bounds)
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Metadata-accelerated range COUNT — the Delta "answer from the
+    * transaction log" move: a file whose whole envelope sits inside
+    * `[lo, hi)` contributes `rows - nulls` from the manifest with NO
+    * read; only boundary files (envelope straddles an endpoint) are
+    * scanned and row-filtered. On a time-clustered 100 TB layout a
+    * month-long count touches two boundary files instead of the month.
+    * The null count is what makes interior arithmetic exact — a range
+    * predicate never matches null keys, but a file's `rows` includes
+    * them. Returns the driver-summed interior count and the boundary
+    * frame (empty when nothing straddles); None when the manifest
+    * can't vouch (absent, corrupt, or written before null counts were
+    * recorded) — the caller falls back to a full scan. All-null files
+    * (no envelope) contain no matching rows and contribute nothing.
+    */
+  def countRange(spark: SparkSession, dir: String,
+                 loMicros: Long, hiMicros: Long): Option[(Long, DataFrame)] =
+    readManifest(dir).flatMap { zones =>
+      if (zones.exists(_.nulls.isEmpty))
+        None // legacy manifest without null counts: can't vouch
+      else {
+        val (interior, boundary) = zones
+          .filter(z => z.minMicros.isDefined &&
+            z.maxMicros.get >= loMicros && z.minMicros.get < hiMicros)
+          .partition(z => z.minMicros.get >= loMicros && z.maxMicros.get < hiMicros)
+        val st = stampedSchema(dir)
+        def reader = st.fold(spark.read)(s => spark.read.schema(s))
+        val bdf =
+          if (boundary.isEmpty) reader.parquet(dir).limit(0)
+          else reader.parquet(boundary.map(z => s"$dir/${z.file}"): _*)
+        Some((interior.map(z => z.rows - z.nulls.get).sum, bdf))
+      }
+    }
+
+  /** Conjunctive multi-range prune: keep a file iff EVERY `[lo, hi)`
+    * predicate overlaps its recorded envelope. A predicate on a column
+    * the manifest doesn't carry disables pruning (full read) rather
+    * than wrongly skipping; so does a missing/corrupt manifest.
+    */
+  def readPrunedMulti(spark: SparkSession, dir: String,
+                      preds: Seq[(String, Long, Long)]): DataFrame = {
+    val st = stampedSchema(dir)
+    def reader = st.fold(spark.read)(s => spark.read.schema(s))
+    readManifest2(dir) match {
+      case Some(zones)
+        if preds.forall(p => zones.headOption.forall(_.bounds.contains(p._1))) =>
+        val keep = zones.collect {
+          case z if preds.forall { case (c, lo, hi) =>
+            z.bounds(c) match {
+              case (Some(mn), Some(mx)) => mx >= lo && mn < hi
+              case _ => false // all-null column: no value can match a range
+            }
+          } => s"$dir/${z.file}"
+        }
+        if (keep.isEmpty) reader.parquet(dir).limit(0)
+        else reader.parquet(keep: _*)
+      case _ => reader.parquet(dir)
     }
   }
 }

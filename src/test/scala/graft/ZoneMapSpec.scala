@@ -54,8 +54,8 @@ class ZoneMapSpec extends SparkSpec {
     val full = spark.read.parquet(dir).filter(
       unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi)
     assert(resid.count() === full.count())
-    assert(resid.agg(sum("event_id")).head.getLong(0) ===
-      full.agg(sum("event_id")).head.getLong(0))
+    assert(resid.agg(sum("event_id")).head().getLong(0) ===
+      full.agg(sum("event_id")).head().getLong(0))
   }
 
   test("readPruned: empty overlap yields an empty, well-typed frame") {
@@ -81,6 +81,125 @@ class ZoneMapSpec extends SparkSpec {
       assert(corrupt.inputFiles.length >= 25,
         "corrupt manifest must fall back to every file, not throw")
     } finally Files.move(bak, m, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ----------------------------------------- metadata-accelerated count
+
+  test("countRange: interior answered from the manifest, only straddlers read") {
+    val lo = micros("2024-01-06T00:00")
+    val hi = micros("2024-01-16T00:00")
+    val zones = ZoneMap.readManifest(dir).get
+    val overlap = zones.filter(z =>
+      z.maxMicros.get >= lo && z.minMicros.get < hi)
+    val interior = overlap.filter(z =>
+      z.minMicros.get >= lo && z.maxMicros.get < hi)
+    val (metaN, boundary) = ZoneMap.countRange(spark, dir, lo, hi)
+      .getOrElse(fail("manifest with null counts must vouch"))
+    assert(metaN === interior.map(_.rows).sum,
+      "fixture ts is null-free, so interior = plain row sums")
+    assert(boundary.inputFiles.length === overlap.size - interior.size,
+      "the scan must hold exactly the straddling files")
+    assert(interior.nonEmpty,
+      "a 10-day range over ~1-day files must have interior files")
+    val boundaryN = boundary.filter(
+      unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi).count()
+    val flatN = graft.engine.Engine.table(spark, sf, "events").filter(
+      unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi).count()
+    assert(metaN + boundaryN === flatN)
+  }
+
+  test("countRange refuses legacy manifests without null counts") {
+    val m = Paths.get(dir, "_zonemap.tsv")
+    val bak = Paths.get(dir, "_zonemap.tsv.bak")
+    val legacy = new String(Files.readAllBytes(m)).split("\n")
+      .map(_.split("\t", -1).take(4).mkString("\t")).mkString("\n")
+    Files.move(m, bak, StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.write(m, legacy.getBytes)
+      // prunes still work on the 4-field form…
+      assert(ZoneMap.readManifest(dir).isDefined)
+      // …but metadata counting refuses rather than risk null over-count
+      assert(ZoneMap.countRange(spark, dir,
+        micros("2024-01-06T00:00"), micros("2024-01-16T00:00")).isEmpty)
+    } finally Files.move(bak, m, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("graded query: s13 result matches the flat-table count") {
+    val got = Queries.byName("s13_meta_count").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val flatN = graft.engine.Engine.table(spark, sf, "events").filter(
+      unix_micros(col("ts")) >= micros("2024-01-06T00:00") &&
+        unix_micros(col("ts")) < micros("2024-01-16T00:00")).count()
+    assert(got === Seq(Seq(flatN)))
+  }
+
+  // ---------------------------------------------- multi-column (v2)
+
+  private lazy val zdir = QueriesR13a.zorderEventsDir(spark, sf)
+  private def t0 = micros("2024-01-01T00:00")
+  private def day(n: Int) = t0 + n.toLong * 86400L * 1000000L
+
+  test("v2 manifest: both stats columns recorded, rows sum to the table") {
+    val zones = ZoneMap.readManifest2(zdir).getOrElse(fail("no v2 manifest"))
+    assert(zones.map(_.rows).sum === 1000)
+    assert(zones.forall(z => z.bounds.keySet === Set("user_id", "ts_us")))
+    assert(zones.forall(z => z.bounds.values.forall {
+      case (mn, mx) => mn.isDefined && mx.isDefined && mn.get <= mx.get
+    }))
+  }
+
+  test("2-D prune: conjunctive box keeps <= each single-dim prune < all") {
+    val zones = ZoneMap.readManifest2(zdir).get
+    val maxU = zones.flatMap(_.bounds("user_id")._2).max
+    val uPred = ("user_id", 0L, (maxU + 1) / 4)
+    val tPred = ("ts_us", day(7), day(14))
+    def kept(preds: Seq[(String, Long, Long)]) = zones.count(z =>
+      preds.forall { case (c, lo, hi) =>
+        val (mn, mx) = z.bounds(c); mx.get >= lo && mn.get < hi
+      })
+    val (both, uOnly, tOnly) =
+      (kept(Seq(uPred, tPred)), kept(Seq(uPred)), kept(Seq(tPred)))
+    assert(both <= math.min(uOnly, tOnly))
+    assert(both < zones.size,
+      s"2-D box must skip files: kept $both of ${zones.size} " +
+        s"(user-only $uOnly, ts-only $tOnly)")
+    // the scan must contain exactly the manifest-selected subset
+    val pruned = ZoneMap.readPrunedMulti(spark, zdir, Seq(uPred, tPred))
+    assert(pruned.inputFiles.length === both)
+  }
+
+  test("v2 prune disables itself on unknown columns and corrupt manifests") {
+    val total = ZoneMap.readManifest2(zdir).get.size
+    val odd = ZoneMap.readPrunedMulti(spark, zdir,
+      Seq(("no_such_col", 0L, 1L)))
+    assert(odd.inputFiles.length === total,
+      "a predicate on an un-manifested column must read everything")
+    val m = Paths.get(zdir, "_zonemap2.tsv")
+    val bak = Paths.get(zdir, "_zonemap2.tsv.bak")
+    Files.move(m, bak, StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.write(m, "#cols\tuser_id\nnot-enough-fields".getBytes)
+      val corrupt = ZoneMap.readPrunedMulti(spark, zdir,
+        Seq(("user_id", 0L, 5L)))
+      assert(corrupt.inputFiles.length === total)
+    } finally Files.move(bak, m, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("graded query: s12 result matches the flat-table computation") {
+    val got = Queries.byName("s12_zorder_skip").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val ev = graft.engine.Engine.table(spark, sf, "events")
+    val maxU = ev.agg(max("user_id")).head().getLong(0)
+    val want = ev
+      .filter(col("user_id") < (maxU + 1) / 4 &&
+        unix_micros(col("ts")) >= day(7) && unix_micros(col("ts")) < day(14))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
   }
 
   test("graded query: s11 result matches the flat-table computation") {
