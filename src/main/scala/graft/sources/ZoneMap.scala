@@ -137,6 +137,122 @@ object ZoneMap {
     }
   }
 
+  // ------------------------------------------- lake maintenance (v1)
+
+  /** Incremental append: new data lands as new files and the manifest
+    * gains their lines — the existing files and their stats are never
+    * touched (the Delta add-file commit shape). New files may overlap
+    * existing key ranges; zone maps don't require disjointness, overlap
+    * just costs prune selectivity until [[compact]] restores clustering.
+    * The stats job reads ONLY the appended files.
+    */
+  def append(df: DataFrame, dir: String, key: String, buckets: Int): Unit = {
+    def files(): Set[String] = Option(new java.io.File(dir).listFiles())
+      .fold(Set.empty[String])(_.collect {
+        case f if f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet") => f.getName
+      }.toSet)
+    val before = files()
+    df.repartitionByRange(buckets, col(key))
+      .sortWithinPartitions(key)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    val added = (files() -- before).toSeq.sorted
+    if (added.isEmpty) return
+    val newLines = df.sparkSession.read
+      .schema(df.schema).parquet(added.map(f => s"$dir/$f"): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(unix_micros(col(key))).as("mn"),
+        max(unix_micros(col(key))).as("mx"),
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col(key))).as("nulls"))
+      .collect()
+      .map { r =>
+        val mn = if (r.isNullAt(1)) "" else r.getLong(1).toString
+        val mx = if (r.isNullAt(2)) "" else r.getLong(2).toString
+        s"${r.getString(0).split('/').last}\t$mn\t$mx\t${r.getLong(3)}\t${r.getLong(4)}"
+      }
+      .sorted
+    val merged = (readManifest(dir).fold(Seq.empty[String])(_.map(z =>
+      Seq(z.file,
+        z.minMicros.fold("")(_.toString), z.maxMicros.fold("")(_.toString),
+        z.rows.toString, z.nulls.fold("")(_.toString)).mkString("\t")))
+      ++ newLines).sorted
+    Files.write(manifestPath(dir),
+      merged.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** OPTIMIZE-style compaction: adjacent small files (manifest order by
+    * envelope min) are greedily grouped up to `targetRows` and each
+    * group rewritten as ONE key-sorted file. The new manifest line is
+    * pure arithmetic over the group's lines — min of mins, max of maxes,
+    * sums — so compaction costs one read+write per group and ZERO stats
+    * jobs (the Delta OPTIMIZE commit shape: data files change, the log
+    * math is exact). Files already at or above target, or with no
+    * neighbor to merge with, are left untouched. Returns the number of
+    * files removed by the pass (0 = layout already compact).
+    */
+  def compact(spark: SparkSession, dir: String, key: String,
+              targetRows: Long): Int = {
+    val zones = readManifest(dir)
+      .getOrElse(throw new IllegalStateException(
+        s"compact needs a readable manifest under $dir"))
+    // group greedily in envelope order; all-null files sort first
+    val ordered = zones.sortBy(z => (z.minMicros.getOrElse(Long.MinValue), z.file))
+    val groups = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Zone])
+    for (z <- ordered) {
+      val cur = groups.last
+      if (cur.nonEmpty && cur.map(_.rows).sum + z.rows > targetRows)
+        groups += scala.collection.mutable.ArrayBuffer(z)
+      else cur += z
+    }
+    val st = stampedSchema(dir)
+    def reader = st.fold(spark.read)(s => spark.read.schema(s))
+    var removed = 0
+    val newManifest = groups.filter(_.nonEmpty).zipWithIndex.map {
+      case (g, _) if g.size == 1 => g.head
+      case (g, i) =>
+        val tmp = Files.createTempDirectory("graft_compact_").toString
+        try {
+          reader.parquet(g.toSeq.map(z => s"$dir/${z.file}"): _*)
+            .coalesce(1).sortWithinPartitions(key)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+          val part = Option(new java.io.File(tmp).listFiles())
+            .flatMap(_.find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")))
+            .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+          // name carries the pass ordinal: no collision with Spark's
+          // UUID-named parts or an earlier compaction's outputs
+          val name = s"part-compacted-$i-${part.getName.stripPrefix("part-")}"
+          Files.move(part.toPath, Paths.get(dir, name))
+          g.foreach(z => Files.deleteIfExists(Paths.get(dir, z.file)))
+          removed += g.size - 1
+          Zone(name,
+            g.flatMap(_.minMicros).reduceOption(_ min _),
+            g.flatMap(_.maxMicros).reduceOption(_ max _),
+            g.map(_.rows).sum,
+            if (g.forall(_.nulls.isDefined)) Some(g.map(_.nulls.get).sum)
+            else None)
+        } finally deleteRecursive(Paths.get(tmp))
+    }
+    val lines = newManifest.map(z =>
+      Seq(z.file,
+        z.minMicros.fold("")(_.toString), z.maxMicros.fold("")(_.toString),
+        z.rows.toString, z.nulls.fold("")(_.toString)).mkString("\t"))
+      .sorted
+    Files.write(manifestPath(dir),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    removed
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+
   // ------------------------------------------------- multi-column (v2)
 
   /** v2 manifest: per-file min/max for SEVERAL long-typed columns at

@@ -133,6 +133,83 @@ class ZoneMapSpec extends SparkSpec {
     assert(got === Seq(Seq(flatN)))
   }
 
+  // -------------------------------------------------- lake maintenance
+
+  test("compact: fragments merge, manifest stays pure arithmetic, prune intact") {
+    val cdir = QueriesR13a.compactedEventsDir(spark, sf)
+    val zones = ZoneMap.readManifest(cdir).getOrElse(fail("no manifest"))
+    val parts = new java.io.File(cdir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(zones.size === parts, "manifest must track the compacted files")
+    assert(zones.size <= 12,
+      s"64 fragments must compact to ~9 target files, got ${zones.size}")
+    assert(zones.map(_.rows).sum === 1000, "no row lost or duplicated")
+    assert(zones.forall(_.nulls.contains(0L)))
+    // manifest arithmetic (no stats job) must agree with the real files
+    val lo = micros("2024-01-05T00:00"); val hi = micros("2024-01-20T00:00")
+    for (z <- zones) {
+      val actual = spark.read.parquet(s"$cdir/${z.file}")
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+          count(lit(1)))
+        .head()
+      assert(z.minMicros.get === actual.getLong(0), s"${z.file} min drifted")
+      assert(z.maxMicros.get === actual.getLong(1), s"${z.file} max drifted")
+      assert(z.rows === actual.getLong(2), s"${z.file} rows drifted")
+    }
+    // countRange still exact on the compacted layout
+    val (metaN, bdf) = ZoneMap.countRange(spark, cdir, lo, hi).get
+    val n = metaN + bdf.filter(
+      unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi).count()
+    val flat = graft.engine.Engine.table(spark, sf, "events").filter(
+      unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi).count()
+    assert(n === flat)
+  }
+
+  test("append: new files extend the manifest, old lines untouched") {
+    val adir = java.nio.file.Files
+      .createTempDirectory("graft_zm_append_").toString
+    try {
+      val ev = graft.engine.Engine.table(spark, sf, "events")
+      val cut = micros("2024-01-16T00:00")
+      ZoneMap.write(ev.filter(unix_micros(col("ts")) < cut), adir, "ts", 8)
+      val before = ZoneMap.readManifest(adir).get
+      ZoneMap.append(ev.filter(unix_micros(col("ts")) >= cut), adir, "ts", 4)
+      val after = ZoneMap.readManifest(adir).get
+      assert(after.map(_.file).toSet.size === after.size)
+      assert(before.toSet.subsetOf(after.toSet),
+        "append must not rewrite existing manifest lines")
+      assert(after.map(_.rows).sum === 1000)
+      // the appended half is found by a range read over its span
+      val lateN = ZoneMap.readPruned(spark, adir, cut, Long.MaxValue)
+        .filter(unix_micros(col("ts")) >= cut).count()
+      assert(lateN === ev.filter(unix_micros(col("ts")) >= cut).count())
+      // and a compact pass over the mixed layout keeps everything
+      ZoneMap.compact(spark, adir, "ts", 300L)
+      val compacted = ZoneMap.readManifest(adir).get
+      assert(compacted.map(_.rows).sum === 1000)
+      assert(compacted.size < after.size)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(adir))
+    }
+  }
+
+  test("graded query: s14 result matches the flat-table computation") {
+    val got = Queries.byName("s14_compacted_scan").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val lo = micros("2024-01-05T00:00"); val hi = micros("2024-01-20T00:00")
+    val want = graft.engine.Engine.table(spark, sf, "events")
+      .filter(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy("event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
   // ---------------------------------------------- multi-column (v2)
 
   private lazy val zdir = QueriesR13a.zorderEventsDir(spark, sf)
