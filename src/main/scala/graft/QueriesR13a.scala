@@ -403,6 +403,87 @@ object QueriesR13a {
               AND ts <  TIMESTAMP '2024-01-20 00:00:00'
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Session-memoized VERSIONED lake: days 1–15 written and committed
+    * as snapshot v1, days 16–30 appended and committed as v2, then the
+    * whole layout compacted and committed as v3 — with snapshots
+    * present, [[graft.sources.ZoneMap.compact]] retains the superseded
+    * files on disk, so v1 and v2 stay readable until a vacuum. The
+    * graded read is AS OF v1.
+    */
+  private val versionMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] val evCutV1: Long = evT0 + 15L * 86400L * 1000000L // 2024-01-16
+
+  private[graft] def versionedEventsDir(s: SparkSession, d: String): String = {
+    val key = new java.io.File(d).getCanonicalPath + "@" +
+      graft.engine.Fixtures.stampOf(d, "events")
+    def build(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_versioned_events_").toString
+      sys.addShutdownHook {
+        try {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+          }
+          rm(new java.io.File(dir))
+        } catch { case _: Throwable => }
+      }
+      import graft.sources.ZoneMap
+      val ev = t(s, d, "events")
+      ZoneMap.write(ev.filter(unix_micros(col("ts")) < evCutV1),
+        dir, "ts", 16)
+      ZoneMap.commit(dir) // v1: days 1-15
+      ZoneMap.append(ev.filter(unix_micros(col("ts")) >= evCutV1),
+        dir, "ts", 8)
+      ZoneMap.commit(dir) // v2: full table
+      val total = ZoneMap.readManifest(dir).get.map(_.rows).sum
+      ZoneMap.compact(s, dir, "ts", math.max(1L, total / 6L))
+      ZoneMap.commit(dir) // v3: compacted full table
+      dir
+    }
+    val dir = versionMemo.computeIfAbsent(key, _ => build())
+    if (new java.io.File(dir).isDirectory) dir
+    else versionMemo.synchronized {
+      val fresh = build(); versionMemo.put(key, fresh); fresh
+    }
+  }
+
+  // ------------- s15_time_travel: AS OF read against snapshot v1
+
+  private val s15 = Q(
+    "s15_time_travel",
+    "Time travel over the versioned lake — the Delta AS OF contract: " +
+      "days 1-15 committed as snapshot v1, days 16-30 appended (v2), " +
+      "the layout compacted (v3, superseded files RETAINED on disk " +
+      "because snapshots reference them — vacuum is the only " +
+      "destroyer, and the full-read fallback refuses a versioned " +
+      "layout rather than double-count retained files). The graded " +
+      "frame reads AS OF v1 — the exact pre-append file set resolved " +
+      "from the frozen manifest, zero jobs — and the oracle replays " +
+      "the same cut as a WHERE on the flat table, grading that " +
+      "snapshot isolation survived both the append and the compaction " +
+      "that rewrote the current manifest twice. ZoneMapSpec pins the " +
+      "v1/v2/v3 file sets, post-vacuum None for expired versions, and " +
+      "retained-file survival across compact.",
+    (s, d) => {
+      graft.sources.ZoneMap
+        .readAtVersion(s, versionedEventsDir(s, d), 1)
+        .getOrElse(sys.error("snapshot v1 must be readable"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+          max(unix_micros(col("ts"))).as("max_ts_us"))
+        .transform(graft.engine.Ops.reportSort("event_type"))
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+            GROUP BY 1 ORDER BY 1"""))
+
   // ------------- mm_decode_jpeg: full JPEG decode via javax.imageio
 
   private val decodeJpeg = Q(
@@ -450,5 +531,5 @@ object QueriesR13a {
                    CAST(sum((x + 1) * (y + 1) * v) AS BIGINT) AS pos_moment
             FROM px GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(s10, s11, s12, s13, s14, decodeJpeg)
+  val all: Seq[Q] = Seq(s10, s11, s12, s13, s14, s15, decodeJpeg)
 }

@@ -119,12 +119,26 @@ object ZoneMap {
     * row filter (boundary files straddle the range). Falls back to the
     * full directory when the manifest is missing/corrupt.
     */
+  /** The degrade path behind every prune: a full directory read. Safe
+    * ONLY while the directory listing is the truth — once snapshots
+    * exist, [[compact]] retains superseded files on disk and a raw
+    * listing would double-count them, so a versioned layout whose
+    * current manifest is unreadable must FAIL, not guess.
+    */
+  private def fullRead(spark: SparkSession, dir: String): DataFrame = {
+    if (versions(dir).nonEmpty)
+      throw new IllegalStateException(
+        s"versioned layout under $dir has no readable current manifest; " +
+          "a directory listing would include retained snapshot files")
+    stampedSchema(dir).fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
+  }
+
   def readPruned(spark: SparkSession, dir: String,
                  loMicros: Long, hiMicros: Long): DataFrame = {
     val st = stampedSchema(dir)
     def reader = st.fold(spark.read)(s => spark.read.schema(s))
     readManifest(dir) match {
-      case None => reader.parquet(dir)
+      case None => fullRead(spark, dir)
       case Some(zones) =>
         val keep = zones.collect {
           case Zone(f, Some(mn), Some(mx), _, _)
@@ -172,10 +186,14 @@ object ZoneMap {
         s"${r.getString(0).split('/').last}\t$mn\t$mx\t${r.getLong(3)}\t${r.getLong(4)}"
       }
       .sorted
-    val merged = (readManifest(dir).fold(Seq.empty[String])(_.map(z =>
+    val existing = readManifest(dir).getOrElse(
+      throw new IllegalStateException(
+        s"append needs a readable manifest under $dir — writing one " +
+          "with only the new files would orphan every existing file"))
+    val merged = (existing.map(z =>
       Seq(z.file,
         z.minMicros.fold("")(_.toString), z.maxMicros.fold("")(_.toString),
-        z.rows.toString, z.nulls.fold("")(_.toString)).mkString("\t")))
+        z.rows.toString, z.nulls.fold("")(_.toString)).mkString("\t"))
       ++ newLines).sorted
     Files.write(manifestPath(dir),
       merged.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -196,6 +214,10 @@ object ZoneMap {
     val zones = readManifest(dir)
       .getOrElse(throw new IllegalStateException(
         s"compact needs a readable manifest under $dir"))
+    // time-travel retention: once any snapshot exists, superseded files
+    // leave the CURRENT manifest but stay on disk for the snapshots that
+    // still reference them — vacuum() is the only destroyer
+    val retain = versions(dir).nonEmpty
     // group greedily in envelope order; all-null files sort first
     val ordered = zones.sortBy(z => (z.minMicros.getOrElse(Long.MinValue), z.file))
     val groups = scala.collection.mutable.ArrayBuffer(
@@ -225,7 +247,8 @@ object ZoneMap {
           // UUID-named parts or an earlier compaction's outputs
           val name = s"part-compacted-$i-${part.getName.stripPrefix("part-")}"
           Files.move(part.toPath, Paths.get(dir, name))
-          g.foreach(z => Files.deleteIfExists(Paths.get(dir, z.file)))
+          if (!retain)
+            g.foreach(z => Files.deleteIfExists(Paths.get(dir, z.file)))
           removed += g.size - 1
           Zone(name,
             g.flatMap(_.minMicros).reduceOption(_ min _),
@@ -252,6 +275,88 @@ object ZoneMap {
         .forEach(f => Files.delete(f))
       finally s.close()
     }
+
+  // --------------------------------------- snapshots / time travel
+
+  /** Snapshot versioning over the manifest — the Delta log's time-travel
+    * contract in one file per version: [[commit]] freezes the CURRENT
+    * manifest as `_zonemap.v<N>.tsv`; a frozen version stays readable as
+    * long as every data file it references still exists, which is why
+    * [[compact]] leaves superseded files on disk once any snapshot
+    * exists (they left the current manifest, not the log) and [[vacuum]]
+    * is the only destroyer: it keeps the files referenced by the last
+    * `keepVersions` snapshots plus current, deletes the rest, and drops
+    * the expired snapshot manifests. Reading a vacuumed-away version
+    * returns None — the caller decides whether that's an error, exactly
+    * Delta's VersionNotFound.
+    */
+  private val versionRe = """_zonemap\.v(\d+)\.tsv""".r
+
+  def versions(dir: String): Seq[Int] =
+    Option(new java.io.File(dir).listFiles())
+      .fold(Seq.empty[Int])(_.toSeq.flatMap(f => f.getName match {
+        case versionRe(n) => Some(n.toInt)
+        case _ => None
+      })).sorted
+
+  /** Freeze the current manifest as the next numbered snapshot. */
+  def commit(dir: String): Int = {
+    val v = versions(dir).lastOption.getOrElse(0) + 1
+    Files.copy(manifestPath(dir), Paths.get(dir, s"_zonemap.v$v.tsv"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  private def manifestAt(dir: String, v: Int): Option[Seq[Zone]] = {
+    val p = Paths.get(dir, s"_zonemap.v$v.tsv")
+    if (!Files.isRegularFile(p)) None
+    else try {
+      val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty)
+      Some(lines.map { ln =>
+        val a = ln.split("\t", -1)
+        require(a.length == 4 || a.length == 5, s"bad zonemap line: $ln")
+        def opt(s: String) = if (s.isEmpty) None else Some(s.toLong)
+        Zone(a(0), opt(a(1)), opt(a(2)), a(3).toLong,
+          if (a.length == 5) Some(a(4).toLong) else None)
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Read the table AS OF snapshot `v`. None when the snapshot doesn't
+    * exist or any of its data files has been vacuumed away.
+    */
+  def readAtVersion(spark: SparkSession, dir: String, v: Int): Option[DataFrame] =
+    manifestAt(dir, v).flatMap { zones =>
+      val paths = zones.map(z => s"$dir/${z.file}")
+      if (!paths.forall(p => Files.isRegularFile(Paths.get(p)))) None
+      else {
+        val st = stampedSchema(dir)
+        def reader = st.fold(spark.read)(s => spark.read.schema(s))
+        if (paths.isEmpty) Some(reader.parquet(dir).limit(0))
+        else Some(reader.parquet(paths: _*))
+      }
+    }
+
+  /** Delete data files referenced by NEITHER the current manifest NOR
+    * the newest `keepVersions` snapshots, and drop the expired snapshot
+    * manifests. Returns the number of data files deleted.
+    */
+  def vacuum(dir: String, keepVersions: Int): Int = {
+    val keepVs = versions(dir).takeRight(math.max(0, keepVersions))
+    val live: Set[String] =
+      (readManifest(dir).fold(Seq.empty[Zone])(identity) ++
+        keepVs.flatMap(v => manifestAt(dir, v).getOrElse(Nil)))
+        .map(_.file).toSet
+    val files = Option(new java.io.File(dir).listFiles())
+      .fold(Seq.empty[java.io.File])(_.toSeq)
+    val dead = files.filter(f => f.getName.startsWith("part-") &&
+      f.getName.endsWith(".parquet") && !live.contains(f.getName))
+    dead.foreach(f => Files.deleteIfExists(f.toPath))
+    for (v <- versions(dir) if !keepVs.contains(v))
+      Files.deleteIfExists(Paths.get(dir, s"_zonemap.v$v.tsv"))
+    dead.size
+  }
 
   // ------------------------------------------------- multi-column (v2)
 
@@ -381,7 +486,7 @@ object ZoneMap {
         }
         if (keep.isEmpty) reader.parquet(dir).limit(0)
         else reader.parquet(keep: _*)
-      case _ => reader.parquet(dir)
+      case _ => fullRead(spark, dir)
     }
   }
 }

@@ -210,6 +210,95 @@ class ZoneMapSpec extends SparkSpec {
     assert(got === want)
   }
 
+  // --------------------------------------- snapshots / time travel
+
+  test("time travel: v1 pre-append, v2 full, v3 compacted — all readable") {
+    val vdir = QueriesR13a.versionedEventsDir(spark, sf)
+    assert(ZoneMap.versions(vdir) === Seq(1, 2, 3))
+    val cut = QueriesR13a.evCutV1
+    val v1 = ZoneMap.readAtVersion(spark, vdir, 1).getOrElse(fail("v1 gone"))
+    val v2 = ZoneMap.readAtVersion(spark, vdir, 2).getOrElse(fail("v2 gone"))
+    val v3 = ZoneMap.readAtVersion(spark, vdir, 3).getOrElse(fail("v3 gone"))
+    val early = graft.engine.Engine.table(spark, sf, "events")
+      .filter(unix_micros(col("ts")) < cut).count()
+    assert(v1.count() === early, "v1 must be exactly the pre-append rows")
+    assert(v1.agg(max(unix_micros(col("ts")))).head().getLong(0) < cut)
+    assert(v2.count() === 1000L)
+    assert(v3.count() === 1000L)
+    // compaction changed the FILE set but not the data
+    assert(v3.inputFiles.length < v2.inputFiles.length)
+    assert(v2.agg(sum("event_id")).head().getLong(0) ===
+      v3.agg(sum("event_id")).head().getLong(0))
+    assert(ZoneMap.readAtVersion(spark, vdir, 9).isEmpty, "unknown version")
+  }
+
+  test("vacuum: expired snapshots lose their files, kept ones survive") {
+    // a scratch copy — the memoized layout must stay intact for s15
+    val src = QueriesR13a.versionedEventsDir(spark, sf)
+    val vdir = java.nio.file.Files
+      .createTempDirectory("graft_zm_vacuum_").toString
+    try {
+      new java.io.File(src).listFiles().foreach(f =>
+        Files.copy(f.toPath, Paths.get(vdir, f.getName)))
+      val deleted = ZoneMap.vacuum(vdir, keepVersions = 1)
+      assert(deleted > 0, "the pre-compaction fragments must be reclaimed")
+      assert(ZoneMap.versions(vdir) === Seq(3))
+      assert(ZoneMap.readAtVersion(spark, vdir, 1).isEmpty,
+        "a vacuumed-away snapshot must return None, not wrong data")
+      val v3 = ZoneMap.readAtVersion(spark, vdir, 3)
+        .getOrElse(fail("kept snapshot must survive vacuum"))
+      assert(v3.count() === 1000L)
+      // current manifest still serves prunes after the vacuum
+      val lo = micros("2024-01-10T00:00"); val hi = micros("2024-01-14T00:00")
+      val n = ZoneMap.readPruned(spark, vdir, lo, hi)
+        .filter(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi)
+        .count()
+      val flat = graft.engine.Engine.table(spark, sf, "events").filter(
+        unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi).count()
+      assert(n === flat)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(vdir))
+    }
+  }
+
+  test("versioned layout refuses the raw-directory fallback read") {
+    val src = QueriesR13a.versionedEventsDir(spark, sf)
+    val vdir = java.nio.file.Files
+      .createTempDirectory("graft_zm_refuse_").toString
+    try {
+      new java.io.File(src).listFiles().foreach(f =>
+        Files.copy(f.toPath, Paths.get(vdir, f.getName)))
+      Files.delete(Paths.get(vdir, "_zonemap.tsv"))
+      // retained snapshot files make a directory listing a lie: the
+      // degrade path must fail loudly instead of double-counting
+      intercept[IllegalStateException] {
+        ZoneMap.readPruned(spark, vdir, 0L, Long.MaxValue)
+      }
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(vdir))
+    }
+  }
+
+  test("graded query: s15 result matches the flat-table cut") {
+    val got = Queries.byName("s15_time_travel").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.engine.Engine.table(spark, sf, "events")
+      .filter(unix_micros(col("ts")) < QueriesR13a.evCutV1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+      .orderBy("event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
   // ---------------------------------------------- multi-column (v2)
 
   private lazy val zdir = QueriesR13a.zorderEventsDir(spark, sf)
