@@ -259,6 +259,42 @@ object Streaming {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** Streaming ingest into a zone-mapped lake — the Auto Loader → Delta
+    * pattern: every micro-batch lands as new range-clustered files PLUS
+    * manifest lines ([[graft.sources.ZoneMap.append]], an add-file
+    * commit per batch; the first batch bootstraps the layout with
+    * [[graft.sources.ZoneMap.write]]), so the lake is prunable and
+    * metadata-countable the moment a batch commits — no nightly stats
+    * rebuild between ingest and query. Small per-batch files are the
+    * expected cost; [[graft.sources.ZoneMap.compact]] is the matching
+    * maintenance pass (s14). Batch replays after a crash re-append —
+    * the same at-least-once contract as any foreachBatch file sink —
+    * so production pairs this with the checkpointed batch id in the
+    * file name or a dedup on read; the spec pins the happy path and
+    * the manifest/file agreement per batch.
+    */
+  def lakeIngestStream(events: DataFrame, lakeDir: String,
+                       checkpoint: String, key: String = "ts",
+                       buckets: Int = 4,
+                       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // bootstrap on manifest-file ABSENCE, not parse failure — a
+        // corrupt manifest must make append fail loudly, never trigger
+        // a bootstrapping Overwrite of data already on disk
+        val bootstrapped = java.nio.file.Files.isRegularFile(
+          java.nio.file.Paths.get(lakeDir, "_zonemap.tsv"))
+        if (batch.isEmpty) ()
+        else if (!bootstrapped)
+          graft.sources.ZoneMap.write(batch, lakeDir, key, buckets)
+        else
+          graft.sources.ZoneMap.append(batch, lakeDir, key, buckets)
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** File-source streaming read of an events directory with the batch
     * schema — the deployment shape (`readStream` → transform →
     * `writeStream` with checkpointing).

@@ -299,6 +299,55 @@ class ZoneMapSpec extends SparkSpec {
     assert(got === want)
   }
 
+  // ------------------------------------------- streaming lake ingest
+
+  test("lakeIngestStream: each micro-batch is an add-file commit, lake stays queryable") {
+    import graft.streaming.Streaming
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, minute: Int): Streaming.Event =
+      Streaming.Event(id, java.sql.Timestamp.valueOf(
+        f"2024-01-01 00:$minute%02d:00"), id % 3, "click", id.toDouble)
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft_lake_ingest_").toString + "/tbl"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_lake_ckpt_").toString
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.lakeIngestStream(mem.toDF(), lake, ckpt, buckets = 2)
+    try {
+      mem.addData((1L to 20L).map(i => ev(i, i.toInt)): _*)
+      q.processAllAvailable()
+      val after1 = ZoneMap.readManifest(lake).getOrElse(fail("no manifest"))
+      assert(after1.map(_.rows).sum === 20)
+      mem.addData((21L to 30L).map(i => ev(i, i.toInt)): _*)
+      q.processAllAvailable()
+      val after2 = ZoneMap.readManifest(lake).get
+      assert(after2.map(_.rows).sum === 30)
+      assert(after1.toSet.subsetOf(after2.toSet),
+        "batch 2 must be an add-file commit, not a rewrite")
+      // prunable the moment the batch commits: minutes [10, 25) span
+      // both batches' files
+      def us(min: Int) = java.time.LocalDateTime.of(2024, 1, 1, 0, min)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      val pruned = ZoneMap.readPruned(spark, lake, us(10), us(25))
+      assert(pruned.inputFiles.length < after2.size)
+      assert(pruned.filter(unix_micros(col("ts")) >= us(10) &&
+        unix_micros(col("ts")) < us(25)).count() === 15)
+      // and metadata-countable across the batch boundary
+      val (metaN, bdf) = ZoneMap.countRange(spark, lake, us(10), us(25)).get
+      val n = metaN + bdf.filter(unix_micros(col("ts")) >= us(10) &&
+        unix_micros(col("ts")) < us(25)).count()
+      assert(n === 15)
+    } finally {
+      q.stop()
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(lake).getParentFile); rm(new java.io.File(ckpt))
+    }
+  }
+
   // ---------------------------------------------- multi-column (v2)
 
   private lazy val zdir = QueriesR13a.zorderEventsDir(spark, sf)
