@@ -64,31 +64,20 @@ object ZoneMap {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
     Files.write(schemaPath(dir),
       df.schema.json.getBytes(StandardCharsets.UTF_8))
-    val spark = df.sparkSession
-    val st = df.schema
-    val zones = spark.read.schema(st).parquet(dir)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(unix_micros(col(key))).as("mn"),
-        max(unix_micros(col(key))).as("mx"),
-        count(lit(1)).as("n"),
-        // null keys count toward rows but never match a range predicate;
-        // recording them is what lets countRange vouch for interior files
-        (count(lit(1)) - count(col(key))).as("nulls"))
-      .collect() // ≤ buckets rows: the manifest IS driver-sized metadata
-      .map { r =>
-        val name = r.getString(0).split('/').last
-        val mn = if (r.isNullAt(1)) "" else r.getLong(1).toString
-        val mx = if (r.isNullAt(2)) "" else r.getLong(2).toString
-        s"$name\t$mn\t$mx\t${r.getLong(3)}\t${r.getLong(4)}"
-      }
-      .sorted
+    val zones = statsLines(df.sparkSession, df.schema, Seq(dir), key)
     Files.write(manifestPath(dir),
       zones.mkString("\n").getBytes(StandardCharsets.UTF_8))
   }
 
-  /** Parse the manifest; None = absent/corrupt → caller reads all files. */
-  def readManifest(dir: String): Option[Seq[Zone]] = {
-    val p = manifestPath(dir)
+  /** One v1 manifest line per zone — the single serialization both
+    * [[append]] and [[compact]] write, so the two can't drift.
+    */
+  private def zoneLine(z: Zone): String =
+    Seq(z.file,
+      z.minMicros.fold("")(_.toString), z.maxMicros.fold("")(_.toString),
+      z.rows.toString, z.nulls.fold("")(_.toString)).mkString("\t")
+
+  private def parseZones(p: java.nio.file.Path): Option[Seq[Zone]] = {
     if (!Files.isRegularFile(p)) return None
     try {
       val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
@@ -103,6 +92,33 @@ object ZoneMap {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Parse the manifest; None = absent/corrupt → caller reads all files. */
+  def readManifest(dir: String): Option[Seq[Zone]] =
+    parseZones(manifestPath(dir))
+
+  /** The per-file stats job shared by [[write]] and [[append]]: one
+    * metadata-sized aggregate over exactly `paths`, returned as manifest
+    * lines. Null keys count toward rows but never match a range
+    * predicate; recording them is what lets [[countRange]] vouch for
+    * interior files.
+    */
+  private def statsLines(spark: SparkSession, st: StructType,
+                         paths: Seq[String], key: String): Seq[String] =
+    spark.read.schema(st).parquet(paths: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(unix_micros(col(key))).as("mn"),
+        max(unix_micros(col(key))).as("mx"),
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col(key))).as("nulls"))
+      .collect() // ≤ one row per file: the manifest IS driver-sized metadata
+      .toSeq
+      .map { r =>
+        val mn = if (r.isNullAt(1)) "" else r.getLong(1).toString
+        val mx = if (r.isNullAt(2)) "" else r.getLong(2).toString
+        s"${r.getString(0).split('/').last}\t$mn\t$mx\t${r.getLong(3)}\t${r.getLong(4)}"
+      }
+      .sorted
+
   private def stampedSchema(dir: String): Option[StructType] = {
     val p = schemaPath(dir)
     if (!Files.isRegularFile(p)) None
@@ -113,12 +129,6 @@ object ZoneMap {
     }
   }
 
-  /** Manifest-pruned range read over `[loMicros, hiMicros)`. File
-    * selection is pure driver arithmetic — zero jobs, zero footers for
-    * skipped files; the returned frame still needs the caller's residual
-    * row filter (boundary files straddle the range). Falls back to the
-    * full directory when the manifest is missing/corrupt.
-    */
   /** The degrade path behind every prune: a full directory read. Safe
     * ONLY while the directory listing is the truth — once snapshots
     * exist, [[compact]] retains superseded files on disk and a raw
@@ -133,6 +143,12 @@ object ZoneMap {
     stampedSchema(dir).fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
   }
 
+  /** Manifest-pruned range read over `[loMicros, hiMicros)`. File
+    * selection is pure driver arithmetic — zero jobs, zero footers for
+    * skipped files; the returned frame still needs the caller's residual
+    * row filter (boundary files straddle the range). Falls back to the
+    * full directory when the manifest is missing/corrupt.
+    */
   def readPruned(spark: SparkSession, dir: String,
                  loMicros: Long, hiMicros: Long): DataFrame = {
     val st = stampedSchema(dir)
@@ -172,29 +188,13 @@ object ZoneMap {
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
     val added = (files() -- before).toSeq.sorted
     if (added.isEmpty) return
-    val newLines = df.sparkSession.read
-      .schema(df.schema).parquet(added.map(f => s"$dir/$f"): _*)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(unix_micros(col(key))).as("mn"),
-        max(unix_micros(col(key))).as("mx"),
-        count(lit(1)).as("n"),
-        (count(lit(1)) - count(col(key))).as("nulls"))
-      .collect()
-      .map { r =>
-        val mn = if (r.isNullAt(1)) "" else r.getLong(1).toString
-        val mx = if (r.isNullAt(2)) "" else r.getLong(2).toString
-        s"${r.getString(0).split('/').last}\t$mn\t$mx\t${r.getLong(3)}\t${r.getLong(4)}"
-      }
-      .sorted
+    val newLines = statsLines(df.sparkSession, df.schema,
+      added.map(f => s"$dir/$f"), key)
     val existing = readManifest(dir).getOrElse(
       throw new IllegalStateException(
         s"append needs a readable manifest under $dir — writing one " +
           "with only the new files would orphan every existing file"))
-    val merged = (existing.map(z =>
-      Seq(z.file,
-        z.minMicros.fold("")(_.toString), z.maxMicros.fold("")(_.toString),
-        z.rows.toString, z.nulls.fold("")(_.toString)).mkString("\t"))
-      ++ newLines).sorted
+    val merged = (existing.map(zoneLine) ++ newLines).sorted
     Files.write(manifestPath(dir),
       merged.mkString("\n").getBytes(StandardCharsets.UTF_8))
   }
@@ -258,11 +258,7 @@ object ZoneMap {
             else None)
         } finally deleteRecursive(Paths.get(tmp))
     }
-    val lines = newManifest.map(z =>
-      Seq(z.file,
-        z.minMicros.fold("")(_.toString), z.maxMicros.fold("")(_.toString),
-        z.rows.toString, z.nulls.fold("")(_.toString)).mkString("\t"))
-      .sorted
+    val lines = newManifest.map(zoneLine).sorted
     Files.write(manifestPath(dir),
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     removed
@@ -307,21 +303,8 @@ object ZoneMap {
     v
   }
 
-  private def manifestAt(dir: String, v: Int): Option[Seq[Zone]] = {
-    val p = Paths.get(dir, s"_zonemap.v$v.tsv")
-    if (!Files.isRegularFile(p)) None
-    else try {
-      val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        .split("\n").toSeq.filter(_.nonEmpty)
-      Some(lines.map { ln =>
-        val a = ln.split("\t", -1)
-        require(a.length == 4 || a.length == 5, s"bad zonemap line: $ln")
-        def opt(s: String) = if (s.isEmpty) None else Some(s.toLong)
-        Zone(a(0), opt(a(1)), opt(a(2)), a(3).toLong,
-          if (a.length == 5) Some(a(4).toLong) else None)
-      })
-    } catch { case scala.util.control.NonFatal(_) => None }
-  }
+  private def manifestAt(dir: String, v: Int): Option[Seq[Zone]] =
+    parseZones(Paths.get(dir, s"_zonemap.v$v.tsv"))
 
   /** Read the table AS OF snapshot `v`. None when the snapshot doesn't
     * exist or any of its data files has been vacuumed away.
@@ -344,9 +327,15 @@ object ZoneMap {
     */
   def vacuum(dir: String, keepVersions: Int): Int = {
     val keepVs = versions(dir).takeRight(math.max(0, keepVersions))
+    // the current manifest MUST be readable: with it absent/corrupt the
+    // live set degenerates to the kept snapshots alone and vacuum would
+    // destroy every file the current table state references
+    val current = readManifest(dir).getOrElse(
+      throw new IllegalStateException(
+        s"vacuum needs a readable current manifest under $dir — " +
+          "without it the live-file set cannot be computed safely"))
     val live: Set[String] =
-      (readManifest(dir).fold(Seq.empty[Zone])(identity) ++
-        keepVs.flatMap(v => manifestAt(dir, v).getOrElse(Nil)))
+      (current ++ keepVs.flatMap(v => manifestAt(dir, v).getOrElse(Nil)))
         .map(_.file).toSet
     val files = Option(new java.io.File(dir).listFiles())
       .fold(Seq.empty[java.io.File])(_.toSeq)

@@ -264,6 +264,25 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("vacuum refuses an unreadable current manifest") {
+    val src = QueriesR13a.versionedEventsDir(spark, sf)
+    val vdir = java.nio.file.Files
+      .createTempDirectory("graft_zm_vrefuse_").toString
+    try {
+      new java.io.File(src).listFiles().foreach(f =>
+        Files.copy(f.toPath, Paths.get(vdir, f.getName)))
+      Files.delete(Paths.get(vdir, "_zonemap.tsv"))
+      // without the current manifest the live set degenerates to the
+      // kept snapshots and vacuum would destroy current-state files
+      intercept[IllegalStateException] { ZoneMap.vacuum(vdir, 1) }
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(vdir))
+    }
+  }
+
   test("versioned layout refuses the raw-directory fallback read") {
     val src = QueriesR13a.versionedEventsDir(spark, sf)
     val vdir = java.nio.file.Files
