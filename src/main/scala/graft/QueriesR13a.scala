@@ -484,6 +484,81 @@ object QueriesR13a {
             WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Session-memoized MERGED lake: events written and committed as v1,
+    * then a deterministic update batch (every 37th event doubles its
+    * value) MERGE'd copy-on-write — only files containing matched keys
+    * are rewritten, v1 keeps reading the pre-merge values.
+    */
+  private val mergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def mergedEventsDir(s: SparkSession, d: String): String = {
+    val key = new java.io.File(d).getCanonicalPath + "@" +
+      graft.engine.Fixtures.stampOf(d, "events")
+    def build(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_merged_events_").toString
+      sys.addShutdownHook {
+        try {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+          }
+          rm(new java.io.File(dir))
+        } catch { case _: Throwable => }
+      }
+      import graft.sources.ZoneMap
+      val ev = t(s, d, "events")
+      ZoneMap.write(ev, dir, "ts", 24)
+      ZoneMap.commit(dir) // v1: pre-merge snapshot
+      val updates = ev.filter(col("event_id") % 37 === 0)
+        .select(col("event_id"), (col("value") * 2).as("value"))
+      ZoneMap.mergeUpdates(s, dir, "ts", updates, "event_id", "value")
+      dir
+    }
+    val dir = mergeMemo.computeIfAbsent(key, _ => build())
+    if (new java.io.File(dir).isDirectory) dir
+    else mergeMemo.synchronized {
+      val fresh = build(); mergeMemo.put(key, fresh); fresh
+    }
+  }
+
+  // ------------- s16_lake_merge: copy-on-write MERGE, graded post-state
+
+  private val s16 = Q(
+    "s16_lake_merge",
+    "Copy-on-write MERGE on the zone-mapped lake — the remaining Delta " +
+      "verb: a deterministic update batch (every 37th event doubles " +
+      "its value) joins broadcast against the layout, ONE semi-join " +
+      "job finds the files containing matched keys, only those are " +
+      "rewritten (range-repartitioned back onto ts so the new files " +
+      "stay envelope-tight), and untouched files plus their manifest " +
+      "lines ride through byte-identical. The pre-merge snapshot v1 " +
+      "still reads the OLD values (ZoneMapSpec pins both that and " +
+      "single-file surgical rewrites). The graded read aggregates the " +
+      "post-merge table; the oracle replays the update as a CASE on " +
+      "the flat table, so the hash-compare grades that COW updated " +
+      "exactly the matched rows and re-valued nothing else.",
+    (s, d) => {
+      graft.sources.ZoneMap
+        .readPruned(s, mergedEventsDir(s, d), Long.MinValue, Long.MaxValue)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("event_id") % 37 === 0, 1)).as("n_upd"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .transform(graft.engine.Ops.reportSort("event_type"))
+    },
+    Some("""WITH m AS (
+              SELECT event_type, event_id,
+                     CASE WHEN event_id % 37 = 0 THEN value * 2
+                          ELSE value END AS value
+              FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (event_id % 37 = 0) AS BIGINT)
+                     AS n_upd,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM m GROUP BY 1 ORDER BY 1"""))
+
   // ------------- mm_decode_jpeg: full JPEG decode via javax.imageio
 
   private val decodeJpeg = Q(
@@ -531,5 +606,5 @@ object QueriesR13a {
                    CAST(sum((x + 1) * (y + 1) * v) AS BIGINT) AS pos_moment
             FROM px GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(s10, s11, s12, s13, s14, s15, decodeJpeg)
+  val all: Seq[Q] = Seq(s10, s11, s12, s13, s14, s15, s16, decodeJpeg)
 }

@@ -272,6 +272,80 @@ object ZoneMap {
       finally s.close()
     }
 
+  /** MERGE (copy-on-write update) — the remaining Delta verb: rows of
+    * `updates` replace the value of `updateCol` for matching `joinKey`
+    * rows. File-level COW: one semi-join job finds the files that
+    * contain ANY matched key (broadcast — update batches are dim-sized
+    * by contract), ONLY those files are read+joined+rewritten (one
+    * write, range-repartitioned back onto the cluster key so the new
+    * files stay envelope-tight), and the manifest drops the touched
+    * lines for freshly-stats'd ones — untouched files and their lines
+    * are byte-identical through the merge. With snapshots present the
+    * replaced files stay on disk for time travel (the [[compact]]
+    * retention rule; a snapshot committed before the merge still reads
+    * the PRE-merge values). `updates` must carry at most one row per
+    * `joinKey` — duplicate keys would fan rows out through the join
+    * (Delta raises the same multiple-source-matches error rather than
+    * guess). Returns the number of files rewritten.
+    */
+  def mergeUpdates(spark: SparkSession, dir: String, clusterKey: String,
+                   updates: DataFrame, joinKey: String,
+                   updateCol: String): Int = {
+    val zones = readManifest(dir).getOrElse(
+      throw new IllegalStateException(
+        s"merge needs a readable manifest under $dir"))
+    val st = stampedSchema(dir).getOrElse(
+      throw new IllegalStateException(
+        s"merge needs the stamped schema under $dir"))
+    // presence flag, not coalesce: WHEN MATCHED must overwrite even with
+    // a null update value (the Delta UPDATE semantics) — coalesce would
+    // silently keep the old value exactly when the update says "null it"
+    val upd = updates.select(col(joinKey),
+      col(updateCol).as(s"__new_$updateCol"), lit(true).as("__matched"))
+    val touched = spark.read.schema(st)
+      .parquet(zones.map(z => s"$dir/${z.file}"): _*)
+      .select(input_file_name().as("f"), col(joinKey))
+      .join(org.apache.spark.sql.functions.broadcast(upd), joinKey)
+      .select("f").distinct().collect()
+      .map(_.getString(0).split('/').last).toSet
+    if (touched.isEmpty) return 0
+    val (hit, kept) = zones.partition(z => touched.contains(z.file))
+    val tmp = Files.createTempDirectory("graft_merge_").toString
+    try {
+      val cols = st.fieldNames.map {
+        case c if c == updateCol =>
+          when(col("__matched"), col(s"__new_$updateCol"))
+            .otherwise(col(updateCol)).as(updateCol)
+        case c => col(c)
+      }
+      spark.read.schema(st)
+        .parquet(hit.map(z => s"$dir/${z.file}"): _*)
+        .join(org.apache.spark.sql.functions.broadcast(upd),
+          Seq(joinKey), "left")
+        .select(cols.toSeq: _*)
+        .repartitionByRange(hit.size, col(clusterKey))
+        .sortWithinPartitions(clusterKey)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+      val retain = versions(dir).nonEmpty
+      val moved = Option(new java.io.File(tmp).listFiles())
+        .fold(Seq.empty[java.io.File])(_.toSeq)
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .map { f =>
+          val name = s"part-merged-${f.getName.stripPrefix("part-")}"
+          Files.move(f.toPath, Paths.get(dir, name)); name
+        }
+      if (!retain)
+        hit.foreach(z => Files.deleteIfExists(Paths.get(dir, z.file)))
+      val newLines = statsLines(spark, st,
+        moved.map(n => s"$dir/$n"), clusterKey)
+      val lines = (kept.map(zoneLine) ++ newLines).sorted
+      Files.write(manifestPath(dir),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      hit.size
+    } finally deleteRecursive(Paths.get(tmp))
+  }
+
   // --------------------------------------- snapshots / time travel
 
   /** Snapshot versioning over the manifest — the Delta log's time-travel

@@ -318,6 +318,66 @@ class ZoneMapSpec extends SparkSpec {
     assert(got === want)
   }
 
+  // ------------------------------------------- copy-on-write MERGE
+
+  test("mergeUpdates: surgical single-file rewrite, untouched lines identical") {
+    val mdir = java.nio.file.Files
+      .createTempDirectory("graft_zm_merge_").toString
+    try {
+      val ev = graft.engine.Engine.table(spark, sf, "events")
+      ZoneMap.write(ev, mdir, "ts", 8)
+      ZoneMap.commit(mdir) // v1: pre-merge
+      val before = ZoneMap.readManifest(mdir).get
+      // pick update keys that all live in ONE file: surgical COW
+      val target = before.maxBy(_.rows)
+      val ids = spark.read.parquet(s"$mdir/${target.file}")
+        .select("event_id").limit(5).collect().map(_.getLong(0))
+      val updates = ev.filter(col("event_id").isin(ids.toSeq: _*))
+        .select(col("event_id"), (col("value") + 1000.0).as("value"))
+      val rewritten = ZoneMap.mergeUpdates(
+        spark, mdir, "ts", updates, "event_id", "value")
+      assert(rewritten === 1, "keys from one file must rewrite one file")
+      val after = ZoneMap.readManifest(mdir).get
+      assert(after.map(_.rows).sum === 1000, "merge must not add/drop rows")
+      // every untouched file's line rides through byte-identical
+      assert(before.filterNot(_.file == target.file).toSet
+        .subsetOf(after.toSet))
+      assert(!after.exists(_.file == target.file),
+        "the touched file must be replaced, not edited")
+      // the updated values are visible in the current table…
+      val cur = ZoneMap.readPruned(spark, mdir, Long.MinValue, Long.MaxValue)
+      val bumped = cur.filter(col("event_id").isin(ids.toSeq: _*))
+        .agg(min("value")).head().getDouble(0)
+      assert(bumped >= 1000.0, "merged rows must carry the new values")
+      // …and the pre-merge snapshot still reads the OLD values
+      val v1 = ZoneMap.readAtVersion(spark, mdir, 1)
+        .getOrElse(fail("v1 must survive the merge (retention)"))
+      val old = v1.filter(col("event_id").isin(ids.toSeq: _*))
+        .agg(max("value")).head().getDouble(0)
+      assert(old < 1000.0, "time travel must see pre-merge values")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(mdir))
+    }
+  }
+
+  test("graded query: s16 result matches the flat-table CASE replay") {
+    val got = Queries.byName("s16_lake_merge").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.engine.Engine.table(spark, sf, "events")
+      .withColumn("value", when(col("event_id") % 37 === 0,
+        col("value") * 2).otherwise(col("value")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_id") % 37 === 0, 1)).as("n_upd"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy("event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
   // ------------------------------------------- streaming lake ingest
 
   test("lakeIngestStream: each micro-batch is an add-file commit, lake stays queryable") {
