@@ -559,6 +559,147 @@ object QueriesR13a {
                      AS sum_cents
             FROM m GROUP BY 1 ORDER BY 1"""))
 
+  /** Session-memoized DELETE'd lake: events written + committed as v1,
+    * then every 53rd event deleted copy-on-write.
+    */
+  private val deleteMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def deletedEventsDir(s: SparkSession, d: String): String = {
+    val key = new java.io.File(d).getCanonicalPath + "@" +
+      graft.engine.Fixtures.stampOf(d, "events")
+    def build(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_deleted_events_").toString
+      sys.addShutdownHook {
+        try {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+          }
+          rm(new java.io.File(dir))
+        } catch { case _: Throwable => }
+      }
+      import graft.sources.ZoneMap
+      ZoneMap.write(t(s, d, "events"), dir, "ts", 24)
+      ZoneMap.commit(dir) // v1: pre-delete snapshot
+      ZoneMap.deleteWhere(s, dir, "ts", col("event_id") % 53 === 0)
+      dir
+    }
+    val dir = deleteMemo.computeIfAbsent(key, _ => build())
+    if (new java.io.File(dir).isDirectory) dir
+    else deleteMemo.synchronized {
+      val fresh = build(); deleteMemo.put(key, fresh); fresh
+    }
+  }
+
+  // ------------- s17_lake_delete: predicate COW delete, graded post-state
+
+  private val s17 = Q(
+    "s17_lake_delete",
+    "Predicate DELETE on the zone-mapped lake — the last CRUD verb: " +
+      "one scan finds the files containing any matching row (every " +
+      "53rd event), only those rewrite with the matches filtered out, " +
+      "untouched files and their manifest lines ride through " +
+      "byte-identical, and the pre-delete snapshot v1 still reads " +
+      "every row (ZoneMapSpec pins the rewrite set, the row ledger, " +
+      "and time travel across the delete). The graded read aggregates " +
+      "the post-delete table; the oracle replays the predicate as a " +
+      "WHERE NOT on the flat table, so the hash-compare grades that " +
+      "COW removed exactly the matched rows and nothing else.",
+    (s, d) => {
+      graft.sources.ZoneMap
+        .readPruned(s, deletedEventsDir(s, d), Long.MinValue, Long.MaxValue)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+          max(col("event_id")).as("max_id"))
+        .transform(graft.engine.Ops.reportSort("event_type"))
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents,
+                   CAST(max(event_id) AS BIGINT) AS max_id
+            FROM events
+            WHERE event_id % 53 <> 0
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** Session-memoized SCHEMA-EVOLVED lake: odd events written as the
+    * base, even events appended with a NEW `source_tag` column — the
+    * append welds the column onto the stamped schema as nullable, so
+    * readers see it on every file, null for the pre-evolution half.
+    */
+  private val evolveMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def evolvedEventsDir(s: SparkSession, d: String): String = {
+    val key = new java.io.File(d).getCanonicalPath + "@" +
+      graft.engine.Fixtures.stampOf(d, "events")
+    def build(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_evolved_events_").toString
+      sys.addShutdownHook {
+        try {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+          }
+          rm(new java.io.File(dir))
+        } catch { case _: Throwable => }
+      }
+      import graft.sources.ZoneMap
+      val ev = t(s, d, "events")
+      ZoneMap.write(ev.filter(col("event_id") % 2 === 1), dir, "ts", 12)
+      ZoneMap.append(ev.filter(col("event_id") % 2 === 0)
+          .withColumn("source_tag",
+            concat(lit("b"), (col("event_id") % 7).cast("string"))),
+        dir, "ts", 6)
+      dir
+    }
+    val dir = evolveMemo.computeIfAbsent(key, _ => build())
+    if (new java.io.File(dir).isDirectory) dir
+    else evolveMemo.synchronized {
+      val fresh = build(); evolveMemo.put(key, fresh); fresh
+    }
+  }
+
+  // ------------- s18_schema_evolution: merged-schema readback, graded
+
+  private val s18 = Q(
+    "s18_schema_evolution",
+    "Schema evolution on append — the Delta mergeSchema contract: the " +
+      "base half of events is written with the fixture's six columns, " +
+      "the other half appends carrying a NEW source_tag column, and " +
+      "the append welds it onto the stamped schema as NULLABLE so one " +
+      "read sees every file — the parquet reader's name-based " +
+      "projection null-fills the pre-evolution files, no rewrite, no " +
+      "backfill job (a type CHANGE on an existing column is refused " +
+      "loudly before any data lands — spec'd). The graded read " +
+      "aggregates rows, tagged rows, and distinct tags per event_type " +
+      "across both schema generations; the oracle replays the tag rule " +
+      "as a CASE on the flat table, so the hash-compare grades that " +
+      "evolution changed visibility, never values.",
+    (s, d) => {
+      graft.sources.ZoneMap
+        .readPruned(s, evolvedEventsDir(s, d), Long.MinValue, Long.MaxValue)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("source_tag")).as("n_tagged"),
+          countDistinct(col("source_tag")).as("n_tags"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .transform(graft.engine.Ops.reportSort("event_type"))
+    },
+    Some("""WITH m AS (
+              SELECT event_type, value,
+                     CASE WHEN event_id % 2 = 0
+                          THEN 'b' || CAST(event_id % 7 AS VARCHAR)
+                          ELSE NULL END AS source_tag
+              FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(source_tag) AS BIGINT) AS n_tagged,
+                   CAST(count(DISTINCT source_tag) AS BIGINT) AS n_tags,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM m GROUP BY 1 ORDER BY 1"""))
+
   // ------------- mm_decode_jpeg: full JPEG decode via javax.imageio
 
   private val decodeJpeg = Q(
@@ -606,5 +747,6 @@ object QueriesR13a {
                    CAST(sum((x + 1) * (y + 1) * v) AS BIGINT) AS pos_moment
             FROM px GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(s10, s11, s12, s13, s14, s15, s16, decodeJpeg)
+  val all: Seq[Q] =
+    Seq(s10, s11, s12, s13, s14, s15, s16, s17, s18, decodeJpeg)
 }

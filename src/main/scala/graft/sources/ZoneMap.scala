@@ -169,12 +169,33 @@ object ZoneMap {
 
   // ------------------------------------------- lake maintenance (v1)
 
+  /** Schema evolution on append (Delta mergeSchema): columns the batch
+    * adds are welded onto the stamped schema as NULLABLE — readers then
+    * see them on every file, null-filled for pre-evolution files by the
+    * parquet reader's name-based projection. A type CHANGE on an
+    * existing column is refused loudly: silently casting historical
+    * data is how lakes corrupt.
+    */
+  private def mergeSchemas(base: StructType, incoming: StructType): StructType = {
+    incoming.fields.foreach { f =>
+      base.fields.find(_.name == f.name).foreach { b =>
+        require(b.dataType == f.dataType,
+          s"schema evolution cannot change column '${f.name}': " +
+            s"${b.dataType.simpleString} -> ${f.dataType.simpleString}")
+      }
+    }
+    val known = base.fieldNames.toSet
+    StructType(base.fields ++
+      incoming.fields.filterNot(f => known(f.name)).map(_.copy(nullable = true)))
+  }
+
   /** Incremental append: new data lands as new files and the manifest
     * gains their lines — the existing files and their stats are never
     * touched (the Delta add-file commit shape). New files may overlap
     * existing key ranges; zone maps don't require disjointness, overlap
     * just costs prune selectivity until [[compact]] restores clustering.
-    * The stats job reads ONLY the appended files.
+    * The stats job reads ONLY the appended files. A batch carrying NEW
+    * columns evolves the stamped schema ([[mergeSchemas]]).
     */
   def append(df: DataFrame, dir: String, key: String, buckets: Int): Unit = {
     def files(): Set[String] = Option(new java.io.File(dir).listFiles())
@@ -183,9 +204,15 @@ object ZoneMap {
           f.getName.endsWith(".parquet") => f.getName
       }.toSet)
     val before = files()
+    // validate + evolve the stamped schema BEFORE any data lands, so a
+    // type-change batch is refused with the directory untouched
+    val stamped = stampedSchema(dir)
+    val evolved = stamped.map(mergeSchemas(_, df.schema))
     df.repartitionByRange(buckets, col(key))
       .sortWithinPartitions(key)
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    for (s0 <- stamped; s1 <- evolved if s1 != s0)
+      Files.write(schemaPath(dir), s1.json.getBytes(StandardCharsets.UTF_8))
     val added = (files() -- before).toSeq.sorted
     if (added.isEmpty) return
     val newLines = statsLines(df.sparkSession, df.schema,
@@ -343,6 +370,71 @@ object ZoneMap {
       Files.write(manifestPath(dir),
         lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
       hit.size
+    } finally deleteRecursive(Paths.get(tmp))
+  }
+
+  /** DELETE WHERE — predicate copy-on-write, completing the CRUD verbs:
+    * one scan job finds the files containing ANY matching row, only
+    * those are rewritten with the matches filtered out (a file whose
+    * every row matches just disappears — no empty-file write), and
+    * untouched files plus their manifest lines ride through
+    * byte-identical. Rewrites re-range-partition onto the cluster key
+    * so surviving rows stay envelope-tight; stats for the new files
+    * come from one [[statsLines]] job over exactly those files. With
+    * snapshots present the replaced files stay on disk (the [[compact]]
+    * retention rule) so a pre-delete snapshot still reads every row.
+    * Returns (filesRewritten, rowsDeleted).
+    */
+  def deleteWhere(spark: SparkSession, dir: String, clusterKey: String,
+                  predicate: org.apache.spark.sql.Column): (Int, Long) = {
+    val zones = readManifest(dir).getOrElse(
+      throw new IllegalStateException(
+        s"delete needs a readable manifest under $dir"))
+    val st = stampedSchema(dir).getOrElse(
+      throw new IllegalStateException(
+        s"delete needs the stamped schema under $dir"))
+    val touched = spark.read.schema(st)
+      .parquet(zones.map(z => s"$dir/${z.file}"): _*)
+      .filter(predicate)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+    if (touched.isEmpty) return (0, 0L)
+    val (hit, kept) = zones.partition(z => touched.contains(z.file))
+    val deleted = touched.values.sum
+    val tmp = Files.createTempDirectory("graft_delete_").toString
+    try {
+      spark.read.schema(st)
+        .parquet(hit.map(z => s"$dir/${z.file}"): _*)
+        .filter(!predicate)
+        .repartitionByRange(hit.size, col(clusterKey))
+        .sortWithinPartitions(clusterKey)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+      val retain = versions(dir).nonEmpty
+      val moved = Option(new java.io.File(tmp).listFiles())
+        .fold(Seq.empty[java.io.File])(_.toSeq)
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .map { f =>
+          val name = s"part-deleted-${f.getName.stripPrefix("part-")}"
+          Files.move(f.toPath, Paths.get(dir, name)); name
+        }
+      if (!retain)
+        hit.foreach(z => Files.deleteIfExists(Paths.get(dir, z.file)))
+      // a fully-deleted set of hit files can write 0-row parts: drop
+      // them from the manifest AND the disk (an un-manifested file must
+      // not linger for a future fallback read to trip over)
+      val allLines =
+        if (moved.isEmpty) Nil
+        else statsLines(spark, st, moved.map(n => s"$dir/$n"), clusterKey)
+      val (emptyLines, newLines) =
+        allLines.partition(_.split("\t", -1)(3) == "0")
+      emptyLines.foreach(ln =>
+        Files.deleteIfExists(Paths.get(dir, ln.split("\t", -1)(0))))
+      val lines = (kept.map(zoneLine) ++ newLines).sorted
+      Files.write(manifestPath(dir),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      (hit.size, deleted)
     } finally deleteRecursive(Paths.get(tmp))
   }
 

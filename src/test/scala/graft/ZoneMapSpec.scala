@@ -378,6 +378,113 @@ class ZoneMapSpec extends SparkSpec {
     assert(got === want)
   }
 
+  // ------------------------------------------- predicate COW DELETE
+
+  test("deleteWhere: only matching files rewrite, ledger balances, v1 intact") {
+    val ddir = java.nio.file.Files
+      .createTempDirectory("graft_zm_delete_").toString
+    try {
+      val ev = graft.engine.Engine.table(spark, sf, "events")
+      ZoneMap.write(ev, ddir, "ts", 8)
+      ZoneMap.commit(ddir) // v1
+      val before = ZoneMap.readManifest(ddir).get
+      // delete a narrow ts band: only the files overlapping it rewrite
+      val lo = micros("2024-01-03T00:00"); val hi = micros("2024-01-05T00:00")
+      val pred = unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi
+      val expectDeleted = ev.filter(pred).count()
+      val (rewritten, deleted) = ZoneMap.deleteWhere(spark, ddir, "ts", pred)
+      assert(deleted === expectDeleted)
+      assert(rewritten < before.size,
+        "a 2-day band must not touch every ~1-day file")
+      val after = ZoneMap.readManifest(ddir).get
+      assert(after.map(_.rows).sum === 1000 - expectDeleted,
+        "manifest ledger must balance: rows before - deleted")
+      assert(before.toSet.intersect(after.toSet).size ===
+        before.size - rewritten,
+        "untouched manifest lines must ride through byte-identical")
+      // post-delete reads see no matching row; everything else survives
+      val cur = ZoneMap.readPruned(spark, ddir, Long.MinValue, Long.MaxValue)
+      assert(cur.filter(pred).count() === 0L)
+      assert(cur.count() === 1000 - expectDeleted)
+      // pre-delete snapshot still reads every row
+      val v1 = ZoneMap.readAtVersion(spark, ddir, 1)
+        .getOrElse(fail("v1 must survive the delete (retention)"))
+      assert(v1.count() === 1000L)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(ddir))
+    }
+  }
+
+  test("graded query: s17 result matches the flat-table WHERE NOT replay") {
+    val got = Queries.byName("s17_lake_delete").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.engine.Engine.table(spark, sf, "events")
+      .filter(col("event_id") % 53 =!= 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
+  // ------------------------------------------- schema evolution
+
+  test("append evolves the schema: new column nullable, old rows null-filled") {
+    val edir = QueriesR13a.evolvedEventsDir(spark, sf)
+    val cur = ZoneMap.readPruned(spark, edir, Long.MinValue, Long.MaxValue)
+    assert(cur.columns.contains("source_tag"))
+    assert(cur.count() === 1000L)
+    val tagged = cur.filter(col("source_tag").isNotNull)
+    assert(tagged.count() ===
+      tagged.filter(col("event_id") % 2 === 0).count(),
+      "exactly the appended (even) half must carry the tag")
+    assert(cur.filter(col("event_id") % 2 === 1 &&
+      col("source_tag").isNotNull).count() === 0L,
+      "pre-evolution rows must read the new column as null")
+  }
+
+  test("append refuses a type change on an existing column, dir untouched") {
+    val edir = java.nio.file.Files
+      .createTempDirectory("graft_zm_evolve_").toString
+    try {
+      val ev = graft.engine.Engine.table(spark, sf, "events")
+      ZoneMap.write(ev.limit(100), edir, "ts", 2)
+      val filesBefore = new java.io.File(edir).listFiles().map(_.getName).toSet
+      val bad = ev.limit(10).withColumn("value", col("value").cast("string"))
+      intercept[IllegalArgumentException] {
+        ZoneMap.append(bad, edir, "ts", 1)
+      }
+      assert(new java.io.File(edir).listFiles().map(_.getName).toSet ===
+        filesBefore, "a refused batch must leave the directory untouched")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(edir))
+    }
+  }
+
+  test("graded query: s18 result matches the flat-table CASE replay") {
+    val got = Queries.byName("s18_schema_evolution").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.engine.Engine.table(spark, sf, "events")
+      .withColumn("source_tag", when(col("event_id") % 2 === 0,
+        concat(lit("b"), (col("event_id") % 7).cast("string"))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("source_tag")).as("n_tagged"),
+        countDistinct(col("source_tag")).as("n_tags"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy("event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
   // ------------------------------------------- streaming lake ingest
 
   test("lakeIngestStream: each micro-batch is an add-file commit, lake stays queryable") {
