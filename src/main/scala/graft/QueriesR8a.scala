@@ -228,58 +228,31 @@ object QueriesR8a {
         .withColumn("hyp",
           expr("transform(slice(ref, 1, size(ref) - 1), " +
             "(t, i) -> CASE WHEN (i + 1) % 7 = 0 THEN 'xxx' ELSE t END)"))
-      // ONE tagged explode covers all (n, side) legs — 8 separate
-      // count-aggregations + 4 joins would re-scan the token frame 8
-      // times; here one (doc, n, gram) aggregation carries both sides'
-      // counts and the clip is a least() on the finished row. No h > 0
-      // pre-filter: a gram seen only in the reference contributes
-      // least(0, r) = 0 to clipped and 0 to total — identical sums —
-      // while KEEPING such rows lets Σ r at n = 1 equal the corpus
-      // reference length exactly.
-      //
-      // Gram strings build INCREMENTALLY (round 11): the n-gram array is
-      // zip_with((n−1)-grams minus last, tokens shifted by n−1, concat),
-      // so each gram extends an already-built (n−1)-gram string — the
-      // former array_join(slice(toks, i, n)) allocated a fresh n-element
-      // array slice and re-joined all n tokens PER GRAM (Σn² work per
-      // position; measured 1.28 → 0.68 s TimeQ best). Same strings, same
-      // counts, oracle untouched.
-      def nextGrams(prev: Column, arr: Column, n: Int): Column =
-        zip_with(
-          slice(prev, lit(1), size(prev) - 1),
-          slice(arr, lit(n), size(arr) - n + 1),
-          (a, b) => concat(a, lit(" "), b))
-      val withGrams = toks
-        .withColumn("h1", col("hyp")).withColumn("r1", col("ref"))
-        .withColumn("h2", nextGrams(col("h1"), col("hyp"), 2))
-        .withColumn("r2", nextGrams(col("r1"), col("ref"), 2))
-        .withColumn("h3", nextGrams(col("h2"), col("hyp"), 3))
-        .withColumn("r3", nextGrams(col("r2"), col("ref"), 3))
-        .withColumn("h4", nextGrams(col("h3"), col("hyp"), 4))
-        .withColumn("r4", nextGrams(col("r3"), col("ref"), 4))
-      val tagged = flatten(array((1 to 4).flatMap(n => Seq(
-        transform(col(s"h$n"), g =>
-          struct(lit(n).as("n"), lit("h").as("side"), g.as("g"))),
-        transform(col(s"r$n"), g =>
-          struct(lit(n).as("n"), lit("r").as("side"), g.as("g"))))): _*))
-      val grams = withGrams.select(col("doc_id"), explode(tagged).as("x"))
-        .select(col("doc_id"), col("x.n").cast(LongType).as("n"),
-          col("x.side").as("side"), col("x.g").as("g"))
-      // per-(doc, n, gram) clip, then the 8 corpus totals + both corpus
-      // lengths in ONE global aggregation (the per-gram partial and the
-      // global partial pipeline in the same stage — no intermediate
-      // 4-row groupBy(n) exchange)
-      val perGram = grams.groupBy("doc_id", "n", "g")
-        .agg(sum(when(col("side") === "h", 1L).otherwise(0L)).as("h"),
-          sum(when(col("side") === "r", 1L).otherwise(0L)).as("r"))
-      def tot(i: Int, c: Column) =
-        sum(when(col("n") === i, c)).cast(LongType)
-      val pivot = perGram.agg(
-        tot(1, least(col("h"), col("r"))).as("c1"), tot(1, col("h")).as("t1"),
-        tot(2, least(col("h"), col("r"))).as("c2"), tot(2, col("h")).as("t2"),
-        tot(3, least(col("h"), col("r"))).as("c3"), tot(3, col("h")).as("t3"),
-        tot(4, least(col("h"), col("r"))).as("c4"), tot(4, col("h")).as("t4"),
-        tot(1, col("r")).as("ref_len"))
+      // Round 13 (optimization): the former shape built all 8 (n, side)
+      // gram arrays through interpreted zip_with chains, exploded them
+      // to ~8M (doc, n, side, gram) rows and shuffled those into a
+      // groupBy(doc, n, gram) clip — 8-24 s of executor time at sf0.1
+      // (StageProf), all to produce 9 corpus integers. Every per-doc
+      // quantity is a function of the two token arrays alone, so the
+      // native [[graft.plans.ClippedGramCounts]] kernel computes
+      // (clipped_n, hyp_total_n, ref_total_n) for n ∈ 1..4 in ONE
+      // compiled per-row pass — no gram explode, no gram exchange —
+      // and the corpus totals are plain integer sums (exactly
+      // associative → bit-identical pooled values; oracle untouched).
+      // No h > 0 pre-filter needed, same as before: a gram seen only in
+      // the reference contributes min(0, r) = 0 to clipped, and keeping
+      // ref-only grams makes Σ rtot at n = 1 the corpus reference
+      // length exactly.
+      val counts = toks.select(
+        graft.plans.ClippedGramCounts.words(col("hyp"), col("ref"), 4)
+          .as("c"))
+      def el(i: Int): Column = element_at(col("c"), i)
+      val pivot = counts.agg(
+        sum(el(1)).as("c1"), sum(el(2)).as("t1"),
+        sum(el(4)).as("c2"), sum(el(5)).as("t2"),
+        sum(el(7)).as("c3"), sum(el(8)).as("t3"),
+        sum(el(10)).as("c4"), sum(el(11)).as("t4"),
+        sum(el(3)).as("ref_len"))
         .withColumn("hyp_len", col("t1"))
       def p(i: Int) =
         col(s"c$i").cast(DoubleType) / col(s"t$i").cast(DoubleType)

@@ -152,31 +152,37 @@ object QueriesR9a {
         .select(col("doc_id"),
           concat_ws("", col("ref")).as("r"),
           concat_ws("", col("hypw")).as("h"))
-      // position enumeration runs 1..length then filters to the valid
-      // gram starts: Spark's sequence(1, stop) DESCENDS when stop < 1
-      // (it infers a negative step), so the subtraction form would emit
-      // phantom positions for strings shorter than n — the filter keeps
-      // i >= 1 explicitly (ADVICE r9: a ZERO-length side descends to
-      // [1, 0] and i = 0 would survive the end-bound check at n = 1,
-      // emitting one empty gram the DuckDB oracle never sees)
-      val grams = toks.select(col("doc_id"), explode(expr(
-        """flatten(transform(sequence(1, 6), n -> concat(
-             transform(filter(sequence(1, length(h)),
-                 i -> i >= 1 AND i + n - 1 <= length(h)), i ->
-               named_struct('n', n, 'side', 'h', 'g', substring(h, i, n))),
-             transform(filter(sequence(1, length(r)),
-                 i -> i >= 1 AND i + n - 1 <= length(r)), i ->
-               named_struct('n', n, 'side', 'r', 'g', substring(r, i, n))))))"""))
-        .as("x"))
-        .select(col("doc_id"), col("x.n").cast(LongType).as("n"),
-          col("x.side").as("side"), col("x.g").as("g"))
-      val perN = grams.groupBy("doc_id", "n", "g")
-        .agg(sum(when(col("side") === "h", 1L).otherwise(0L)).as("h"),
-          sum(when(col("side") === "r", 1L).otherwise(0L)).as("r"))
-        .groupBy("n")
-        .agg(sum(least(col("h"), col("r"))).cast(LongType).as("clipped"),
-          sum(col("h")).cast(LongType).as("ht"),
-          sum(col("r")).cast(LongType).as("rt"))
+      // Round 13 (optimization): the former shape enumerated every char
+      // n-gram position through interpreted HOFs, exploded ~5M
+      // (doc, n, side, gram) rows and shuffled them into a
+      // groupBy(doc, n, gram) clip — 7-10 s of executor time at sf0.1
+      // (StageProf) for 18 corpus integers. The native
+      // [[graft.plans.ClippedGramCounts]] char-mode kernel computes
+      // (clipped_n, ht_n, rt_n) for n ∈ 1..6 per document in one
+      // compiled code-point pass (Spark's substring/length are
+      // code-point based, and so is the kernel); corpus pooling is then
+      // a plain integer sum — exactly associative, bit-identical
+      // pooled values, oracle untouched. The empty-eval-slice guard:
+      // a global agg over zero rows yields one all-null row where the
+      // former groupBy(n) yielded zero rows — the isNotNull filter
+      // restores exact equivalence (and passes every non-empty slice
+      // through untouched).
+      val counts = toks.select(
+        graft.plans.ClippedGramCounts.chars(col("h"), col("r"), 6).as("c"))
+      def el(i: Int): Column = element_at(col("c"), i)
+      val pooled = counts.agg(
+        sum(el(1)).as("s1"),
+        (2 to 18).map(i => sum(el(i)).as(s"s$i")): _*)
+      val perN = pooled.select(explode(array((1 to 6).map { n =>
+        val b = 3 * (n - 1)
+        struct(lit(n.toLong).as("n"),
+          col(s"s${b + 1}").as("clipped"),
+          col(s"s${b + 2}").as("ht"),
+          col(s"s${b + 3}").as("rt"))
+      }: _*)).as("x"))
+        .select(col("x.n").as("n"), col("x.clipped").as("clipped"),
+          col("x.ht").as("ht"), col("x.rt").as("rt"))
+        .filter(col("clipped").isNotNull)
       val p = col("clipped").cast(DoubleType) / col("ht").cast(DoubleType)
       val r = col("clipped").cast(DoubleType) / col("rt").cast(DoubleType)
       val f = when(col("clipped") === 0, lit(0.0))

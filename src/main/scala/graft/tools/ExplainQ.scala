@@ -1,17 +1,23 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
 
 /** Dev utility: print a graded query's executed plan under bench-like
   * confs (floor scope off so the query's own shape shows, AQE off so
   * exchanges are visible statically).
   *
-  * Usage: runMain graft.tools.ExplainQ <sfDir> <q1,q2,...>
+  * Usage: runMain graft.tools.ExplainQ <sfDir> <q1,q2,...> [outDir suffix]
+  *
+  * With the optional `outDir suffix` pair, additionally writes each
+  * query's `.explain("formatted")` text to `<outDir>/<name>_<suffix>.txt`
+  * — the per-round plan-evidence artifact (plans/r{N}/<q>_before|after).
   */
 object ExplainQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
+    val outDir = if (args.length > 3) Some((args(2), args(3))) else None
     val cpus = Runtime.getRuntime.availableProcessors()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,8 +30,16 @@ object ExplainQ {
     spark.conf.set("spark.graft.floorScope", "false")
     names.foreach { n =>
       println(s"===== $n =====")
-      println(graft.Queries.byName(n).fn(spark, sfDir)
-        .queryExecution.executedPlan.toString)
+      val df = graft.Queries.byName(n).fn(spark, sfDir)
+      println(df.queryExecution.executedPlan.toString)
+      outDir.foreach { case (dir, suffix) =>
+        val formatted =
+          df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        val p = java.nio.file.Paths.get(dir, s"${n}_$suffix.txt")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, formatted.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)): Unit
+      }
     }
     spark.stop()
   }
