@@ -331,19 +331,34 @@ object QueriesR3h {
           concat(Multimodal.wavHeaderBytes(sr),
             unhex(concat((0 until 32).map(i => hexLe2(u(i))): _*)))
             .as("payload"))
-      def byteAt(off: Int): Column =
-        conv(hex(substring(col("payload"), off, 1)), 16, 10).cast(LongType)
-      val samples = (0 until 32).map { i =>
-        val uu = byteAt(45 + 2 * i) + byteAt(46 + 2 * i) * 256
-        when(uu >= 32768, uu - 65536).otherwise(uu)
+      // Round 13 (optimization): the former per-BYTE decode tree —
+      // substring+hex+conv per byte, two bytes per sample, the 32
+      // samples inlined into all three aggregates — was ~2k expression
+      // nodes, billed per invocation at plan time (PlanTime: fn 235 ms
+      // + optimize 99 ms steady-state) and per row at execution. One
+      // hex() of the whole PCM slice per row, ONE conv per sample
+      // (hex is big-endian per byte, PCM is little-endian per sample →
+      // swap the two byte-pairs before conv), and the three stats fold
+      // over a single 32-element array column. The two's-complement
+      // branch folds to exact integer arithmetic:
+      // ((u + 32768) % 65536) - 32768 maps [0,65535] → [-32768,32767]
+      // identically to the former when(u >= 32768, u - 65536). All
+      // integer ops — bit-identical outputs, oracle untouched.
+      val hx = hex(substring(col("payload"), 45, 64))
+      def sampleAt(i: Int): Column = {
+        val u = conv(concat(substring(hx, 4 * i + 3, 2),
+          substring(hx, 4 * i + 1, 2)), 16, 10).cast(LongType)
+        ((u + 32768) % 65536) - 32768
       }
       media.select(col("doc_id"),
         Multimodal.wavSampleRate(col("payload")).as("sample_rate"),
         ((octet_length(col("payload")) - 44) / 2).cast(LongType)
           .as("n_samples"),
-        samples.reduce(_ + _).as("dc_sum"),
-        greatest(samples.map(abs): _*).as("peak"),
-        samples.map(x => x * x).reduce(_ + _).as("energy"))
+        array((0 until 32).map(sampleAt): _*).as("s"))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          expr("aggregate(s, 0L, (a, x) -> a + x)").as("dc_sum"),
+          expr("aggregate(s, 0L, (a, x) -> greatest(a, abs(x)))").as("peak"),
+          expr("aggregate(s, 0L, (a, x) -> a + x * x)").as("energy"))
         .transform(graft.engine.Ops.reportSort("doc_id"))
     },
     Some("""WITH s AS (SELECT doc_id,
