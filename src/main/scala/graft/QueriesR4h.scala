@@ -43,8 +43,13 @@ object QueriesR4h {
       // the first level and span itself for the second, so neither
       // groupBy adds an exchange after the repartition. The 1-row doc
       // total rides a cartesian instead of a broadcast build job.
+      // No size(toks) >= 5 pre-filter (round 13 optimization): the
+      // predicate pushed BELOW the tokenizing projection and duplicated
+      // the whole regex tokenization per row (TokProbe: 0.20 → 0.40 s
+      // for the stage) — and it is redundant here: NgramStrings is
+      // total (size < 5 → EMPTY array) and explode drops empty arrays,
+      // so short docs contribute no span rows either way.
       toks
-        .filter(size(col("toks")) >= 5)
         // native 5-gram build (plans.NgramStrings, round 13): the
         // round-12 incremental zip_with chain was still 4 interpreted
         // lambda levels per row — same strings, one compiled loop

@@ -232,7 +232,11 @@ object QueriesR5u {
         .select(col("doc_id"), col("source"),
           filter(split(regexp_replace(lower(col("text")),
             "[^a-z0-9 ]", " "), "\\s+"), x => x =!= "").as("toks"))
-        .filter(size(col("toks")) >= 5)
+        // No size(toks) >= 5 pre-filter (round 13 optimization): it
+        // pushed below the tokenizing projection and duplicated the
+        // regex tokenization per row (TokProbe: 0.20 → 0.40 s);
+        // redundant anyway — NgramHashes is total (size < 5 → empty)
+        // and explode drops empty arrays.
         .select(col("doc_id"), col("source"),
           // spans ship as xxhash64 longs, not ~40-byte 5-gram strings
           // (the dedup family's hashed-shingle trade — the output

@@ -222,9 +222,16 @@ object QueriesR8a {
       "round-8 verdict's one flagged anti-pattern) fold into the same " +
       "tagged-gram aggregation for free.",
     (s, d) => {
+      // size(split(text, " ")) >= 5 ⇔ the text has >= 4 single-space
+      // chars (Spark's split keeps trailing empties, so token count is
+      // ALWAYS spaces + 1). Filtering on the cheap translate-count
+      // BEFORE the projection keeps the predicate out of the split —
+      // the former filter-above-project pushed below it and evaluated
+      // the split TWICE per row (round-13 TokProbe finding).
       val toks = t(s, d, "documents")
+        .filter(length(col("text")) -
+          length(translate(col("text"), " ", "")) >= 4)
         .select(col("doc_id"), split(col("text"), " ").as("ref"))
-        .filter(size(col("ref")) >= 5)
         .withColumn("hyp",
           expr("transform(slice(ref, 1, size(ref) - 1), " +
             "(t, i) -> CASE WHEN (i + 1) % 7 = 0 THEN 'xxx' ELSE t END)"))

@@ -35,29 +35,33 @@ object QueriesR9a {
       "plus the per-language rollup; nothing global, nothing per-doc " +
       "past the second aggregation.",
     (s, d) => {
+      // spaces >= 4 ⇔ size(split) >= 5 (split keeps trailing empties);
+      // filtering before the projection avoids the pushed-down filter
+      // re-evaluating the split per row (round-13 TokProbe finding)
       val toks = t(s, d, "documents")
+        .filter(length(col("text")) -
+          length(translate(col("text"), " ", "")) >= 4)
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ref"))
-        .filter(size(col("ref")) >= 5)
         .withColumn("hyp", when(col("doc_id") % 5 === 0, col("ref"))
           .otherwise(expr("transform(slice(ref, 1, size(ref) - 1), " +
             "(t, i) -> CASE WHEN (i + 1) % 7 = 0 THEN 'xxx' ELSE t END)")))
         .withColumn("em",
           when(col("hyp") === col("ref"), 1L).otherwise(0L))
-      // one tagged explode carries both sides; lang/em ride the grouping
-      // key (constant per doc, so they add no cardinality)
-      val tags = toks.select(col("doc_id"), col("lang"), col("em"),
-        explode(expr(
-          """concat(transform(hyp, t -> named_struct('side', 'h', 'tok', t)),
-                    transform(ref, t -> named_struct('side', 'r', 'tok', t)))"""))
-          .as("x"))
-        .select(col("doc_id"), col("lang"), col("em"),
-          col("x.side").as("side"), col("x.tok").as("tok"))
-      val perDoc = tags.groupBy("doc_id", "lang", "em", "tok")
-        .agg(sum(when(col("side") === "h", 1L).otherwise(0L)).as("h"),
-          sum(when(col("side") === "r", 1L).otherwise(0L)).as("r"))
-        .groupBy("doc_id", "lang", "em")
-        .agg(sum(least(col("h"), col("r"))).as("ns"),
-          sum(col("h")).as("hl"), sum(col("r")).as("rl"))
+      // Round 13 (optimization): num_same/len_pred/len_gold are the
+      // BLEU clip machinery at n = 1, so the native
+      // [[graft.plans.ClippedGramCounts]] kernel computes the per-doc
+      // triple in one compiled pass — the former tagged unigram explode
+      // shipped every token into a groupBy(doc, lang, em, tok) and a
+      // second per-doc aggregation (two keyed exchanges) to produce
+      // three integers per document. Identical integers, oracle
+      // untouched.
+      val perDoc = toks.select(col("lang"), col("em"),
+        graft.plans.ClippedGramCounts.words(col("hyp"), col("ref"), 1)
+          .as("c"))
+        .select(col("lang"), col("em"),
+          element_at(col("c"), 1).as("ns"),
+          element_at(col("c"), 2).as("hl"),
+          element_at(col("c"), 3).as("rl"))
       val f1 = when(col("ns") === 0, lit(0.0))
         .otherwise(lit(2.0) * col("ns").cast(DoubleType) /
           (col("hl") + col("rl")).cast(DoubleType))
@@ -143,9 +147,11 @@ object QueriesR9a {
       // prices a full-corpus sweep at 8× the value of the report — the
       // filter is pushed to the scan
       val toks = t(s, d, "documents")
-        .filter(col("doc_id") % 8 === 0)
+        .filter(col("doc_id") % 8 === 0 &&
+          // spaces >= 4 ⇔ size(split) >= 5; cheap predicate stays out
+          // of the split projection (round-13 TokProbe finding)
+          length(col("text")) - length(translate(col("text"), " ", "")) >= 4)
         .select(col("doc_id"), split(col("text"), " ").as("ref"))
-        .filter(size(col("ref")) >= 5)
         .withColumn("hypw",
           expr("transform(slice(ref, 1, size(ref) - 1), " +
             "(t, i) -> CASE WHEN (i + 1) % 7 = 0 THEN 'xxx' ELSE t END)"))
