@@ -43,10 +43,12 @@ object QueriesR10a {
       "sweeps.",
     (s, d) => {
       val toks = t(s, d, "documents")
-        .filter(col("doc_id") % 8 === 0)
+        .filter(col("doc_id") % 8 === 0 &&
+          // spaces >= 4 ⇔ size(split) >= 5; cheap predicate stays out
+          // of the split projection (round-13 TokProbe finding)
+          length(col("text")) - length(translate(col("text"), " ", "")) >= 4)
         .select(col("doc_id"), col("lang"),
           split(col("text"), " ").as("ref0"))
-        .filter(size(col("ref0")) >= 5)
         .withColumn("hyp0", when(col("doc_id") % 5 === 0, col("ref0"))
           .otherwise(expr("transform(slice(ref0, 1, size(ref0) - 1), " +
             "(t, i) -> CASE WHEN (i + 1) % 7 = 0 THEN 'xxx' ELSE t END)")))

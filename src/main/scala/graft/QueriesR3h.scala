@@ -213,9 +213,13 @@ object QueriesR3h {
       // the per-stage floor × 13, which shrinks to noise the moment
       // real data makes stages longer than the scheduler's overhead.
       import graft.operators.{Dedup, Graph}
+      // contains(" ") ⇔ size(split) >= 2 (split keeps trailing
+      // empties); the raw-text predicate stays out of the split
+      // projection — the former filter-above-project pushed below it
+      // and ran the split twice per row (round-13 TokProbe finding)
       val docs = t(s, d, "documents")
+        .filter(col("text").contains(" "))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 2)
       val pairs = docs.select(explode(expr(
           "transform(sequence(0, size(toks) - 2), " +
             "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))

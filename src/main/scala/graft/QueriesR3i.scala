@@ -23,8 +23,10 @@ object QueriesR3i {
     * text_textrank, fresh lineage per call. */
   private def docPairs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
+      // contains(" ") ⇔ size(split) >= 2; raw-text predicate avoids the
+      // pushed-down filter re-running the split (round-13 TokProbe)
+      .filter(col("text").contains(" "))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2), " +
           "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))

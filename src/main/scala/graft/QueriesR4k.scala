@@ -44,6 +44,12 @@ object QueriesR4k {
       daily.groupBy("user_id")
         .agg(slice(sort_array(collect_list(struct(col("day"), col("y"))),
           asc = false), 1, 15).as("ds"))
+        // every i<j pair emits exactly one slope struct, so
+        // size(sl) > 0 ⇔ size(ds) >= 2 — filtering on ds BEFORE the
+        // pairwise-slope projection keeps the pushed-down predicate
+        // from enumerating all 105 slopes per user twice (round-13
+        // TokProbe finding on filter-above-project duplication)
+        .filter(size(col("ds")) >= 2)
         .select(col("user_id"), size(col("ds")).as("n_days"),
           expr("""array_sort(flatten(transform(
               sequence(0, size(ds) - 2), i -> transform(

@@ -114,15 +114,17 @@ object QueriesR4n {
       // instead of ~30-byte trigrams — the standard hashed-shingle trade
       // (the MinHash family here does the same); the output carries only
       // doc ids and counts, so the oracle keeps exact string shingles
+      // Round 13 (optimization): no size(w) >= 3 pre-filter — it pushed
+      // below the split projection and ran the split twice per row
+      // (the TokProbe finding), and NgramHashes is total (short docs →
+      // empty array, dropped by explode). The native kernel emits
+      // xxhash64(concat_ws(' ', w[i..i+2])) at Spark's seed in one
+      // compiled loop — identical longs to the former interpreted
+      // transform + concat_ws + top-level xxhash64 chain.
       val sh = t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(w) - 3), " +
-            "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("shs"))
-        // hash OUTSIDE the HOF lambda: lambda bodies are interpreted per
-        // element, a top-level column after the explode is codegen'd
-        .select(col("doc_id"), xxhash64(col("shs")).as("sh"))
+        .select(col("doc_id"),
+          explode(graft.plans.NgramHashes(col("w"), 3)).as("sh"))
         .distinct()
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 20)
