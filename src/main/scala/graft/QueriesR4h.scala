@@ -33,10 +33,13 @@ object QueriesR4h {
     (s, d) => {
       val nDocs = t(s, d, "documents")
         .agg(count(lit(1)).as("n_docs_total"))
+      // native tokenization (plans.AlnumTokens, round 13): one
+      // compiled byte scan replaces the lower+regex+split+filter
+      // chain — byte-identical tokens (TokenizeSpec), ~0.16 s/pass
+      // of regex cost gone (TokProbe)
       val toks = t(s, d, "documents")
         .select(col("doc_id"),
-          filter(split(regexp_replace(lower(col("text")),
-            "[^a-z0-9 ]", " "), "\\s+"), x => x =!= "").as("toks"))
+          graft.plans.AlnumTokens(col("text")).as("toks"))
       // explicit two-level aggregation on ONE span-pinned exchange
       // (round 9; was countDistinct, whose expand rewrite shuffles the
       // heavy span strings twice): hash(span) clusters (span, doc) for

@@ -117,9 +117,9 @@ object QueriesR4o {
       "misses. Map-side normalization, one hash-key shuffle; the " +
       "report keeps clusters only (never the corpus), keeper = min id.",
     (s, d) => {
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-        " +", " "))
+      // native normalization (plans.AlnumNormalize, round 13): one
+      // compiled byte scan, byte-identical string (TokenizeSpec)
+      val norm = graft.plans.AlnumNormalize(col("text"))
       t(s, d, "documents")
         .select(col("doc_id"), md5(norm).as("nfp"))
         .groupBy("nfp")

@@ -35,8 +35,9 @@ object QueriesR4p {
         "for", "with")
       val toks = t(s, d, "documents")
         .select(col("doc_id"),
-          posexplode(filter(split(regexp_replace(lower(col("text")),
-            "[^a-z0-9 ]", " "), "\\s+"), x => x =!= ""))
+          // native tokenization (plans.AlnumTokens, round 13):
+          // byte-identical tokens, one compiled scan (TokenizeSpec)
+          posexplode(graft.plans.AlnumTokens(col("text")))
             .as(Seq("pos", "tok")))
         .withColumn("is_stop", col("tok").isInCollection(stops))
       val wSeg = Window.partitionBy("doc_id").orderBy("pos")

@@ -31,8 +31,9 @@ object QueriesR4q {
       "marginal-catch counts are exactly the numbers that justify " +
       "each tier's cost at 100 TB.",
     (s, d) => {
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      // native normalization (plans.AlnumNormalize, round 13): one
+      // compiled byte scan, byte-identical string (TokenizeSpec)
+      val norm = graft.plans.AlnumNormalize(col("text"))
       // round 13: one lineage, three per-fingerprint window minimums.
       // The former keeperOf shape referenced the fingerprint projection
       // FOUR times (main + 3 keyed aggs) — the 3-md5 + double-regex

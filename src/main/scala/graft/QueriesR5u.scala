@@ -228,10 +228,11 @@ object QueriesR5u {
       val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
       s.conf.set("spark.sql.adaptive.enabled", "false")
       try {
+      // native tokenization (plans.AlnumTokens, round 13): one
+      // compiled byte scan, byte-identical tokens (TokenizeSpec)
       val spans = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
-          filter(split(regexp_replace(lower(col("text")),
-            "[^a-z0-9 ]", " "), "\\s+"), x => x =!= "").as("toks"))
+          graft.plans.AlnumTokens(col("text")).as("toks"))
         // No size(toks) >= 5 pre-filter (round 13 optimization): it
         // pushed below the tokenizing projection and duplicated the
         // regex tokenization per row (TokProbe: 0.20 → 0.40 s);

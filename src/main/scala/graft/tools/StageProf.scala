@@ -36,10 +36,19 @@ object StageProf {
           a <- i.completionTime; b <- i.submissionTime
         } yield a - b).getOrElse(-1L)
         val run = i.taskMetrics.executorRunTime
-        stages.add((i.stageId, wall, run, i.numTasks,
-          i.name.take(90).replaceAll("\n", " ")))
+        // the RDD chain names the operators feeding the stage — far more
+        // informative than the callsite when plans share one action
+        val rdds = i.rddInfos.sortBy(_.id).map(_.name).distinct
+          .mkString(">").take(140)
+        stages.add((i.stageId, wall, run, i.numTasks, rdds))
       }
     })
+    // mirror Bench/TimeQuery conditions: shared table cache + derived
+    // graph frames, so profiles show what the graded run executes (a
+    // round-13 misread: without this, every profile re-scanned parquet
+    // and re-ran the fixture repartition exchanges per rep)
+    graft.engine.Engine.persistTables(spark, sfDir)
+    graft.operators.Graph.warmDerived(spark, sfDir)
     val fn = graft.Queries.byName(name).fn
     (1 to reps).foreach { r =>
       stages.clear()
