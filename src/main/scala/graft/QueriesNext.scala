@@ -691,7 +691,9 @@ object QueriesNext {
       // partitions keep each round's agg a few hundred-k rows per task
       // while halving the per-stage task floor (112 → 68 tasks); at
       // corpus scale pass a real parallelism
-      Graph.pageRankInt(edges, 5, parts = 4, assumeDistinct = true)
+      // symmetricEdges: edges = fwd UNION reversed(fwd) by construction
+      Graph.pageRankInt(edges, 5, parts = 4, assumeDistinct = true,
+        symmetricEdges = true)
         // ~33k-row output: one-partition sort skips the range-sampling
         // job (corpus scale: range orderBy)
         .coalesce(1).sortWithinPartitions("node")

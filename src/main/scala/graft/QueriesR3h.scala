@@ -240,7 +240,8 @@ object QueriesR3h {
       // the cached edge list gets 4 partitions, not the session's 32:
       // every pagerank round then runs 4-task stages instead of 32
       // near-empty ones (see pageRankInt's parts doc)
-      Graph.pageRankInt(edges, 5, parts = 4)
+      // symmetricEdges: edges = fwd UNION reversed(fwd) by construction
+      Graph.pageRankInt(edges, 5, parts = 4, symmetricEdges = true)
         .join(words, "node")
         .orderBy(desc("rank"), col("word"))
         .limit(20)

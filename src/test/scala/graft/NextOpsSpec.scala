@@ -111,6 +111,22 @@ class NextOpsSpec extends SparkSpec {
     assert(r2 == Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
   }
 
+  test("pageRankInt: symmetricEdges fast path == default on a symmetrized graph") {
+    import spark.implicits._
+    // random-ish multigraph, symmetrized the way g1/textrank build edges
+    val fwd = (1 to 60).map(i => ((i % 13).toLong, (i * 7 % 11 + 20).toLong))
+      .distinct.filter { case (a, b) => a != b }
+    val both = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    for (iters <- Seq(1, 3)) {
+      val slow = graft.operators.Graph.pageRankInt(both, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fast = graft.operators.Graph.pageRankInt(both, iters,
+          assumeDistinct = true, symmetricEdges = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == slow, s"iters=$iters")
+    }
+  }
+
   test("pageRankInt: a source node with no in-edges holds the base rank") {
     import spark.implicits._
     // 1↔2 plus a pure source 3→1: node 3 never receives mass
