@@ -122,46 +122,27 @@ object QueriesR3s {
       "exact order statistics (2nd / 49th of 50 integer-micro means) " +
       "— no interpolation ambiguity across engines.",
     (s, d) => {
+      // Round 14 (VERDICT r13 task 6): the 50-way sequence+explode
+      // (7.5M generator rows at sf0.1, a 5-projection mixer chain per
+      // exploded row, a 50-key hash agg, a rank window and a separate
+      // full-table agg — 3 jobs / 7 stages) folds into ONE
+      // partial-aggregatable pass: operators.BootstrapPoisson runs the
+      // identical mixer/threshold/rounding arithmetic per base row into
+      // a 50-slot buffer and emits the order statistics directly.
+      // BootstrapPoissonSpec proves term-by-term equivalence against
+      // the former formulation; overflow headroom documented at the
+      // kernel (sums ≤ 4·Σx cents — 2 orders of magnitude under 2^63
+      // at the 100 TB posture, the same argument the mixer's products
+      // already carried here).
       val base = t(s, d, "orders")
         .select(col("o_orderkey").as("okey"),
           round(col("o_totalprice") * 100, 0).cast(LongType).as("x"))
-      val expanded = base
-        .select(col("okey"), col("x"),
-          explode(sequence(lit(0), lit(49))).as("b"))
-        // two multiplicative-mix rounds over k = okey*50 + b; every
-        // intermediate stays < 2^63 (max k ~ 2^31 here: k*2654435761 <
-        // 2^31*2^32 would overflow, so k is folded mod 2^31 first at
-        // corpus scale — at this key range the direct product is safe)
-        .withColumn("k", col("okey") * 50L + col("b"))
-        .withColumn("a1", expr("(k * 2654435761L) % 2147483648L"))
-        .withColumn("a2",
-          expr("(((a1 div 1024 + a1) % 2147483648L) * 2246822519L) % 2147483648L"))
-        .withColumn("u", expr("(a2 div 64 + a2) % 1000000L"))
-        .withColumn("w",
-          when(col("u") < 367879L, 0L)
-            .when(col("u") < 735759L, 1L)
-            .when(col("u") < 919699L, 2L)
-            .when(col("u") < 981012L, 3L).otherwise(4L))
-      val resamples = expanded.groupBy("b")
-        .agg(sum("w").as("nb"),
-          sum((col("w") * col("x")).cast(DecimalType(38, 0))).as("sb"))
-        .select(col("b"),
-          round(col("sb").cast(DoubleType) /
-            col("nb").cast(DoubleType) * 1e4, 0).cast(LongType)
-            .as("mean_micro"))
-      val ranked = resamples.withColumn("rk", row_number().over(
-        Window.orderBy(col("mean_micro"), col("b"))))
-      val full = base.agg(count(lit(1)).as("n"), sum("x").as("sx"))
-        .select(round(col("sx").cast(DoubleType) /
-          col("n").cast(DoubleType) * 1e4, 0).cast(LongType)
-          .as("mean_full_micro"))
-      ranked.filter(col("rk") === 2)
-        .select(col("mean_micro").as("ci_lo_micro"))
-        .crossJoin(ranked.filter(col("rk") === 49)
-          .select(col("mean_micro").as("ci_hi_micro")))
-        .crossJoin(broadcast(full))
-        .select(lit(50L).as("n_resamples"), col("mean_full_micro"),
-          col("ci_lo_micro"), col("ci_hi_micro"))
+      val ci = graft.operators.BootstrapPoisson.udafColumn
+      base.agg(ci(col("okey"), col("x")).as("r"))
+        .select(lit(50L).as("n_resamples"),
+          col("r.mean_full_micro").as("mean_full_micro"),
+          col("r.ci_lo_micro").as("ci_lo_micro"),
+          col("r.ci_hi_micro").as("ci_hi_micro"))
     },
     Some("""WITH base AS (
               SELECT o_orderkey AS okey,

@@ -138,10 +138,14 @@ object QueriesR4q {
       // band rollup and the within-band cum window) run exchange-free on
       // the checkpoint's preserved partitioning: the 583k-row value-count
       // frame is shuffled once, total
+      // round 14: cache instead of eager checkpoint (the ml_ks move):
+      // the broadcast(off) build job fills it, every later consumer
+      // (median filter, deviation pass) hits it, partitioning
+      // preserved — one scheduler job saved at identical stage work.
       val vc = base.withColumn("bk", expr("x div 409600"))
         .repartition(col("g"), col("bk"))
         .groupBy("g", "bk", "x").agg(count(lit(1)).as("cnt"))
-        .ckpt(true)
+        .cache()
       val offW = Window.partitionBy("g").orderBy("bk")
         .rowsBetween(Window.unboundedPreceding, -1)
       val off = vc.groupBy("g", "bk").agg(sum("cnt").as("bc"))

@@ -135,6 +135,12 @@ object QueriesR5u {
       // Checkpointed because the rollup feeds both the offset build and
       // the CDF pass.
       val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // round 14: CACHE, not eager checkpoint — the lazy cache fills
+      // inside the final materialization job (the offMap rollup stage
+      // is an upstream dependency of the CDF stage, so it fills the
+      // cache and the CDF pass hits it), preserving the hash(bk)
+      // partitioning exactly like the LogicalRDD did, but without the
+      // dedicated checkpoint job: 3 jobs → 2 at identical stage work.
       val vc = t(s, d, "lineitem")
         .select(round(col("l_extendedprice") * 100, 0).cast(LongType)
           .as("score"),
@@ -143,7 +149,7 @@ object QueriesR5u {
         .repartition(parts, col("bk"))
         .groupBy("bk", "score")
         .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
-        .ckpt(true)
+        .cache()
       // bucket rollup: offsets (exclusive prefix sums) + class totals —
       // bounded by the VALUE RANGE, not the corpus, so the whole-frame
       // windows here run over a few hundred rows

@@ -150,12 +150,16 @@ object Engine {
       val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
       val partsWere = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.adaptive.enabled", "false")
-      // fixture-sized shuffles: 8 partitions right-sizes the per-stage
+      // fixture-sized shuffles: 6 partitions right-sizes the per-stage
       // task count the same way AQE's coalesce would (which the scope
       // turns off) — a full-inventory A/B at sf0.1 showed 32-partition
-      // stages are ~30% task-scheduling floor on this set. Size-gated
-      // like the AQE scope: production reads never engage it.
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // stages are ~30% task-scheduling floor on this set, and the
+      // round-14 sweep mapped the remaining curve: full-bench totals
+      // 128.1 s (2) / 103.0 s (4) / 101.3 s (6) / 107.5 s (8) — 6 is
+      // the knee (2 serializes the CPU-dense banded/pair stages, 8+
+      // pays pure task floor). Size-gated like the AQE scope:
+      // production reads never engage it.
+      s.conf.set("spark.sql.shuffle.partitions", "6")
       try Ck.cp(body, eager = true)
       finally {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
@@ -182,7 +186,15 @@ object Engine {
       if (!skip.contains("spark.sql.adaptive.enabled"))
         s.conf.set("spark.sql.adaptive.enabled", "false")
       if (!skip.contains("spark.sql.shuffle.partitions"))
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "6")
+      // the fixture-scale table cache ([[persistTables]]) is read by
+      // nearly every stage of every query; column compression buys
+      // nothing at <1 GB of heap-resident data and its decode tax is
+      // paid per cached read (round-14 full-bench A/B: 118.8 → 107.5 s
+      // from this conf alone). Production caches — memory-constrained,
+      // size-gated out of this branch — keep the compressed default.
+      if (!skip.contains("spark.sql.inMemoryColumnarStorage.compressed"))
+        s.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
     }
   }
 

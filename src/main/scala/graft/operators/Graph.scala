@@ -266,6 +266,12 @@ object Graph {
     // orientations over disjoint key spaces) skips the dedup — a full
     // partial-agg pass over the edge list per invocation
     val e1 = edgesIn.toDF("src", "dst").repartition(np, col("src"))
+    // (round 14 measured rejection: deg via groupBy + SHUFFLE_HASH
+    // self-join instead of this window — the join's two sides get fresh
+    // exprIds, so the hash(src) exchange is NOT structurally reusable
+    // and the whole upstream computes twice; StageProf 1.75 → 2.12 s.
+    // The window's sort also pre-sorts the cache, which every round's
+    // join exploits.)
     val edges = (if (assumeDistinct) e1 else e1.dropDuplicates("src", "dst"))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .cache()
@@ -310,7 +316,8 @@ object Graph {
         var ranks: DataFrame = nodes.select(col("node"), lit(Scale).as("rank"))
         for (i <- 1 to iters) {
           val contribs = edges
-            .join(ranks.withColumnRenamed("node", "src"), Seq("src"), "left")
+            .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+              Seq("src"), "left")
             .select(col("dst"),
               expr(s"coalesce(rank, $base) div deg").as("contrib"))
           val next = contribs.repartition(np, col("dst"))

@@ -54,7 +54,7 @@ class FloorScopeSpec extends SparkSpec {
       // fixture-sized dir: both confs set
       Engine.fixtureFloorConfs(spark, sf)
       assert(spark.conf.get("spark.sql.adaptive.enabled") == "false")
-      assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "6")
       // skip set (the SPARK_EXTRA_CONF A/B path): pinned key untouched
       spark.conf.set("spark.sql.shuffle.partitions", "17")
       Engine.fixtureFloorConfs(spark, sf,
