@@ -109,7 +109,9 @@ object QueriesR3j {
       // session's full parallelism — size-first AQE coalescing would run
       // the ~20 MB pair stream on 2 cores (same rationale as
       // stat_spearman's pinned rank exchange)
-      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // CPU-dense pinned exchange: 2x-floor compute parallelism
+      // (Engine.computeParts, round 14)
+      val parts = graft.engine.Engine.computeParts(s, d)
       // ONE basket aggregation feeds both branches: collect_set dedups
       // (ok, pk) inside the basket, so exploding the cached basket
       // arrays IS the distinct — the separate fact-table distinct+agg

@@ -92,7 +92,12 @@ object QueriesR4i {
       val r2 = (lit(2L) * rank().over(Window.partitionBy("seg").orderBy("v")) +
         count(lit(1)).over(Window.partitionBy("seg", "v")) - 1L)
         .cast(LongType)
+      // 5 segment keys into the 2x-floor bucket count (Engine
+      // .computeParts): fewer hash collisions than the 6-partition
+      // session floor ⇒ fewer segments serialized through one task
+      // (measured 0.40 -> 0.33 s); hash(seg) satisfies both windows
       val segAgg = base
+        .repartition(graft.engine.Engine.computeParts(s, d), col("seg"))
         .withColumn("r2", r2)
         .groupBy("seg")
         .agg(sum(col("g1").cast(LongType)).cast(LongType).as("n1"),

@@ -168,7 +168,13 @@ object QueriesR4j {
         .select("flag", "bkt", "off")
       val bandW = Window.partitionBy("flag", "bkt").orderBy("yc")
       val tieW = Window.partitionBy("flag", "bkt", "yc")
+      // CPU-dense banded rank: pin the window exchange to the 2x-floor
+      // compute parallelism (Engine.computeParts — measured 0.82 ->
+      // 0.60 s at the 6-partition floor); hash(flag, bkt) satisfies
+      // both window requirements, so it is still ONE exchange
       val ranked = banded
+        .repartition(graft.engine.Engine.computeParts(s, d),
+          col("flag"), col("bkt"))
         .withColumn("rnk", rank().over(bandW))
         .withColumn("ties", count(lit(1)).over(tieW))
         .join(broadcast(offs), Seq("flag", "bkt"))

@@ -103,7 +103,9 @@ object QueriesR5a {
       "all rank sums stay exact BIGINTs; tie correction aggregates " +
       "per-value counts (keyed, partial-aggregatable).",
     (s, d) => {
-      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // CPU-dense pinned exchange: 2x-floor compute parallelism
+      // (Engine.computeParts, round 14)
+      val parts = graft.engine.Engine.computeParts(s, d)
       val base = t(s, d, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
         .withColumn("bk", floor(col("x") / 4096.0))

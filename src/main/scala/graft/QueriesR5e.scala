@@ -124,14 +124,16 @@ object QueriesR5e {
       val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
       s.conf.set("spark.sql.adaptive.enabled", "false")
       try {
-      // checkpointed: the (g, cents, bucket) projection feeds the rollup,
-      // the boundary-bucket ranking AND the final clamp pass — without it
-      // the scan + round/div compute runs 3×
+      // cached (round 14; was an eager checkpoint): the (g, cents,
+      // bucket) projection feeds the rollup, the boundary-bucket ranking
+      // AND the final clamp pass — without it the scan + round/div
+      // compute runs 3×; the lazy cache fills inside the main job's
+      // first consumer stage, saving the dedicated checkpoint job
       val base = t(s, d, "lineitem")
         .select(col("l_returnflag").as("g"),
           round(col("l_extendedprice") * 100, 0).cast(LongType).as("c"))
         .withColumn("bk", expr("c div 409600"))
-        .ckpt(true)
+        .cache()
       val roll = base.groupBy("g", "bk").agg(count(lit(1)).as("nb"))
         .withColumn("off", coalesce(sum("nb").over(
           Window.partitionBy("g").orderBy("bk")

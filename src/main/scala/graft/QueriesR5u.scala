@@ -134,7 +134,9 @@ object QueriesR5u {
       // function of score, so bk-partitioning clusters scores too).
       // Checkpointed because the rollup feeds both the offset build and
       // the CDF pass.
-      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // CPU-dense banded exchange: 2x-floor parallelism (Engine
+      // .computeParts — measured 0.94 -> 0.67 s at the 6-partition floor)
+      val parts = graft.engine.Engine.computeParts(s, d)
       // round 14: CACHE, not eager checkpoint — the lazy cache fills
       // inside the final materialization job (the offMap rollup stage
       // is an upstream dependency of the CDF stage, so it fills the

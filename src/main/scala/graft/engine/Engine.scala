@@ -114,7 +114,7 @@ object Engine {
   }
 
   private val fixtureParts: Map[String, Int] = Map(
-    "documents" -> 16, "embeddings" -> 16,
+    "documents" -> 8, "embeddings" -> 8,
     "lineitem" -> 8, "orders" -> 4, "events" -> 4)
 
   private val schemaCache =
@@ -196,6 +196,26 @@ object Engine {
       if (!skip.contains("spark.sql.inMemoryColumnarStorage.compressed"))
         s.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
     }
+  }
+
+  /** Parallelism for CPU-DENSE pinned exchanges (round 14). The fixture
+    * floor conf right-sizes the 300+ shuffle/floor-bound queries at 6
+    * partitions, but stages doing real per-row compute (banded rank
+    * windows, in-basket pair generation) leave cores idle at the floor:
+    * a 6/12/24-way A/B on the banded stat family measured 12 as the
+    * knee at 32 local cores (stat_levene 1.13 → 0.83 s, ml_ks 0.94 →
+    * 0.67, stat_spearman 0.82 → 0.60; 24 ≈ 12). So: 2× the session
+    * floor, bounded by local cores — at 8 cores that folds back to 8,
+    * the value these sites ran at through round 13. Over the size gate
+    * (production inputs) it is the plain session setting: cluster plans
+    * keep user/AQE-controlled parallelism untouched.
+    */
+  def computeParts(s: SparkSession, sfDir: String): Int = {
+    val conf = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val enabled = s.conf.get("spark.graft.floorScope", "true").toBoolean
+    if (enabled && dirBytes(sfDir) < (1L << 30))
+      math.max(conf, math.min(2 * conf, s.sparkContext.defaultParallelism))
+    else conf
   }
 
   private def dirBytes(sfDir: String): Long =
