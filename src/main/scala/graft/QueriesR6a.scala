@@ -119,6 +119,35 @@ object QueriesR6a {
 
   private val ChecksumKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
 
+  private val NoDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+  /** Scope for streams whose OUTPUT is fully emitted by the data
+    * batches themselves (round 14): an AvailableNow replay normally
+    * appends one trailing NO-DATA micro-batch whose only work is
+    * advancing the watermark and evicting state. For an INNER
+    * stream-stream join (matches emit on match) and
+    * dropDuplicatesWithinWatermark (first arrival emits immediately)
+    * that trailer produces ZERO output rows, and the state it evicts
+    * belongs to a per-run scratch dir that is deleted at JVM exit — so
+    * it is one pure-scaffold micro-batch (~0.3 s of local batch floor;
+    * paired TimeQ A/B: ingest_dedup 1.33 → 1.07 s / 3 → 2 jobs,
+    * view_click_join 1.39 → 1.06 s). NEVER use this around
+    * watermark-GATED emission — event-time aggregation in Append mode,
+    * outer joins — where exactly that batch emits the final results;
+    * those queries keep the default. Session conf, restored in
+    * finally; production always-on streams never replay through this
+    * helper at all.
+    */
+  private def withoutTrailerBatch[T](s: SparkSession)(body: => T): T = {
+    val was = s.conf.getOption(NoDataKey)
+    s.conf.set(NoDataKey, "false")
+    try body
+    finally was match {
+      case Some(v) => s.conf.set(NoDataKey, v)
+      case None    => s.conf.unset(NoDataKey)
+    }
+  }
+
   /** Ephemeral scratch root for the per-run stream dirs (checkpoint, state
     * store, sink output, replay input). These are replay-once artifacts —
     * created fresh per execution, swept by deferDelete/shutdown hooks —
@@ -610,12 +639,16 @@ object QueriesR6a {
       // the join buffers both sides in per-partition state stores
       val scWas = streamScaffoldConfs(s)
       try {
-        runStreamToParquet(s,
-          graft.streaming.Streaming
-            .clickAfterViewJoin(vs, cs, windowMs = 240L * 60 * 1000)
-            .select(col("v_user").as("user_id"), col("view_id"),
-              col("view_ts"), col("click_id"), col("click_ts")),
-          out, ckpt)
+        // no-output trailer batch dropped (withoutTrailerBatch doc):
+        // INNER interval joins emit on match, in the data batch
+        withoutTrailerBatch(s) {
+          runStreamToParquet(s,
+            graft.streaming.Streaming
+              .clickAfterViewJoin(vs, cs, windowMs = 240L * 60 * 1000)
+              .select(col("v_user").as("user_id"), col("view_id"),
+                col("view_ts"), col("click_id"), col("click_ts")),
+            out, ckpt)
+        }
       } finally restoreScaffoldConfs(s, scWas)
       deferDelete(base)
       out
@@ -839,10 +872,14 @@ object QueriesR6a {
       val doubled = delivery().unionAll(delivery())
       val scWas = streamScaffoldConfs(s)
       try {
-        runStreamToParquet(s,
-          graft.streaming.Streaming
-          .dedupStream(doubled, Seq("event_id"))
-          , out, ckpt)
+        // no-output trailer batch dropped (withoutTrailerBatch doc):
+        // within-watermark dedup emits first arrivals in the data batch
+        withoutTrailerBatch(s) {
+          runStreamToParquet(s,
+            graft.streaming.Streaming
+            .dedupStream(doubled, Seq("event_id"))
+            , out, ckpt)
+        }
       } finally restoreScaffoldConfs(s, scWas)
       deferDelete(base)
       out
