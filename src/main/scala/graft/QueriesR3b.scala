@@ -378,7 +378,9 @@ object QueriesR3b {
       val tk = t(s, d, "documents")
         .select(col("doc_id"),
           graft.plans.BigramShingleIds(split(col("text"), " ")).as("gs"))
-        .ckpt(true)
+        .cache() // round 14: ckpt -> cache — the three plan references
+                 // still hash the corpus once (block locks), minus the
+                 // dedicated materialization job
       val ex = tk.select(col("doc_id"), explode(col("gs")).as("g"))
       // round 9: the df rollup-join and the hot-bucket anti-join both
       // collapse into PARTITION-COUNT WINDOWS (the boilerplate-effect

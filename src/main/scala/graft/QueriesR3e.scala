@@ -271,7 +271,9 @@ object QueriesR3e {
           explode(split(col("text"), " ")).as("tok"))
         .select(col("doc_id"), col("lang"),
           (Dedup.tokenId(col("tok")) % 1024).as("k"))
-        .ckpt(true)
+        .cache() // round 14: lazy cache, not eager ckpt — the broadcast
+                 // (lr) build job fills it, the final join hits blocks;
+                 // one dedicated materialization job saved
       // ONE aggregation builds both distributions (round 13): the raw
       // per-bucket count and the target (en) count are the same groupBy
       // with a conditional count, so the former two full scans of the

@@ -58,13 +58,15 @@ object QueriesR3h {
           col("conv.cep") - col("ep") <= 604800000000L)
         .select(col("event_type").as("channel"), col("ep"), col("event_id"),
           col("conv.cid").as("conv_id"), col("conv.ccents").as("conv_cents"))
-        .ckpt(true)
+        .cache() // round 14: lazy cache, not eager ckpt - consumers share
+                 // blocks under block-level locks, the fill rides the
+                 // first consumer job instead of its own scheduler job
       val perConv = touches.groupBy("conv_id").agg(
         count(lit(1)).as("n"),
         min(struct(col("ep"), col("event_id"), col("channel"))).as("fi"),
         max(struct(col("ep"), col("event_id"), col("channel"))).as("la"),
         min("conv_cents").as("cents"))
-        .ckpt(true)
+        .cache() // round 14: same move as touches above
       val firstC = perConv.groupBy(col("fi.channel").as("channel"))
         .agg(sum("cents").as("first_cents"))
       val lastC = perConv.groupBy(col("la.channel").as("channel"))

@@ -179,7 +179,10 @@ object QueriesR3k {
           round(log2(col("dl").cast(DoubleType) /
             col("dt").cast(DoubleType)) * 1e6, 0)
             .cast(LongType).as("prior_micro"))
-        .ckpt(true)
+        .cache() // round 14: ckpt -> cache; the first downstream
+                 // broadcast build materializes the 5-row constants
+                 // chain (and the tokCnt/tc caches under block locks),
+                 // later builds hit blocks — one scheduler job saved
       // additive model decomposition: log2 p(tok|lang) = log2(c+1) +
       // log2(1/(ctok+v)), each micro-rounded separately — the seen-token
       // part needs NO per-language divisor, so the model build is a pure

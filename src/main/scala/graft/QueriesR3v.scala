@@ -85,15 +85,16 @@ object QueriesR3v {
       val tf = t(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .ckpt(true)
+        .cache() // round 14: ckpt -> cache (block-level locks give the
+                 // same compute-once reuse without the dedicated job)
       val norm = tf.groupBy("doc_id")
         .agg(sqrt(sum(col("tf") * col("tf"))).as("nrm"))
-        .ckpt(true)
+        .cache() // round 14: same move
       val kept = tf.withColumn("df",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy("tok")))
         .filter(col("df") <= 50)
-        .ckpt(true)
+        .cache() // round 14: same move (self-join sides share blocks)
       val pairs = kept.select(col("doc_id").as("doc_a"), col("tok"),
           col("tf").as("tf_a"))
         .join(kept.select(col("doc_id").as("doc_b"), col("tok"),
