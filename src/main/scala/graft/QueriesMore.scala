@@ -284,7 +284,8 @@ object QueriesMore {
       "Sort parallelism is statuses×buckets, the pattern that holds " +
       "at 100 TB.",
     (s, d) => {
-      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // CPU-dense banded rank: 2x-floor parallelism (round 14)
+      val parts = graft.engine.Engine.computeParts(s, d)
       val base = t(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .withColumn("bk", floor(col("o_totalprice") / 10000.0))

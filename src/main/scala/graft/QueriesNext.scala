@@ -352,7 +352,8 @@ object QueriesNext {
       // the ~13M-pair stream — the classic input-sized-vs-output-sized
       // misestimate. An explicit fixed-width repartition on the key
       // blocks the coalesce and spreads the pair enumeration.
-      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // CPU-dense pair enumeration: 2x-floor parallelism (round 14)
+      val parts = graft.engine.Engine.computeParts(s, d)
       val pairs = banded(og, "sa", "ea").repartition(parts, col("band"))
         .join(banded(c, "sb", "eb"), Seq("band"))
         .filter(col("sa") <= col("eb") && col("sb") <= col("ea") &&

@@ -28,6 +28,9 @@ object ExplainQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.graft.floorScope", "false")
+    // full lineage in the explain output: checkpoints otherwise truncate
+    // every ckpt-bearing query's plan to a LogicalRDD stub (see Ck.cp)
+    spark.conf.set("spark.graft.ckptBypassForExplain", "true")
     names.foreach { n =>
       println(s"===== $n =====")
       val df = graft.Queries.byName(n).fn(spark, sfDir)
